@@ -1,0 +1,192 @@
+"""Indexing-pipeline operators as oracle-checkable queries
+(SURVEY.md §2.1-2.3, §2.11): shard routing + distribution, grouped
+batching stats, manifest dedup, missing-shard detection, and the
+pandas-UDF extension surface.
+
+These are the query-shaped faces of the reference's core machinery
+(mapper → ShardPartitioner → reducer → post-processor); the actual
+write pipeline lives in elastic_freight_spark.indexer and is
+exercised end-to-end by tests/test_indexer.py and entry().
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from elastic_freight_spark.functions import dsum, sql_dsum
+from elastic_freight_spark.registry import query
+from elastic_freight_spark.session import load_tables
+from elastic_freight_spark.sharding import lcg_shard_col, lcg_shard_sql
+
+N_SHARDS = 16
+
+
+@query(
+    "shard_distribution",
+    oracle=f"""
+    SELECT {lcg_shard_sql('user_id', N_SHARDS)} AS shard,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def shard_distribution(spark, sf_dir):
+    """The reference's map+shuffle phase as a query: route every
+    document to its shard (ShardPartitioner.java:35-39) and count
+    per-shard load — the docs-per-reducer histogram an operator
+    would use to spot skew before the write."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .withColumn("shard", lcg_shard_col("user_id", N_SHARDS))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "sum_value"),
+        )
+    )
+
+
+@query(
+    "shard_missing_detection",
+    oracle=f"""
+    SELECT CAST(r.range AS INT) AS shard
+    FROM range(64) r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (
+        SELECT {lcg_shard_sql('user_id', 64)} AS shard
+        FROM events WHERE user_id < 20
+      ) p WHERE p.shard = r.range
+    )
+    ORDER BY shard
+    """,
+)
+def shard_missing_detection(spark, sf_dir):
+    """Missing-shard detection (IndexingPostProcessor.placeMissing
+    Shards → BaseTransport.java:144-167): expected shard ids minus
+    produced, as a left-anti join of a range frame against the
+    sharded subset. 20 users over 64 shards guarantees gaps."""
+    t = load_tables(spark, sf_dir)
+    produced = (
+        t["events"]
+        .filter(F.col("user_id") < 20)
+        .select(lcg_shard_col("user_id", 64).alias("shard"))
+        .distinct()
+    )
+    expected = spark.range(64).select(F.col("id").cast("int").alias("shard"))
+    return expected.join(produced, "shard", "left_anti")
+
+
+@query(
+    "manifest_dedup",
+    oracle="""
+    SELECT idx, CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(n_docs) AS BIGINT) AS total_docs
+    FROM (
+      SELECT 'events_' || CAST(user_id % 3 AS VARCHAR) AS idx,
+             user_id % 8 AS shard_id,
+             COUNT(*) AS n_docs
+      FROM events
+      GROUP BY 1, 2
+    )
+    GROUP BY idx
+    """,
+)
+def manifest_dedup(spark, sf_dir):
+    """Manifest merge + dedup (IndexingPostProcessor.java:148-173):
+    per-(index, shard) manifest entries collapse to one row per
+    index with shard count and doc totals — the reference's HashSet
+    dedup as groupBy/distinct."""
+    t = load_tables(spark, sf_dir)
+    entries = (
+        t["events"]
+        .select(
+            F.concat(F.lit("events_"), (F.col("user_id") % 3).cast("string")).alias("idx"),
+            (F.col("user_id") % 8).alias("shard_id"),
+        )
+        .groupBy("idx", "shard_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return entries.groupBy("idx").agg(
+        F.count(F.lit(1)).alias("n_shards"), F.sum("n_docs").alias("total_docs")
+    )
+
+
+@query(
+    "grouped_batch_stats",
+    oracle="""
+    SELECT shard, CAST(CEIL(n_docs / 20000.0) AS BIGINT) AS n_batches,
+           n_docs
+    FROM (
+      SELECT user_id % 8 AS shard, COUNT(*) AS n_docs
+      FROM events GROUP BY 1
+    )
+    ORDER BY shard
+    """,
+)
+def grouped_batch_stats(spark, sf_dir):
+    """Bulk batching math (§2.1 S5): the reference flushes every
+    20,000 docs (IndexingJob.java:64-67) — per-shard batch counts at
+    that threshold."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy((F.col("user_id") % 8).alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "shard",
+            F.ceil(F.col("n_docs") / 20000.0).alias("n_batches"),
+            "n_docs",
+        )
+    )
+
+
+@query("es_parity_shard_distribution")  # rows-only: murmur3/UTF-16LE not in SQL
+def es_parity_shard_distribution(spark, sf_dir):
+    """Bit-exact ES 5.x routing over string ids via the pandas UDF
+    (§2.11) — distribution check. No SQL oracle (murmur3 over
+    UTF-16LE isn't expressible); parity is pinned by known-answer
+    unit tests in tests/test_sharding.py instead."""
+    from elastic_freight_spark.sharding import es_murmur3_shard_udf
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .select(es_murmur3_shard_udf(8)(F.col("user_id").cast("string")).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "apply_in_pandas_group_rank",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS INT)
+             AS value_rank
+    FROM events
+    """,
+)
+def apply_in_pandas_group_rank(spark, sf_dir):
+    """The reference's per-group reducer hook surface (§2.11:
+    subclassing BaseESReducer) as applyInPandas: an arbitrary
+    pandas computation per user group. Integer output keeps it
+    oracle-exact; the same slot hosts any custom per-group logic."""
+    t = load_tables(spark, sf_dir)
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True])
+        pdf["value_rank"] = range(1, len(pdf) + 1)
+        return pdf[["user_id", "event_id", "value_rank"]]
+
+    return (
+        t["events"]
+        .select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(rank_group, schema="user_id long, event_id long, value_rank int")
+    )

@@ -1,0 +1,654 @@
+"""Relational query surface: filters, joins, aggregates, set ops,
+sorts/top-k, scalar functions (SURVEY.md §2.2, §2.4, §2.5, §2.7-2.9).
+
+The reference performs no relational joins (its only co-location
+mechanism is the shard shuffle) and delegates all querying to the
+Elasticsearch artifact it builds; this module supplies that query
+surface natively. Everything is a declarative DataFrame plan —
+Catalyst handles pushdown, pruning, join selection (broadcast for the
+dim tables), and partial aggregation.
+
+Scale notes: dimension joins (region/nation/part/supplier at TPC-H
+ratios) are explicitly broadcast; fact-fact joins shuffle on the join
+key and rely on AQE for skew splitting. Money aggregates run through
+DECIMAL (see functions/__init__.py) so results are identical at any
+partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elastic_freight_spark.functions import (
+    davg,
+    date_str,
+    dsum,
+    sql_davg,
+    sql_date_str,
+    sql_dsum,
+)
+from elastic_freight_spark.registry import query
+from elastic_freight_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# Headline aggregation queries (TPC-H-shaped, adapted to FIXTURES.md schema)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', scale=6)},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1: scan-heavy groupBy with 8 aggregates. Catalyst plans
+    partial (map-side) + final aggregation; the Parquet scan reads
+    only the 7 referenced columns and pushes the shipdate filter."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge", scale=6),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           {sql_date_str('o_orderdate', 'orderdate')},
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3: selective dim filter → two joins → agg → top-k.
+    customer is small relative to the facts → broadcast; the
+    orders⋈lineitem join shuffles on the order key. limit(10) plans
+    TakeOrderedAndProject (no global sort materialization)."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    joined = li.join(
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            date_str("o_orderdate", "orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5: 6-table star join. region/nation/supplier/customer
+    are all dims → broadcast chain; only orders⋈lineitem shuffles."""
+    t = load_tables(spark, sf_dir)
+    nations = (
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = t["supplier"].join(
+        F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+@query(
+    "q6_revenue_change",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_change(spark, sf_dir):
+    """TPC-H Q6: pure filter + global aggregate; all four predicates
+    push to the Parquet scan (min/max row-group skipping at scale)."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family (SURVEY.md §2.4 J1-J5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_semi_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+)
+def join_semi_active_customers(spark, sf_dir):
+    """Left-semi join (EXISTS)."""
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 200000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_anti_customers_without_orders(spark, sf_dir):
+    """Left-anti join (NOT EXISTS) — the exact shape of the
+    reference's missing-shard detection (expected minus produced,
+    transport/BaseTransport.java:144-167)."""
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_outer_nation_activity",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_outer_nation_activity(spark, sf_dir):
+    """Full-outer join of two aggregates with COALESCE'd keys."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = t["supplier"].groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    joined = c.alias("c").join(s.alias("s"), F.col("c.nk") == F.col("s.nk"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("c.nk"), F.col("s.nk")).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_range_quantity_band",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+              AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+    GROUP BY p_brand
+    """,
+)
+def join_range_quantity_band(spark, sf_dir):
+    """Equi + range (theta) join condition: Catalyst keys the hash
+    join on the equi part and applies the band as a post-filter —
+    never a cartesian product."""
+    t = load_tables(spark, sf_dir)
+    joined = t["lineitem"].join(
+        F.broadcast(t["part"]),
+        (F.col("l_partkey") == F.col("p_partkey"))
+        & F.col("l_quantity").between(F.col("p_size") - 5, F.col("p_size") + 5),
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate family (SURVEY.md §2.5 A5-A8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_multi_measure",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           {sql_dsum('o_totalprice', 'sum_price')},
+           {sql_davg('o_totalprice', 'avg_price')},
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_multi_measure(spark, sf_dir):
+    """Hash aggregate with mixed measures incl. count-distinct
+    (planned as expand + two-phase agg)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        dsum("o_totalprice", "sum_price"),
+        davg("o_totalprice", "avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "agg_rollup_returns",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_lines,
+           {sql_dsum('l_extendedprice', 'sum_price')},
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_returns(spark, sf_dir):
+    """ROLLUP with GROUPING() markers to disambiguate subtotal rows
+    from genuine NULL groups."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", "sum_price"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+@query(
+    "agg_cube_order_matrix",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_order_matrix(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation — same definition in
+    Spark `percentile` and DuckDB `quantile_cont`). At 100 TB swap for
+    `percentile_approx`; the exact variant is the oracle anchor."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++). No oracle — sketch estimates
+    are engine-specific; accuracy is asserted in unit tests against
+    the exact count instead (SURVEY.md §2.5 A6)."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (§2.7) and set ops (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_global_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topk_global_orders(spark, sf_dir):
+    """Global top-k: planned as TakeOrderedAndProject (per-partition
+    heap + driver merge), not a full sort. Integer tiebreak makes the
+    result set fully deterministic."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "setop_nations_customers_not_suppliers",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
+    """,
+)
+def setop_nations_customers_not_suppliers(spark, sf_dir):
+    """EXCEPT (set semantics, `subtract`) — the reference's
+    expected-minus-produced manifest computation (§2.8 U3)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(
+            t["supplier"].filter(F.col("s_acctbal") > 8000)
+            .select(F.col("s_nationkey").alias("nationkey"))
+        )
+    )
+
+
+@query(
+    "setop_union_intersect_mix",
+    oracle="""
+    WITH u AS (
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+      UNION
+      SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+    ),
+    i AS (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    )
+    SELECT u.nationkey, (i.nationkey IS NOT NULL) AS in_both
+    FROM u LEFT JOIN i ON u.nationkey = i.nationkey
+    """,
+)
+def setop_union_intersect_mix(spark, sf_dir):
+    """UNION distinct + INTERSECT + left join combined."""
+    t = load_tables(spark, sf_dir)
+    u = (
+        t["customer"].filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .union(
+            t["supplier"].filter(F.col("s_acctbal") > 9000)
+            .select(F.col("s_nationkey").alias("nationkey"))
+        )
+        .distinct()
+    )
+    i = (
+        t["customer"].select(F.col("c_nationkey").alias("i_nationkey"))
+        .intersect(t["supplier"].select(F.col("s_nationkey").alias("i_nationkey")))
+    )
+    return u.join(i, u.nationkey == i.i_nationkey, "left").select(
+        F.col("nationkey"), F.col("i_nationkey").isNotNull().alias("in_both")
+    )
+
+
+@query(
+    "union_all_account_balances",
+    oracle=f"""
+    SELECT kind, COUNT(*) AS n, {sql_dsum('bal', 'total_bal')}
+    FROM (
+      SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS kind, s_acctbal AS bal FROM supplier
+    )
+    GROUP BY kind
+    """,
+)
+def union_all_account_balances(spark, sf_dir):
+    """UNION ALL of heterogeneous sources (the reference's multi-path
+    input union, §2.1 S2) + aggregate."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(F.lit("customer").alias("kind"), F.col("c_acctbal").alias("bal"))
+    s = t["supplier"].select(F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("bal"))
+    return c.unionByName(s).groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"), dsum("bal", "total_bal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function battery (§2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_string_part_surgery",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_u,
+           SUBSTRING(p_name, 1, 8) AS name8,
+           CONCAT(p_brand, '|', p_type) AS brand_type,
+           TRIM(p_name) AS name_trim,
+           REPLACE(p_type, 'A', '_') AS type_sub,
+           LENGTH(p_name) AS name_len,
+           CAST(STRPOS(p_name, 'a') AS INT) AS a_pos,
+           REGEXP_EXTRACT(p_brand, '[0-9]+') AS brand_num,
+           (p_type LIKE 'S%') AS is_s
+    FROM part
+    """,
+)
+def f_string_part_surgery(spark, sf_dir):
+    """String-function parity battery: the reference's split/concat/
+    trim/substring/regex usage (§2.9 F1-F5) as one projection."""
+    t = load_tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim("p_name").alias("name_trim"),
+        F.regexp_replace("p_type", "A", "_").alias("type_sub"),
+        F.length("p_name").alias("name_len"),
+        F.instr(F.col("p_name"), "a").alias("a_pos"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.col("p_type").startswith("S").alias("is_s"),
+    )
+
+
+@query(
+    "f_json_props",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def f_json_props(spark, sf_dir):
+    """JSON extraction (the reference's Jackson parse, §2.9 F6) via
+    get_json_object, grouped."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"), F.col("value")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )
+
+
+@query(
+    "f_dates_order_calendar",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           {sql_date_str("date_trunc('month', o_orderdate)", 'month_start')},
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def f_dates_order_calendar(spark, sf_dir):
+    """Date/time functions (§2.9 F10): extract, date_trunc, format."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            date_str(F.date_trunc("month", F.col("o_orderdate")), "month_start"),
+            "o_totalprice",
+        )
+        .groupBy("yr", "mo", "month_start")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+@query(
+    "f_math_casts",
+    oracle="""
+    SELECT l_linenumber,
+           CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice, 1) AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_rounded,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT) % 7) AS BIGINT) AS mod_sum,
+           CAST(MAX(ABS(l_discount - 0.05)) AS DOUBLE) AS max_absdev
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def f_math_casts(spark, sf_dir):
+    """Math/cast battery (§2.9 F8, F9, F11): floor, round, abs, mod,
+    int casts."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .select(
+            "l_linenumber",
+            F.floor(F.col("l_quantity") / 10).alias("qty_bucket"),
+            F.round("l_extendedprice", 1).alias("price_r"),
+            (F.floor("l_quantity") % 7).alias("qmod"),
+            F.abs(F.col("l_discount") - 0.05).alias("absdev"),
+        )
+        .groupBy("l_linenumber", "qty_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("price_r", "sum_rounded"),
+            F.sum("qmod").alias("mod_sum"),
+            F.max("absdev").cast("double").alias("max_absdev"),
+        )
+    )

@@ -1,0 +1,415 @@
+"""Text-analysis + deduplication operators over the ``documents``
+table (SURVEY.md §2.12 X1/X2/X5 and the north-star text tier):
+exact dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+
+Design per 100 TB:
+
+* Exact dedup hashes once (sha256) and aggregates on the digest —
+  a single shuffle keyed on a uniformly distributed 64-char key (no
+  skew by construction).
+* Pairwise similarity is never all-pairs: n-gram Jaccard goes
+  through an inverted shingle index (explode → self-join on shingle
+  → count), so cost scales with shingle collisions, not n². MinHash
+  LSH cuts the candidate set further via band buckets.
+* Everything except the MinHash/SimHash signatures is built-in JVM
+  expressions; signatures use xxhash64 (still JVM) — no Python in
+  any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elastic_freight_spark.registry import query
+from elastic_freight_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# Exact dedup (X1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(lower(trim(text))) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: normalize → sha256 → keep min doc id per digest.
+    ``dropDuplicates`` would pick an arbitrary survivor; min-by is
+    deterministic (and what a reproducible 100 TB pipeline wants)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"),
+            F.col("doc_id"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / counting (X5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT token, COUNT(*) AS n, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Token counting (the classic word count; ES analyzer
+    analogue): lower → split → explode → count, top-50."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LENGTH(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_spaces,
+           (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+             / CAST(LENGTH(text) AS DOUBLE) AS space_ratio,
+           (LENGTH(lower(text)) - LENGTH(REPLACE(lower(text), 'the', '')))
+             / 3 AS stopword_hits
+    FROM documents
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """Quality-scoring features (length, token count, whitespace
+    ratio, stopword hits) — the length/punct/stopword heuristics a
+    training-data pipeline filters on."""
+    t = load_tables(spark, sf_dir)
+    text = F.col("text")
+    lower = F.lower(text)
+    return t["documents"].select(
+        "doc_id",
+        F.length(text).cast("bigint").alias("n_chars"),
+        F.size(F.split(text, " ")).alias("n_tokens"),
+        (F.length(text) - F.length(F.regexp_replace(text, " ", "")))
+        .cast("bigint")
+        .alias("n_spaces"),
+        (
+            (F.length(text) - F.length(F.regexp_replace(text, " ", "")))
+            / F.length(text).cast("double")
+        ).alias("space_ratio"),
+        (
+            (F.length(lower) - F.length(F.regexp_replace(lower, "the", ""))) / F.lit(3)
+        ).alias("stopword_hits"),
+    )
+
+
+@query(
+    "text_langid_heuristic",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             LENGTH(' ' || lower(text) || ' ')
+               - LENGTH(REPLACE(' ' || lower(text) || ' ', ' the ', '')) AS en_sig,
+             LENGTH(' ' || lower(text) || ' ')
+               - LENGTH(REPLACE(' ' || lower(text) || ' ', ' a ', '')) AS a_sig
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en_sig >= 5 THEN 'en'
+                WHEN a_sig >= 3 THEN 'en'
+                ELSE 'unknown' END AS predicted,
+           CAST(en_sig / 5 AS BIGINT) AS en_hits,
+           CAST(a_sig / 3 AS BIGINT) AS a_hits
+    FROM scored
+    """,
+)
+def text_langid_heuristic(spark, sf_dir):
+    """Language-ID by n-gram/stopword markers. Real corpora would use
+    per-language marker tables with the same plumbing; the point the
+    oracle pins is the operator shape (marker counting + argmax),
+    deterministic in pure SQL expressions."""
+    t = load_tables(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    en_sig = F.length(padded) - F.length(F.regexp_replace(padded, " the ", ""))
+    a_sig = F.length(padded) - F.length(F.regexp_replace(padded, " a ", ""))
+    return t["documents"].select(
+        "doc_id",
+        "lang",
+        F.when(en_sig >= 5, "en").when(a_sig >= 3, "en").otherwise("unknown").alias(
+            "predicted"
+        ),
+        (en_sig / 5).cast("bigint").alias("en_hits"),
+        (a_sig / 3).cast("bigint").alias("a_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection (X2): exact n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+      SELECT DISTINCT doc_id,
+             tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
+            FROM documents WHERE LENGTH(string_split(lower(text), ' ')) >= 3),
+           LATERAL (SELECT unnest(range(1, LENGTH(tok) - 1)) AS i)
+"""
+
+# Spark-side 3-gram shingle expression over a token array column named
+# `tok` (guarded: <3 tokens → empty array; sequence() must not see a
+# descending range).
+_SHINGLE_EXPR = (
+    "CASE WHEN size(tok) >= 3 THEN "
+    "transform(sequence(1, size(tok) - 2), "
+    "i -> concat_ws(' ', tok[i-1], tok[i], tok[i+1])) "
+    "ELSE array() END"
+)
+
+
+@query(
+    "neardup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.35
+    """,
+)
+def neardup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.35) through
+    an inverted shingle index: explode shingles → self-join on the
+    shingle → pair intersection counts → Jaccard from set sizes.
+    Cost is driven by shingle-bucket collisions, not n² — the same
+    plan LSH approximates when even this is too wide."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tok")
+    )
+    # 3-gram shingles via a positional transform on the token array
+    shingles = (
+        toks.select(
+            "doc_id",
+            F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+             ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.35)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (X2 scale path) and SimHash — JVM xxhash64 signatures,
+# rows-only (hash constants aren't SQL-portable); accuracy asserted in
+# tests/test_text.py against the exact Jaccard query above.
+# ---------------------------------------------------------------------------
+
+MINHASH_PERMS = 32
+LSH_BANDS = 8  # 8 bands × 4 rows
+
+
+def minhash_signatures(spark, sf_dir, num_perms: int = MINHASH_PERMS):
+    """doc_id → minhash signature array (xxhash64-based permutations).
+
+    One explode of (shingle × permutation-seed) → min per (doc, seed);
+    all JVM expressions, shuffles once on doc_id."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select("doc_id", F.split(F.lower("text"), " ").alias("tok"))
+    shingles = (
+        toks.select(
+            "doc_id",
+            F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"),
+        )
+        .distinct()
+    )
+    seeded = shingles.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {num_perms - 1})")).alias("perm"),
+        F.col("shingle"),
+    ).select(
+        "doc_id", "perm", F.xxhash64(F.col("perm"), F.col("shingle")).alias("h")
+    )
+    return (
+        seeded.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("perm", "h"))
+            ).alias("pairs")
+        )
+        .select(
+            "doc_id", F.expr("transform(pairs, p -> p.h)").alias("signature")
+        )
+    )
+
+
+@query("neardup_minhash_lsh")  # rows-only: xxhash64 signatures aren't SQL-portable
+def neardup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs: band the 32-perm signature into
+    8 buckets of 4, hash each band, join docs sharing any band
+    bucket, then verify with estimated Jaccard (signature agreement).
+    The banded join replaces the all-pairs product — this is the
+    100 TB near-dup plan."""
+    sigs = minhash_signatures(spark, sf_dir)
+    r = MINHASH_PERMS // LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "signature",
+        F.explode(F.expr(f"sequence(0, {LSH_BANDS - 1})")).alias("band"),
+    ).select(
+        "doc_id",
+        "signature",
+        "band",
+        F.xxhash64(
+            F.col("band"), F.expr(f"slice(signature, band * {r} + 1, {r})").cast("string")
+        ).alias("bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) "
+            f"/ cast({MINHASH_PERMS} as double)"
+        ).alias("est_jaccard"),
+    )
+    return est.filter(F.col("est_jaccard") >= 0.3)
+
+
+@query("text_simhash")  # rows-only: xxhash64 bit-mixing isn't SQL-portable
+def text_simhash(spark, sf_dir):
+    """64-bit SimHash per document: token hashes vote per bit
+    position, majority wins. Pure JVM: explode (token × bit) is
+    traded away by aggregating bit-counts with a 64-slot array
+    accumulator in one pass."""
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .select("doc_id", F.xxhash64("token").alias("h"))
+    )
+    # per (doc, bit): sum of +1/-1 votes; then pack majority bits
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, 63)")).alias("bit"),
+        F.col("h"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(lower(text), ' '),
+                              t -> CAST(LENGTH(t) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 2147483647
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: polynomial rolling hash over the token
+    length sequence, mod 2^31-1 — pure fold arithmetic, so the same
+    computation runs on any engine (the production variant folds
+    xxhash64(token) instead; same plan, stronger hash)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(split(lower(text), ' '), t -> cast(length(t) as bigint)), "
+            "cast(0 as bigint), (acc, x) -> (acc * 131 + x) % 2147483647)"
+        ).alias("fingerprint"),
+    )

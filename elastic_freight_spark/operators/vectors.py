@@ -1,0 +1,240 @@
+"""Vector similarity operators over the ``embeddings`` table
+(SURVEY.md §2.12 X3/X4 and the north-star similarity-search tier):
+brute-force cosine top-k (the oracle-checkable baseline), cosine
+near-dup pairs with label blocking, LSH-bucketed ANN (the scale
+path), and per-label embedding statistics.
+
+Numeric discipline: embeddings are float32 on disk; every engine
+computes in float64 after an explicit element cast, and every
+reduction is a sequential left fold (Spark ``aggregate`` ≡ DuckDB
+``list_reduce``/``list_sum`` over the transformed list) so dot
+products are bit-identical across engines.
+
+Scale notes (100 TB embeddings):
+
+* Brute force is O(Q·N·d) — correct but only for small Q; it stays
+  as the correctness anchor and the re-rank stage.
+* The ANN path buckets vectors by LSH sign bits (deterministic
+  hyperplanes derived from a hash, no stored model), joins query →
+  bucket, and brute-forces only within buckets: the classic
+  IVF/LSH two-stage plan. Buckets are a plain column → the bucket
+  join is an equi shuffle join Catalyst handles like any other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from elastic_freight_spark.registry import query
+from elastic_freight_spark.session import load_tables
+
+# dot(a, b) over float32 lists in double, as a sequential fold —
+# Spark SQL expression over array<double> columns
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate(transform({a}, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))"
+
+# DuckDB equivalents (x[1]/x[2] are the zip struct fields)
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+_SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))"
+
+
+def _as_double_array(col: str) -> F.Column:
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach `vec` (double[]) and `norm` columns — shared prep."""
+    return df.withColumn("vec", _as_double_array(vec_col)).withColumn(
+        "norm", F.expr(_NORM.format(a="vec"))
+    )
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {_SQL_NORM.format(a='embedding')} AS norm
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    c AS (SELECT * FROM e WHERE vec_id >= 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+               / (q.norm * c.norm) AS cosine
+      FROM q, c
+    )
+    SELECT query_id, neighbor_id, ROUND(cosine, 9) AS cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def knn_bruteforce_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors against the
+    rest: broadcast the (small) query side, score with a JVM
+    higher-order-function fold, rank per query. The correctness
+    anchor for every ANN variant."""
+    t = load_tables(spark, sf_dir)
+    e = with_unit_vectors(t["embeddings"])
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.expr(_DOT.format(a="qvec", b="cvec"))
+            / (F.col("qnorm") * F.col("cnorm"))
+        ).alias("cosine"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cosine", 9).alias("cosine"))
+    )
+
+
+@query(
+    "neardup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             {_SQL_NORM.format(a='embedding')} AS norm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           ROUND({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                   / (a.norm * b.norm), 9) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+            / (a.norm * b.norm) > 0.35
+    """,
+)
+def neardup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs above cosine 0.35, blocked by label:
+    the blocking key turns O(n²) into Σ per-block² — the standard
+    dedup-by-ANN shape (at 100 TB the block key is an LSH bucket,
+    same join plan, see ann_lsh_cosine)."""
+    t = load_tables(spark, sf_dir)
+    e = with_unit_vectors(t["embeddings"])
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"),
+        F.col("vec").alias("avec"), F.col("norm").alias("anorm"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("vec").alias("bvec"), F.col("norm").alias("bnorm"),
+    )
+    pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+    cos = F.expr(_DOT.format(a="avec", b="bvec")) / (F.col("anorm") * F.col("bnorm"))
+    return (
+        pairs.withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") > 0.35)
+        .select("vec_a", "vec_b", "label", F.round("cosine_raw", 9).alias("cosine"))
+    )
+
+
+@query(
+    "vector_label_stats",
+    oracle=f"""
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST({_SQL_NORM.format(a='embedding')} AS DECIMAL(18,6)))
+                AS DOUBLE) AS sum_norm,
+           ROUND(MIN({_SQL_NORM.format(a='embedding')}), 9) AS min_norm,
+           ROUND(MAX({_SQL_NORM.format(a='embedding')}), 9) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def vector_label_stats(spark, sf_dir):
+    """Per-label embedding stats (norm distribution) — the profiling
+    pass before choosing an ANN layout. Norm sums ride DECIMAL for
+    order-independence."""
+    t = load_tables(spark, sf_dir)
+    e = with_unit_vectors(t["embeddings"])
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("norm").cast("decimal(18,6)")).cast("double").alias("sum_norm"),
+        F.round(F.min("norm"), 9).alias("min_norm"),
+        F.round(F.max("norm"), 9).alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: sign-LSH buckets from deterministic hyperplanes
+# ---------------------------------------------------------------------------
+
+LSH_PLANES = 8  # 2^8 = 256 buckets
+
+
+def _lsh_bucket_expr(vec_col: str, n_planes: int = LSH_PLANES) -> F.Column:
+    """Sign-LSH bucket id. Plane p's j-th component is a deterministic
+    pseudo-random ±1 from xxhash64(p, j) — no stored model, any
+    executor recomputes the same planes (same idea as the reference
+    deriving shard placement purely from a hash,
+    ElasticsearchRoutingStrategyV5.java:115-118)."""
+    bits = []
+    for p in range(n_planes):
+        # dot(vec, plane_p) where plane_p[j] = ±1 from the hash parity
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+            f"(x, j) -> CASE WHEN pmod(xxhash64({p}, j), 2) = 0 THEN x ELSE -x END), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.alias("bucket")
+
+
+@query("ann_lsh_cosine")  # rows-only: xxhash64-derived planes aren't SQL-portable
+def ann_lsh_cosine(spark, sf_dir):
+    """Two-stage ANN: assign every vector a sign-LSH bucket, equi-join
+    queries to candidates in the same bucket, brute-force cosine only
+    within the bucket, top-3 per query. Recall vs the brute-force
+    anchor is asserted in tests/test_vectors.py."""
+    t = load_tables(spark, sf_dir)
+    e = with_unit_vectors(t["embeddings"]).withColumn(
+        "bucket", _lsh_bucket_expr("vec")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"), F.col("bucket"),
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"), F.col("bucket").alias("cbucket"),
+    )
+    scored = q.join(c, F.col("bucket") == F.col("cbucket")).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.expr(_DOT.format(a="qvec", b="cvec")) / (F.col("qnorm") * F.col("cnorm"))
+        ).alias("cosine"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cosine", 9).alias("cosine"))
+    )

@@ -1,0 +1,263 @@
+"""Window functions (SURVEY.md §2.6) and time-window aggregation
+(§2.10 T2 — the batch-checkable face of the streaming tier).
+
+ABSENT in the reference (no windowed computation anywhere); required
+for the engine's query surface. Every window spec carries an integer
+tiebreaker so results are total-ordered and engine-portable.
+
+Scale note: a window over ``partitionBy(k)`` shuffles once on k and
+sorts within partitions — same cost shape as the reference's
+map→shuffle→sorted-reduce. Skewed partition keys are the hazard;
+AQE cannot split a single window partition, so high-skew keys should
+be pre-bucketed (see operators/indexing.py salting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from elastic_freight_spark.functions import date_str, dsum, sql_dsum, sql_ts_str, ts_str
+from elastic_freight_spark.registry import query
+from elastic_freight_spark.session import load_tables
+
+
+@query(
+    "w_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w_topk_per_group(spark, sf_dir):
+    """Top-k per group via row_number (§2.7 O4)."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "w_rank_dense_ntile",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(RANK()       OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+           CAST(NTILE(4)     OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def w_rank_dense_ntile(spark, sf_dir):
+    """Ranking family: rank / dense_rank / ntile (§2.6 W1)."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "w_lag_lead_price_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           LAG(o_totalprice)  OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           CAST(ROUND(o_totalprice
+                 - COALESCE(LAG(o_totalprice) OVER w, o_totalprice), 4)
+             AS DOUBLE) AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w_lag_lead_price_delta(spark, sf_dir):
+    """Analytic lag/lead with per-row delta (§2.6 W2). Subtraction of
+    two concrete doubles is order-free → engine-portable without
+    decimal routing; ROUND pins the formatting."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        date_str("o_orderdate", "orderdate"),
+        "o_totalprice",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(F.col("o_totalprice") - F.coalesce(prev, F.col("o_totalprice")), 4)
+        .cast("double")
+        .alias("delta"),
+    )
+
+
+@query(
+    "w_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS INT) AS order_seq
+    FROM orders
+    """,
+)
+def w_running_revenue(spark, sf_dir):
+    """Running sum frame (§2.6 W3). The accumulator runs in DECIMAL —
+    prefix sums of doubles would be bit-fragile across engines."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "w_moving_avg_events",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS win_sum,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_n
+    FROM events
+    """,
+)
+def w_moving_avg_events(spark, sf_dir):
+    """Bounded sliding frame (5-row moving window) on the events
+    table (§2.6 W3)."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("win_sum"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    )
+
+
+@query(
+    "t2_tumbling_window_events",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t2_tumbling_window_events(spark, sf_dir):
+    """Tumbling 1-hour window aggregation (§2.10 T2) — the batch
+    face of the streaming tier; identical code runs under
+    readStream+watermark (see streaming/pipeline.py)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            ts_str(F.col("w.start"), "window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "t3_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def t3_session_windows(spark, sf_dir):
+    """Sessionization (§2.10 T3, batch form): lag-gap → cumulative
+    session ids → per-session bounds. The streaming form is
+    session_window(ts, gap) — same semantics, asserted equal in
+    tests/test_streaming.py."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sessionized = (
+        t["events"]
+        .select("user_id", "ts", "event_id")
+        .withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    return sessionized.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ts_str(F.min("ts"), "session_start"),
+        ts_str(F.max("ts"), "session_end"),
+    )

@@ -1,0 +1,113 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference hand-tunes its Hadoop job (map-output compression,
+speculative execution off, io.sort.mb — /root/reference
+src/main/resources/hadoop_config.json) because MapReduce optimizes
+nothing for you. On Spark the equivalents are either defaults or one
+AQE flag, so this module is intentionally tiny: one builder with the
+settings that matter at 100 TB and in local test mode alike.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "elastic_freight_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Defaults chosen for scale:
+
+    * AQE on (coalesce small partitions, split skewed ones, runtime
+      re-plan of join strategies) — replaces the reference's static
+      ``numReducers == numShards`` sizing.
+    * ``spark.sql.shuffle.partitions`` sized to cores locally; on a
+      real cluster callers pass ~2-3x total executor cores.
+    * UTC session timezone (the reference pins the JVM default TZ to
+      UTC in its Driver — we need it both for parity and for the
+      DuckDB oracle).
+    * Arrow enabled for any pandas-UDF path.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Parquet writer batching is the Spark analogue of the
+        # reference's BulkProcessor doc/byte/time flush triggers.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # events.parquet carries TIMESTAMP(NANOS); Spark has no ns
+        # timestamp — read as long and truncate to µs in load_tables
+        # (DuckDB's ns→µs cast truncates identically).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load the standard test tables from a scale-factor directory.
+
+    Returns ``{name: DataFrame}`` and registers each as a temp view so
+    operators can be expressed in either the DataFrame or SQL API.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    # The caller may hand us a session we didn't build (the driver
+    # harness does) — pin the runtime-settable confs the engine
+    # depends on: ns-timestamp parquet readability and UTC rendering
+    # (the reference pins UTC in its Driver, driver/Driver.java:28-29).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    dfs = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+                # ns→µs truncation, matching DuckDB CAST(ts AS TIMESTAMP)
+                # integer DIV — float division would lose precision on
+                # ~1.7e18 ns epochs (> 2^53)
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            df.createOrReplaceTempView(name)
+            dfs[name] = df
+    return dfs

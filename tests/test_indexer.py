@@ -1,0 +1,91 @@
+"""End-to-end index build → manifest → shard-pruned read-back
+(reference pipeline §3.1-3.3 of SURVEY.md, on real sf0.001 data)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from elastic_freight_spark.indexer import (
+    IndexConfig,
+    build_index,
+    read_index,
+    read_manifest,
+    read_shard,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+
+
+def test_build_index_roundtrip(spark, events, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    cfg = IndexConfig(
+        index_name="events_idx", doc_id_col="user_id", num_shards=8, output_path=out
+    )
+    manifest = build_index(events, cfg)
+
+    total = events.count()
+    assert manifest["counters"]["index_doc_created"] == total
+    assert manifest["counters"]["indexing_doc_fail"] == 0
+    assert sum(manifest["shards"].values()) == total
+    assert set(manifest["shards"]) == {str(i) for i in range(8)}
+
+    # restore == plain read; row parity
+    restored = read_index(spark, manifest["path"])
+    assert restored.count() == total
+    assert read_manifest(manifest["path"])["index"] == "events_idx"
+
+    # every doc of one user in exactly one shard
+    multi = (
+        restored.groupBy("user_id")
+        .agg(F.countDistinct("shard").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert multi == 0
+
+
+def test_shard_pruned_lookup(spark, events, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx2"))
+    cfg = IndexConfig(
+        index_name="ev", doc_id_col="user_id", num_shards=8, output_path=out, routing="lcg"
+    )
+    manifest = build_index(events, cfg)
+    some_id = events.select("user_id").first()["user_id"]
+
+    hits = read_shard(spark, manifest["path"], some_id)
+    expected = events.filter(F.col("user_id") == some_id).count()
+    assert hits.count() == expected > 0
+    # the physical plan must contain a partition filter on `shard`
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "shard" in plan
+
+
+def test_missing_shards_filled(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx3"))
+    # 2 distinct ids into 16 shards -> most shards empty
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "payload"])
+    cfg = IndexConfig(
+        index_name="sparse", doc_id_col="doc_id", num_shards=16, output_path=out
+    )
+    manifest = build_index(df, cfg)
+    assert len(manifest["missing_shards_filled"]) >= 14
+    assert set(manifest["shards"]) == {str(i) for i in range(16)}
+    assert read_index(spark, manifest["path"]).count() == 2
+
+
+def test_null_ids_counted_not_fatal(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx4"))
+    df = spark.createDataFrame(
+        [(None, "x"), (1, "a"), (None, "y"), (2, "b")], ["doc_id", "payload"]
+    )
+    cfg = IndexConfig(index_name="nulls", doc_id_col="doc_id", num_shards=4, output_path=out)
+    manifest = build_index(df, cfg)
+    assert manifest["counters"]["index_doc_created"] == 2
+    assert manifest["counters"]["indexing_doc_fail"] == 2
