@@ -1,0 +1,104 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query materializes via the noop sink (full execution, no output
+I/O), timed after a warm-up of the session + catalog. The flagship
+sharded-index build runs against a temp dir (real Parquet write —
+that IS the workload being measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from elastic_freight_spark.session import get_spark, load_tables
+
+    spark = get_spark(app_name="efs_bench")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+
+    # headline set: write pipeline + scan-agg + joins + windows +
+    # dedup/text + vectors + streaming-shaped agg
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_revenue_change",
+        "shard_distribution",
+        "agg_multi_measure",
+        "w_running_revenue",
+        "t2_tumbling_window_events",
+        "t3_session_windows",
+        "dedup_exact",
+        "text_token_counts",
+        "neardup_ngram_jaccard",
+        "neardup_minhash_lsh",
+        "knn_bruteforce_cosine",
+        "ann_lsh_cosine",
+        "apply_in_pandas_group_rank",
+    ]
+
+    # warm up JVM + file listing once (excluded from timings)
+    load_tables(spark, sf_dir)["lineitem"].count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship: full sharded index build (scan → shuffle → partitioned
+    # parquet write + manifest) on events
+    from elastic_freight_spark.indexer import IndexConfig, build_index
+
+    events = load_tables(spark, sf_dir)["events"]
+    out = tempfile.mkdtemp(prefix="efs_bench_idx_")
+    try:
+        t0 = time.perf_counter()
+        build_index(
+            events,
+            IndexConfig(
+                index_name="events_bench",
+                doc_id_col="user_id",
+                num_shards=8,
+                output_path=out,
+            ),
+        )
+        timings["index_build_events"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

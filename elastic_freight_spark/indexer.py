@@ -101,9 +101,13 @@ def build_index(df: DataFrame, cfg: IndexConfig) -> dict:
     the reference's skip-don't-fail policy (BaseESReducer.java:270).
     """
     spark = df.sparkSession
+    obs_in = Observation(f"index_{cfg.index_name}_in")
     obs = Observation(f"index_{cfg.index_name}")
 
-    good = df.filter(F.col(cfg.doc_id_col).isNotNull())
+    # observe the input count on the same job as the write — no
+    # second scan of the (100 TB) input just for counters
+    base = df.observe(obs_in, F.count(F.lit(1)).alias("total"))
+    good = base.filter(F.col(cfg.doc_id_col).isNotNull())
     sharded = good.withColumn("shard", shard_expr(cfg))
 
     n_parts = cfg.num_shards * max(1, cfg.tasks_per_shard)
@@ -128,12 +132,7 @@ def build_index(df: DataFrame, cfg: IndexConfig) -> dict:
     )
 
     created = int(obs.get[COUNTER_DOC_CREATED])
-    # failure count = rows the null-id filter dropped; counted from
-    # the (tiny) difference of two metadata-cheap counts only when the
-    # caller's input is re-scannable. For streams, foreachBatch passes
-    # pre-counted batches.
-    total = df.count()
-    failed = total - created
+    failed = int(obs_in.get["total"]) - created
 
     shard_counts = _shard_counts(spark, dest)
     manifest = {

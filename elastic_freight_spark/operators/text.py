@@ -291,16 +291,12 @@ def minhash_signatures(spark, sf_dir, num_perms: int = MINHASH_PERMS):
     ).select(
         "doc_id", "perm", F.xxhash64(F.col("perm"), F.col("shingle")).alias("h")
     )
+    # signature[p] = min over the doc's shingles of hash_p(shingle)
+    minima = seeded.groupBy("doc_id", "perm").agg(F.min("h").alias("mh"))
     return (
-        seeded.groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("perm", "h"))
-            ).alias("pairs")
-        )
-        .select(
-            "doc_id", F.expr("transform(pairs, p -> p.h)").alias("signature")
-        )
+        minima.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("pairs"))
+        .select("doc_id", F.expr("transform(pairs, p -> p.mh)").alias("signature"))
     )
 
 

@@ -1,0 +1,116 @@
+"""LDJSON ingest tests: schema'd reads, multi-path union, globs,
+malformed-row tolerance, blank-line skip, pipe-in-payload regression
+(the reference's tuple re-join bug class), end-to-end indexing."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from elastic_freight_spark.sources.json_source import (
+    infer_json_schema,
+    ingest_stats,
+    parse_json_column,
+    read_json_lines,
+    split_corrupt,
+)
+
+SCHEMA = (
+    "user_id string, org_id string, event_type string, value double, "
+    "props string, payload_pipe string"
+)
+
+
+@pytest.fixture(scope="module")
+def json_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ldjson")
+    rows_a = [
+        {
+            "user_id": f"u{i}",
+            "org_id": f"org{i % 3}",
+            "event_type": "click",
+            "value": i * 1.5,
+            "props": json.dumps({"k": i}),
+            # literal pipes — the reference's '|' tuple separator broke on
+            # these (BaseESReducer.java:280-282); real columns cannot
+            "payload_pipe": f"a|b|{i}|c",
+        }
+        for i in range(50)
+    ]
+    rows_b = [
+        {
+            "user_id": f"v{i}",
+            "org_id": "org9",
+            "event_type": "view",
+            "value": -1.0,
+            "props": "{}",
+            "payload_pipe": "|||",
+        }
+        for i in range(20)
+    ]
+    with open(d / "part-00000.json", "w") as f:
+        for r in rows_a:
+            f.write(json.dumps(r) + "\n")
+    with open(d / "part-00001.json", "w") as f:
+        for r in rows_b[:10]:
+            f.write(json.dumps(r) + "\n")
+        f.write('{"user_id": broken JSON!!\n')  # malformed
+        f.write("not json at all\n")  # malformed
+        f.write("\n")  # blank — skipped, not corrupt
+        for r in rows_b[10:]:
+            f.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def test_read_with_schema_and_corrupt_handling(spark, json_dir):
+    df = read_json_lines(spark, f"{json_dir}/part-*.json", schema=SCHEMA)
+    assert ingest_stats(df) == {"total": 73, "good": 70, "corrupt": 2, "blank": 1}
+    good, bad = split_corrupt(df)
+    assert good.count() == 70
+    assert bad.count() == 2  # plain column — no corrupt-only plan restriction
+    assert good.columns == SCHEMA.replace(" string", "").replace(" double", "").split(", ")
+
+
+def test_multi_path_pipe_list_union(spark, json_dir):
+    # reference CLI style: pipe-separated input paths
+    df = read_json_lines(
+        spark,
+        f"{json_dir}/part-00000.json|{json_dir}/part-00001.json",
+        schema=SCHEMA,
+    )
+    assert df.count() == 73
+
+
+def test_pipes_in_payload_survive(spark, json_dir):
+    good, _ = split_corrupt(read_json_lines(spark, json_dir, schema=SCHEMA))
+    row = good.filter(F.col("user_id") == "u7").first()
+    assert row["payload_pipe"] == "a|b|7|c"
+
+
+def test_inferred_schema_sample(spark, json_dir):
+    schema = infer_json_schema(spark, f"{json_dir}/part-00000.json")
+    assert {f.name for f in schema.fields} >= {"user_id", "org_id", "value"}
+
+
+def test_nested_json_column_parse(spark, json_dir):
+    good, _ = split_corrupt(read_json_lines(spark, json_dir, schema=SCHEMA))
+    parsed = parse_json_column(good, "props", "k long")
+    assert parsed.filter(F.col("k") == 7).count() == 1
+
+
+def test_ldjson_to_index_end_to_end(spark, json_dir, tmp_path_factory):
+    """The reference's whole job: LDJSON in → sharded parquet index
+    out, malformed rows counted not fatal."""
+    from elastic_freight_spark.indexer import IndexConfig, build_index, read_index
+
+    raw = read_json_lines(spark, json_dir, schema=SCHEMA)
+    good, _ = split_corrupt(raw)
+    out = str(tmp_path_factory.mktemp("json_idx"))
+    manifest = build_index(
+        good,
+        IndexConfig(index_name="docs", doc_id_col="user_id", num_shards=4, output_path=out),
+    )
+    assert manifest["counters"]["index_doc_created"] == 70
+    restored = read_index(spark, manifest["path"])
+    assert restored.count() == 70
+    assert restored.filter(F.col("payload_pipe").contains("|")).count() == 70
