@@ -1,0 +1,17 @@
+from elastic_freight_spark.streaming.structured import (
+    dedup_stream,
+    read_parquet_stream,
+    session_agg,
+    stream_index,
+    tumbling_agg,
+    user_running_state,
+)
+
+__all__ = [
+    "read_parquet_stream",
+    "stream_index",
+    "tumbling_agg",
+    "session_agg",
+    "dedup_stream",
+    "user_running_state",
+]

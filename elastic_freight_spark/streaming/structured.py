@@ -1,0 +1,216 @@
+"""Streaming tier (SURVEY.md §2.10 T1-T5): Structured Streaming over
+the ``events`` stream, reusing the batch engine per micro-batch.
+
+The reference is a batch rebuild job — the entire index is rebuilt per
+run (snapshot repo names "unique across rebuilds",
+job/BaseESReducer.java:70-71); its only "incremental" machinery is the
+BulkProcessor's three flush triggers (doc count / bytes / seconds,
+BaseESReducer.java:219-267). Structured Streaming gives the real
+incremental story: a file/Kafka source micro-batched through the SAME
+sharded write (`foreachBatch` → :func:`build_index` append), plus the
+stateful operators a live event feed needs (windowed aggregation,
+session windows, watermarked late-data policy, stateful dedup).
+
+Scale notes (the parts that matter at 1000 executors):
+
+* **State lives in the state store**, partitioned by
+  ``spark.sql.shuffle.partitions`` *at first checkpoint* — it cannot
+  be changed later without a new checkpoint. Size it like a shuffle
+  (2-3× cores). For 100s of GB of state, switch the provider to
+  RocksDB (``spark.sql.streaming.stateStore.providerClass`` →
+  ``RocksDBStateStoreProvider``) so state spills off-heap.
+* **Watermarks bound state.** Without one, windowed/session/dedup
+  state grows forever; with ``withWatermark(ts, delay)`` Spark drops
+  window state older than ``max(ts) - delay`` and late rows beyond it
+  — the streaming analogue of the reference counting failed docs
+  instead of failing the job (P4).
+* **foreachBatch writes are idempotent-by-shard**: each micro-batch
+  appends Parquet files under ``shard=<i>`` directories; a replayed
+  batch after failure re-appends (at-least-once). Exactly-once needs
+  a transactional sink (Delta/Iceberg) — out of scope here but the
+  write path is format-agnostic.
+* ``maxFilesPerTrigger`` is the back-pressure knob for file sources —
+  the analogue of the reference's bulk batch-size trigger.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from elastic_freight_spark.indexer import IndexConfig, shard_expr
+
+
+def read_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source (T1 ingest side).
+
+    Streaming file sources require an explicit schema — at 100 TB you
+    want that anyway (schema inference is a full extra pass, see
+    sources/json_source.py).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_index(
+    stream_df: DataFrame,
+    cfg: IndexConfig,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """T1 — incremental micro-batch ingest → sharded index.
+
+    ``writeStream.foreachBatch``: every micro-batch goes through the
+    SAME plan as the batch indexer (shard column → repartition(N,
+    shard) → append partitionBy(shard) parquet). The reference's
+    count/bytes/time bulk-flush triggers (S5) map to the trigger +
+    ``maxFilesPerTrigger`` source option; its backoff-retry maps to
+    Spark task retries + checkpointed batch replay.
+
+    Returns the StreamingQuery. Caller owns ``awaitTermination``.
+    """
+    dest = os.path.join(cfg.output_path, cfg.index_name)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        good = batch_df.filter(F.col(cfg.doc_id_col).isNotNull())
+        sharded = good.withColumn("shard", shard_expr(cfg)).repartition(
+            cfg.num_shards, F.col("shard")
+        )
+        (
+            sharded.write.mode("append")
+            .option("maxRecordsPerFile", cfg.max_records_per_file)
+            .partitionBy("shard")
+            .parquet(dest)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """T2 — tumbling/sliding window aggregation; T4 — watermark.
+
+    Works identically on a batch or streaming DataFrame (the batch
+    twin is the oracle-checked ``t2_tumbling_window_events`` query).
+    """
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return df.groupBy(win.alias("win"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """T3 — session windows: per-user activity sessions closed after
+    ``gap`` of inactivity. Batch twin: ``t3_session_windows``."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("session"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str | None = None,
+    ts_col: str = "ts",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """T5 — stateful streaming dedup.
+
+    ``dropDuplicates(keys)`` keeps first-seen per key; with a
+    watermark the key state is dropped once older than the watermark
+    (bounded state — mandatory at scale).
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark``:
+    duplicates are only suppressed while inside the watermark delay —
+    the right semantics when event ids can legitimately recur later.
+    """
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+# --- custom stateful operator (§2.11 applyInPandasWithState surface) ------
+
+_STATE_SCHEMA = "n_events long, sum_value double"
+_OUT_SCHEMA = "user_id long, n_events long, sum_value double"
+
+
+def _running_user_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Per-user running totals, Arrow-batched. The reducer-body
+    analogue of the reference's per-shard bulk loop
+    (BaseESReducer.java:269-296) — except state is checkpointed and
+    the loop is vectorized."""
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+    )
+
+
+def user_running_state(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via
+    ``applyInPandasWithState``: running per-user event count + value
+    sum, emitted every micro-batch (update mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_user_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,156 @@
+"""Streaming tier tests (SURVEY.md §2.10): every streaming operator is
+checked differentially against its batch twin on the same data —
+stream-processing sf0.001 events with availableNow must converge to
+exactly the batch answer."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from elastic_freight_spark.indexer import IndexConfig, build_index, read_index
+from elastic_freight_spark.session import load_tables
+from elastic_freight_spark.streaming import (
+    dedup_stream,
+    read_parquet_stream,
+    session_agg,
+    stream_index,
+    tumbling_agg,
+    user_running_state,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, tmp_path_factory):
+    """Events re-written with µs timestamps as a streaming file source
+    (several files so availableNow exercises multi-file batches)."""
+    d = str(tmp_path_factory.mktemp("events_stream_src"))
+    events = load_tables(spark, SF_DIR)["events"]
+    events.repartition(4).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+    return d, batch.schema, batch
+
+
+def _run_to_memory(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_t1_stream_index_matches_batch(spark, events_src, tmp_path_factory):
+    src, schema, batch = events_src
+    out = str(tmp_path_factory.mktemp("stream_idx"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    cfg = IndexConfig(
+        index_name="events_stream",
+        doc_id_col="user_id",
+        num_shards=4,
+        output_path=out,
+    )
+    stream = read_parquet_stream(spark, src, schema, max_files_per_trigger=2)
+    q = stream_index(stream, cfg, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(f"{out}/events_stream")
+    assert streamed.count() == batch.count()
+    # same sharding as the batch indexer: per-shard counts identical
+    bout = str(tmp_path_factory.mktemp("batch_idx"))
+    bman = build_index(
+        batch,
+        IndexConfig(
+            index_name="events_batch",
+            doc_id_col="user_id",
+            num_shards=4,
+            output_path=bout,
+        ),
+    )
+    got = {
+        str(r["shard"]): r["n"]
+        for r in streamed.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == bman["shards"]
+
+
+def test_t2_tumbling_window_stream_matches_batch(spark, events_src):
+    src, schema, batch = events_src
+    stream = read_parquet_stream(spark, src, schema)
+    q = _run_to_memory(
+        tumbling_agg(stream, window="1 hour"), "t2_mem", "complete"
+    )
+    got = spark.table("t2_mem")
+    want = tumbling_agg(batch, window="1 hour")
+    assert got.count() == want.count()
+    diff = got.select("win", "event_type", "n_events").exceptAll(
+        want.select("win", "event_type", "n_events")
+    )
+    assert diff.count() == 0
+
+
+def test_t3_session_window_stream_matches_batch(spark, events_src):
+    src, schema, batch = events_src
+    stream = read_parquet_stream(spark, src, schema)
+    q = _run_to_memory(
+        session_agg(stream, gap="30 minutes"), "t3_mem", "complete"
+    )
+    got = spark.table("t3_mem")
+    want = session_agg(batch, gap="30 minutes")
+    assert got.count() == want.count()
+    diff = got.select("session", "user_id", "n_events").exceptAll(
+        want.select("session", "user_id", "n_events")
+    )
+    assert diff.count() == 0
+
+
+def test_t4_watermark_accepted_on_stream(spark, events_src):
+    """Watermarked append-mode windowed agg: the state-bounding path
+    compiles and runs end-to-end (emission requires watermark advance
+    across batches, so correctness of *values* is covered by the
+    complete-mode twin above)."""
+    src, schema, _ = events_src
+    stream = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    q = (
+        tumbling_agg(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None
+
+
+def test_t5_stateful_dedup_matches_batch_distinct(spark, events_src):
+    src, schema, batch = events_src
+    stream = read_parquet_stream(spark, src, schema)
+    q = _run_to_memory(
+        dedup_stream(stream, ["user_id", "event_type"], watermark="1 day"),
+        "t5_mem",
+        "append",
+    )
+    got = spark.table("t5_mem")
+    assert got.count() == batch.dropDuplicates(["user_id", "event_type"]).count()
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, events_src):
+    src, schema, batch = events_src
+    stream = read_parquet_stream(spark, src, schema)
+    q = _run_to_memory(user_running_state(stream), "state_mem", "update")
+    # update-mode memory sink appends one row per user per batch;
+    # the LAST row per user is the final running total
+    got = (
+        spark.table("state_mem")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    want = batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
