@@ -1,0 +1,227 @@
+"""Multimodal columns (SURVEY.md §2.12 X6): image/audio/video as
+opaque ``binary`` payloads with typed metadata, processed by
+Arrow-batched ``mapInPandas`` stages.
+
+The reference has no media surface; this tier is mandated by the
+north star (a 100 TB training-data pipeline carries media bytes next
+to text). Design:
+
+* **Schema**: ``(doc_id, media_type, content binary, meta struct)`` —
+  Parquet stores binary natively; metadata is a real struct column so
+  filters on it (``meta.n_bytes < x``) push down without touching the
+  payload bytes (column pruning means a metadata-only query never
+  reads a single payload page).
+* **Decode is a stub**: the container has no image/audio codecs, so
+  :func:`decode_media` runs a clearly-marked deterministic fake
+  (feature values derived from xxhash64 of the payload) unless a real
+  decoder is injected. The Spark-side plumbing — binary Arrow
+  batches, ``mapInPandas`` signature, output schema, partition
+  sizing — is real and tested; swapping in PIL/ffmpeg later changes
+  only the inner per-batch function.
+* **Scale**: payload rows are fat (MBs); keep
+  ``spark.sql.files.maxPartitionBytes`` at its 128 MB default so a
+  task holds a bounded number of payloads, and never ``collect`` the
+  content column. ``mapInPandas`` streams Arrow record batches, so
+  peak executor memory is one batch of payloads, not one partition
+  (``spark.sql.execution.arrow.maxRecordsPerBatch`` is the knob).
+"""
+
+from __future__ import annotations
+
+import sys
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.cloudpickle
+from pyspark.sql import DataFrame, functions as F
+
+from elastic_freight_spark.registry import query
+from elastic_freight_spark.session import load_tables
+
+# Ship this module's functions to Python workers by VALUE: executors
+# must not need elastic_freight_spark importable (the driver may run
+# from any cwd with the repo only on ITS sys.path).
+pyspark.cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+
+def attach_media(documents: DataFrame) -> DataFrame:
+    """Synthesize the multimodal table from ``documents``: the text
+    payload doubles as deterministic binary content (real pipelines
+    read bytes from object storage; the column shape is identical).
+    """
+    return documents.select(
+        "doc_id",
+        "source",
+        F.element_at(
+            F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.octet_length("text").alias("n_bytes"),
+            F.sha2(F.col("text").cast("binary"), 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+# --- decode / feature-extract stages (mapInPandas) ------------------------
+
+DECODE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, "
+    "width int, height int, duration_ms int, feature_hash long"
+)
+
+
+def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, int]:
+    """DETERMINISTIC FAKE decoder — stands in for PIL/librosa/ffmpeg
+    (not installed in this container). Features derive from a stable
+    hash of the payload so tests are exact; a real decoder drops in
+    here with the same signature."""
+    import zlib
+
+    h = zlib.crc32(payload)
+    width = 16 + (h % 2048) if media_type == "image" else 0
+    height = 16 + ((h >> 11) % 2048) if media_type == "image" else 0
+    duration_ms = (h % 600_000) if media_type in ("audio", "video") else 0
+    return width, height, duration_ms, h
+
+
+def decode_media(media: DataFrame, decoder=None) -> DataFrame:
+    """Decode/feature-extract stage over binary payloads.
+
+    ``decoder(payload: bytes, media_type: str) -> (width, height,
+    duration_ms, feature_hash)`` — defaults to the deterministic fake.
+    Real decode raises NotImplementedError paths inside the injected
+    decoder, never here: the plumbing must not care.
+    """
+    dec = decoder or _fake_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [dec(p, m) for p, m in zip(pdf["content"], pdf["media_type"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) for p in pdf["content"]],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "duration_ms": [f[2] for f in feats],
+                    "feature_hash": [f[3] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, content binary"
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize stage (images only). The fake 'resize' rescales the fake
+    dimensions and truncates the payload proportionally — the real
+    implementation swaps in PIL's thumbnail under the same batch
+    contract. Filters to images BEFORE the Python stage so audio/video
+    payload bytes never cross the Arrow boundary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_w, out_h, out_c = [], [], []
+            for p, m in zip(pdf["content"], pdf["media_type"]):
+                w, h, _, _ = _fake_decode(p, m)
+                scale = min(1.0, max_side / max(w, h, 1))
+                out_w.append(int(w * scale))
+                out_h.append(int(h * scale))
+                out_c.append(p[: max(1, int(len(p) * scale))])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": out_w, "height": out_h, "content": out_c}
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        batches, schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash long"
+
+
+def sample_frames(media: DataFrame, every_ms: int = 60_000) -> DataFrame:
+    """Frame-sampling stage (video only): one output row per sampled
+    frame — a row-exploding mapInPandas (the real version yields
+    decoded frame bytes; the fake yields per-frame hashes)."""
+    import zlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for d, p, m in zip(pdf["doc_id"], pdf["content"], pdf["media_type"]):
+                _, _, dur, _ = _fake_decode(p, m)
+                for i in range(max(1, dur // every_ms)):
+                    ids.append(d)
+                    idxs.append(i)
+                    hashes.append(zlib.crc32(p + i.to_bytes(4, "little")))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes})
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
+
+
+# --- registered queries ---------------------------------------------------
+
+
+@query(
+    "mm_binary_stats",
+    oracle="""
+    SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS media_type,
+           source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           MIN(octet_length(encode(text))) AS min_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes,
+           COUNT(DISTINCT sha256(text)) AS n_distinct_payloads
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def mm_binary_stats(spark, sf_dir):
+    """Metadata-only profile of the multimodal table: the query plan
+    never touches the payload column (column pruning) — the shape of
+    every 'how much media do we have' question at 100 TB."""
+    media = attach_media(load_tables(spark, sf_dir)["documents"])
+    return media.groupBy("media_type", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        F.min(F.col("meta.n_bytes")).alias("min_bytes"),
+        F.max(F.col("meta.n_bytes")).alias("max_bytes"),
+        F.countDistinct(F.col("meta.sha256")).alias("n_distinct_payloads"),
+    )
+
+
+@query("mm_decode_features")  # rows-only: fake-decoder features aren't SQL
+def mm_decode_features(spark, sf_dir):
+    """Decode stage fan-out: per-media-type feature aggregates from
+    the mapInPandas decode (deterministic fake features)."""
+    media = attach_media(load_tables(spark, sf_dir)["documents"])
+    feats = decode_media(media)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("width").alias("max_width"),
+        F.max("duration_ms").alias("max_duration_ms"),
+    )
+
+
+@query("mm_frame_sample")  # rows-only: per-frame explode of the fake decoder
+def mm_frame_sample(spark, sf_dir):
+    """Frame-sampling fan-out: videos → sampled frames → per-video
+    frame counts (the training-data shape: one row per frame)."""
+    media = attach_media(load_tables(spark, sf_dir)["documents"])
+    frames = sample_frames(media)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("frame_hash").alias("n_distinct_frames"),
+    )

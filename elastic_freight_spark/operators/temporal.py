@@ -1,0 +1,92 @@
+"""Temporal joins (SURVEY.md §2.4 J6): as-of join, expressed the
+scalable way.
+
+The naive as-of plan — a range theta-join then argmax — explodes to a
+broadcast-nested-loop at scale. The Spark-native shape is the
+union-and-carry trick: tag both sides, union, and let one
+hash-partitioned window (`last(..., ignorenulls=True)`) carry the most
+recent left-side value forward in event-time order. One shuffle on the
+join key, no cross product, state bounded by the window frame — this
+is how streams do it too (ASOF ≡ latest-value join).
+
+DuckDB's native ``ASOF JOIN`` is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from elastic_freight_spark.functions import ts_str
+from elastic_freight_spark.registry import query
+from elastic_freight_spark.session import load_tables
+
+
+@query(
+    "join_asof_click_before_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id,
+           strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS prior_click_ts,
+           c.click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_click_before_purchase(spark, sf_dir):
+    """For every purchase, the user's most recent click at-or-before
+    it (the canonical attribution as-of join). Clicks are first
+    collapsed to one row per (user, ts) so ties are deterministic in
+    every engine."""
+    events = load_tables(spark, sf_dir)["events"]
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_purchase"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("ts").alias("click_ts"),
+            "click_value",
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_purchase"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    # click sorts before purchase at equal ts (is_purchase asc) so an
+    # equal-time click is visible to the purchase row — matching ASOF's
+    # `p.ts >= c.ts`
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = purchases.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "is_purchase",
+        "event_id",
+        F.last("click_ts", ignorenulls=True).over(w).alias("prior_click_ts_t"),
+        F.last("click_value", ignorenulls=True).over(w).alias("prior_click_value"),
+    )
+    return carried.filter(F.col("is_purchase") == 1).select(
+        "user_id",
+        "event_id",
+        ts_str("ts", "purchase_ts"),
+        ts_str("prior_click_ts_t", "prior_click_ts"),
+        F.col("prior_click_value").alias("click_value"),
+    )

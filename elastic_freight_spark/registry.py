@@ -36,8 +36,11 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     from elastic_freight_spark.operators import (  # noqa: F401
+        arrays,
         indexing,
+        multimodal,
         relational,
+        temporal,
         text,
         vectors,
         windows,

@@ -36,14 +36,21 @@ Scale notes (the parts that matter at 1000 executors):
 from __future__ import annotations
 
 import os
+import sys
 from typing import Iterable
 
 import pandas as pd
+import pyspark.cloudpickle
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 from elastic_freight_spark.indexer import IndexConfig, shard_expr
+
+# Ship this module's functions (the applyInPandasWithState handler) to
+# Python workers by VALUE — executors must not need the package
+# importable (the driver may run from any cwd).
+pyspark.cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 
 def read_parquet_stream(
