@@ -215,9 +215,13 @@ def read_shard(spark: SparkSession, index_path: str, doc_id) -> DataFrame:
 
         shard_id = es_shard(str(doc_id), n)
     else:
-        # spark murmur3: evaluate the same JVM expression on a 1-row df
+        # spark murmur3: evaluate the same JVM expression on a 1-row
+        # df. The literal MUST carry the stored column's exact type —
+        # murmur3 hashes int and long differently, so an untyped
+        # python literal would route to the wrong shard.
+        dtype = df.schema[manifest["doc_id_col"]].dataType
         one = spark.range(1).select(
-            shard_col(F.lit(doc_id), n).alias("s")
+            shard_col(F.lit(doc_id).cast(dtype), n).alias("s")
         )
         shard_id = one.collect()[0]["s"]
     return df.filter(
