@@ -46,8 +46,11 @@ def main() -> None:
         "w_running_revenue",
         "t2_tumbling_window_events",
         "t3_session_windows",
+        "join_asof_click_before_purchase",
         "dedup_exact",
         "text_token_counts",
+        "f_array_token_profile",
+        "mm_binary_stats",
         "neardup_ngram_jaccard",
         "neardup_minhash_lsh",
         "knn_bruteforce_cosine",

@@ -114,3 +114,63 @@ def test_ldjson_to_index_end_to_end(spark, json_dir, tmp_path_factory):
     restored = read_index(spark, manifest["path"])
     assert restored.count() == 70
     assert restored.filter(F.col("payload_pipe").contains("|")).count() == 70
+
+
+# --- format dispatch (S4/S9) and schema files (S8) ------------------------
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path_factory):
+    from elastic_freight_spark.sources.formats import read_any, write_any
+
+    d = str(tmp_path_factory.mktemp("csvfmt"))
+    df = spark.range(100).selectExpr("id", "id * 2 AS dbl", "concat('r', id) AS name")
+    write_any(df, d, "csv")
+    back = read_any(spark, d, "csv", schema="id long, dbl long, name string")
+    assert back.count() == 100
+    assert back.orderBy("id").first()["name"] == "r0"
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path_factory):
+    from elastic_freight_spark.plans import assert_pushed_filters
+    from elastic_freight_spark.sources.formats import read_any, write_any
+
+    d = str(tmp_path_factory.mktemp("orcfmt"))
+    df = spark.range(1000).selectExpr("id", "id % 7 AS bucket")
+    write_any(df, d, "orc")
+    back = read_any(spark, d, "orc").filter("bucket = 3")
+    assert_pushed_filters(back, "EqualTo(bucket,3)")
+    assert back.count() == 143
+
+
+def test_avro_roundtrip_or_clear_gate(spark, tmp_path_factory):
+    """Avro resolves to the FQCN when the short name isn't
+    service-registered; if the classes are absent entirely the gate
+    raises the deploy hint instead of a deep ClassNotFound."""
+    from elastic_freight_spark.sources.formats import read_any, write_any
+
+    d = str(tmp_path_factory.mktemp("avrofmt"))
+    df = spark.range(50).selectExpr("id", "concat('n', id) AS name")
+    try:
+        write_any(df, d, "avro")
+    except RuntimeError as exc:
+        assert "spark-avro" in str(exc)
+        return
+    back = read_any(spark, d, "avro")
+    assert back.count() == 50
+    assert back.orderBy("id").first()["name"] == "n0"
+
+
+def test_schema_file_json_and_ddl(spark, tmp_path_factory):
+    from elastic_freight_spark.sources.formats import load_schema_file, save_schema_file
+
+    d = tmp_path_factory.mktemp("schemas")
+    events = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    jpath = str(d / "schema.json")
+    save_schema_file(events.schema, jpath)
+    assert load_schema_file(spark, jpath) == events.schema
+
+    dpath = str(d / "schema.ddl")
+    with open(dpath, "w") as f:
+        f.write("doc_id BIGINT, text STRING, lang STRING")
+    ddl = load_schema_file(spark, dpath)
+    assert [f.name for f in ddl.fields] == ["doc_id", "text", "lang"]
