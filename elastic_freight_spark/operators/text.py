@@ -409,3 +409,34 @@ def text_fingerprint(spark, sf_dir):
             "cast(0 as bigint), (acc, x) -> (acc * 131 + x) % 2147483647)"
         ).alias("fingerprint"),
     )
+
+
+BPE_PAT = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@query(
+    "text_token_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+             AS n_bpe_tokens,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens
+    FROM documents
+    WHERE doc_id < 300
+    """,
+)
+def text_token_bpe(spark, sf_dir):
+    """Token counting with a GPT-2-style BPE pre-tokenizer regex
+    (contractions | space+letters | space+digits | space+punct-runs |
+    whitespace) next to plain whitespace counts — the two token
+    budgets every training-data pipeline tracks per document. Both
+    engines run the identical RE2-compatible pattern."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PAT), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+    )

@@ -89,3 +89,33 @@ def test_null_ids_counted_not_fatal(spark, tmp_path_factory):
     manifest = build_index(df, cfg)
     assert manifest["counters"]["index_doc_created"] == 2
     assert manifest["counters"]["indexing_doc_fail"] == 2
+
+
+# --- engine facade --------------------------------------------------------
+
+
+def test_engine_facade_end_to_end(spark, tmp_path_factory):
+    from elastic_freight_spark.engine import EFSEngine
+
+    eng = EFSEngine("/root/testdata/sf0.001", spark=spark)
+    assert eng.sql("SELECT count(*) AS n FROM lineitem").first()["n"] > 0
+
+    out = str(tmp_path_factory.mktemp("eng_idx"))
+    man = eng.index(
+        eng.table("events"),
+        index_name="ev_eng",
+        doc_id_col="user_id",
+        num_shards=4,
+        output_path=out,
+    )
+    assert man["counters"]["index_doc_created"] == eng.table("events").count()
+    restored = eng.restore(man["path"])
+    assert restored.count() == man["counters"]["index_doc_created"]
+
+    uid = eng.table("events").select("user_id").first()["user_id"]
+    hit = eng.lookup(man["path"], uid)
+    assert hit.count() >= 1
+    assert set(eng.manifest(man["path"])["shards"]) == {"0", "1", "2", "3"}
+
+    assert "q1_pricing_summary" in eng.query_names
+    assert eng.query("q6_revenue_change", "/root/testdata/sf0.001").count() == 1
