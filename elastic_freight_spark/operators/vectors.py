@@ -238,3 +238,82 @@ def ann_lsh_cosine(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.round("cosine", 9).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path #2: IVF (inverted-file) — learned coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(df, n_cells: int = 16, n_probe: int = 2, seed: int = 42):
+    """Fit a KMeans coarse quantizer (MLlib, on the vector column) and
+    return (centroids_df, assigned_df) where ``assigned_df`` carries
+    ``cell`` (nearest centroid) and queries probe the ``n_probe``
+    nearest cells. The classic IVF layout: at 100 TB the fit runs on a
+    sample, assignment is one map-side pass, and the cell id becomes a
+    partition/bucket column so a probe touches n_probe/n_cells of the
+    data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = df.withColumn("features", array_to_vector("vec"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).drop("features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return centroids, assigned
+
+
+@query("ann_ivf_cosine")  # rows-only: learned centroids aren't SQL-portable
+def ann_ivf_cosine(spark, sf_dir):
+    """Two-stage IVF ANN: KMeans coarse cells + probe the 2 nearest
+    cells per query + exact cosine re-rank inside probed cells, top-3
+    per query. Recall vs the brute-force anchor asserted in
+    tests/test_text_vectors.py."""
+    t = load_tables(spark, sf_dir)
+    e = with_unit_vectors(t["embeddings"])
+    centroids, assigned = ivf_assign(e, n_cells=16, n_probe=2)
+
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = assigned.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+        F.col("cell").alias("ccell"),
+    )
+
+    # probe table: query_id -> n_probe nearest centroid cells, computed
+    # driver-side from the (tiny) query set x (tiny) centroid list
+    qrows = q.collect()
+    probe_rows = []
+    for r in qrows:
+        dists = []
+        for cell_id, cent in enumerate(centroids):
+            d = sum((a - b) ** 2 for a, b in zip(r["qvec"], cent))
+            dists.append((d, cell_id))
+        for _, cell_id in sorted(dists)[:2]:
+            probe_rows.append((r["query_id"], cell_id))
+    probes = spark.createDataFrame(probe_rows, "query_id long, ccell int")
+
+    scored = (
+        F.broadcast(q.join(probes, "query_id"))
+        .join(c, "ccell")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.expr(_DOT.format(a="qvec", b="cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cosine", 9).alias("cosine"))
+    )

@@ -41,6 +41,7 @@ def load_all() -> None:
         multimodal,
         relational,
         scale,
+        subqueries,
         temporal,
         text,
         vectors,

@@ -95,3 +95,21 @@ def test_relational_queries_stay_jvm_side(spark):
     ]
     for name in jvm_only:
         assert_no_python_in_plan(registry.QUERIES[name](spark, SF_DIR))
+
+
+def test_exists_subquery_rewrites_to_semi_join(spark):
+    import re as _re
+
+    from elastic_freight_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(registry.QUERIES["sq4_exists_late_orders"](spark, SF_DIR))
+    assert _re.search(r"LeftSemi|Semi", plan), plan
+
+
+def test_in_having_subquery_rewrites_to_semi_join(spark):
+    import re as _re
+
+    from elastic_freight_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(registry.QUERIES["sq18_in_having_subquery"](spark, SF_DIR))
+    assert _re.search(r"LeftSemi|Semi", plan), plan

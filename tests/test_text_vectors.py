@@ -105,3 +105,31 @@ def test_approx_count_distinct_error(spark, q):
     for r in rows:
         e = exact[r["l_returnflag"]]
         assert abs(r["approx_parts"] - e) / e < 0.06, (r, e)
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with 2-probe must recover most of the brute-force top-3
+    (tiny sf: recall well above chance; exact threshold kept loose
+    because KMeans cells on 2k vectors are coarse)."""
+    from elastic_freight_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.QUERIES["knn_bruteforce_cosine"](spark, sf)
+        .filter("cosine IS NOT NULL")
+        .collect()
+        if r is not None
+    }
+    # top-3 of the brute-force top-5 per query
+    by_q = {}
+    for q, n in sorted(brute):
+        by_q.setdefault(q, []).append(n)
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.QUERIES["ann_ivf_cosine"](spark, sf).collect()
+    }
+    assert len(ivf) == 30  # 10 queries x top-3
+    hits = sum(1 for pair in ivf if pair in brute)
+    assert hits / len(ivf) >= 0.5, f"IVF recall too low: {hits}/{len(ivf)}"
