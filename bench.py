@@ -47,6 +47,9 @@ def main() -> None:
         "t2_tumbling_window_events",
         "t3_session_windows",
         "join_asof_click_before_purchase",
+        "join_salted_skew_supplier_volume",
+        "sq4_exists_returned_orders",
+        "sq18_in_having_subquery",
         "dedup_exact",
         "text_token_counts",
         "f_array_token_profile",

@@ -81,10 +81,11 @@ def _sql(spark, sf_dir, stmt: str):
     return spark.sql(stmt)
 
 
-@query("sq4_exists_late_orders", oracle=_Q4)
-def sq4_exists_late_orders(spark, sf_dir):
-    """TPC-H Q4 shape: EXISTS-correlated subquery → Catalyst plans a
-    left-semi join; count per priority bucket."""
+@query("sq4_exists_returned_orders", oracle=_Q4)
+def sq4_exists_returned_orders(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-correlated subquery (orders with a
+    returned line item) → Catalyst plans a left-semi join; count per
+    priority bucket."""
     return _sql(spark, sf_dir, _Q4)
 
 

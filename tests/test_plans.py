@@ -102,7 +102,7 @@ def test_exists_subquery_rewrites_to_semi_join(spark):
 
     from elastic_freight_spark.plans.explain import formatted_plan
 
-    plan = formatted_plan(registry.QUERIES["sq4_exists_late_orders"](spark, SF_DIR))
+    plan = formatted_plan(registry.QUERIES["sq4_exists_returned_orders"](spark, SF_DIR))
     assert _re.search(r"LeftSemi|Semi", plan), plan
 
 

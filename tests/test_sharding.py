@@ -118,3 +118,44 @@ def test_es_udf_matches_python(spark):
     out = df.select("org_id", es_murmur3_shard_udf(5)(F.col("org_id")).alias("s")).collect()
     for row in out:
         assert row["s"] == es_shard(row["org_id"], 5)
+
+
+# --- property tests (hypothesis) ------------------------------------------
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    doc_id=st.text(min_size=1, max_size=64),
+    n=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_es_shard_in_range_and_deterministic(doc_id, n):
+    from elastic_freight_spark.sharding import es_shard
+
+    s1, s2 = es_shard(doc_id, n), es_shard(doc_id, n)
+    assert s1 == s2
+    assert 0 <= s1 < n
+
+
+@given(doc_id=st.text(min_size=1, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_es_shard_single_shard_collapses(doc_id):
+    from elastic_freight_spark.sharding import es_shard
+
+    assert es_shard(doc_id, 1) == 0
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=30),
+    n=st.integers(min_value=1, max_value=32),
+)
+@settings(max_examples=50, deadline=None)
+def test_lcg_shard_python_twin_in_range(ids, n):
+    """The LCG routing's driver-side twin (used for shard-pruned
+    lookups) stays in range and is deterministic for any id."""
+    for i in ids:
+        s = ((i % 2147483647) * 48271) % 2147483647 % n
+        assert 0 <= s < n
+        assert s == ((i % 2147483647) * 48271) % 2147483647 % n
