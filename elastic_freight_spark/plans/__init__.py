@@ -17,3 +17,11 @@ __all__ = [
     "assert_no_python_in_plan",
     "codegen_stage_count",
 ]
+
+from elastic_freight_spark.plans.metrics import (  # noqa: E402
+    execution_metrics,
+    shuffle_summary,
+    summarize,
+)
+
+__all__ += ["execution_metrics", "shuffle_summary", "summarize"]

@@ -113,3 +113,56 @@ def test_in_having_subquery_rewrites_to_semi_join(spark):
 
     plan = formatted_plan(registry.QUERIES["sq18_in_having_subquery"](spark, SF_DIR))
     assert _re.search(r"LeftSemi|Semi", plan), plan
+
+
+# --- measured runtime behavior (plans/metrics.py) -------------------------
+
+
+def test_partial_aggregation_shrinks_shuffle(spark):
+    """Map-side combine: the shuffle between partial and final agg
+    must carry orders of magnitude fewer records than the scan read
+    (the whole point of hash aggregation at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.plans import shuffle_summary
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    s = shuffle_summary(li.groupBy("l_returnflag").agg(F.sum("l_quantity")))
+    assert s["scan_rows"] >= 6000
+    assert 0 < s["shuffle_records_written"] <= 100  # 3 flags x partitions
+    assert s["n_shuffles"] == 1
+
+
+def test_broadcast_join_avoids_fact_shuffle(spark):
+    """q5's dims broadcast: zero shuffles of the fact table before the
+    join (only the post-join aggregate exchanges)."""
+    from elastic_freight_spark.plans import shuffle_summary
+
+    df = registry.QUERIES["q5_local_supplier_volume"](spark, SF_DIR)
+    s = shuffle_summary(df)
+    assert s["n_broadcasts"] >= 1
+    # every shuffle that remains carries aggregated rows, not the scan
+    assert s["shuffle_records_written"] < s["scan_rows"] / 10
+
+
+def test_index_build_single_shuffle(spark, tmp_path_factory):
+    """The flagship path: scan → one repartition(shard) shuffle →
+    write. More than one full-data exchange would double the network
+    cost of a 100 TB build."""
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.indexer import IndexConfig, shard_expr
+    from elastic_freight_spark.plans import shuffle_summary
+
+    events = load_tables(spark, SF_DIR)["events"]
+    cfg = IndexConfig(
+        index_name="m", doc_id_col="user_id", num_shards=8, output_path="/tmp/x"
+    )
+    plan_df = (
+        events.filter(F.col("user_id").isNotNull())
+        .withColumn("shard", shard_expr(cfg))
+        .repartition(8, F.col("shard"))
+    )
+    s = shuffle_summary(plan_df)
+    assert s["n_shuffles"] == 1
+    assert s["shuffle_records_written"] == s["scan_rows"]  # one full pass
