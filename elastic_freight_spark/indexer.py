@@ -153,12 +153,19 @@ def _shard_counts(spark: SparkSession, dest: str) -> dict[str, int]:
     """Per-shard doc counts from the written table — a
     metadata-driven scan of just the partition column (Parquet row
     counts come from footers, no data pages read)."""
-    rows = (
-        spark.read.parquet(dest)
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("docs"))
-        .collect()
-    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (
+            spark.read.parquet(dest)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("docs"))
+            .collect()
+        )
+    except AnalysisException:
+        # zero rows written → no shard directories yet (the
+        # missing-shard fill creates them all)
+        return {}
     return {str(r["shard"]): int(r["docs"]) for r in rows}
 
 

@@ -1,5 +1,6 @@
 from elastic_freight_spark.streaming.structured import (
     dedup_stream,
+    finalize_stream_index,
     read_parquet_stream,
     session_agg,
     stream_index,
@@ -10,6 +11,7 @@ from elastic_freight_spark.streaming.structured import (
 __all__ = [
     "read_parquet_stream",
     "stream_index",
+    "finalize_stream_index",
     "tumbling_agg",
     "session_agg",
     "dedup_stream",

@@ -115,6 +115,41 @@ def stream_index(
     return writer.start()
 
 
+def finalize_stream_index(spark: SparkSession, cfg: IndexConfig) -> dict:
+    """Seal a streamed index: fill missing shards and write the
+    manifest from the appended table's actual state (the batch
+    indexer's post-phase, run once after the stream stops — the
+    analogue of the reference's driver-side post-process,
+    job/IndexingPostProcessor.java:144-246)."""
+    from elastic_freight_spark.indexer import (
+        COUNTER_DOC_CREATED,
+        COUNTER_DOC_FAILED,
+        _fill_missing_shards,
+        _shard_counts,
+        _write_manifest,
+    )
+
+    dest = os.path.join(cfg.output_path, cfg.index_name)
+    shard_counts = _shard_counts(spark, dest)
+    created = sum(shard_counts.values())
+    schema = spark.read.parquet(dest).drop("shard").schema
+    manifest = {
+        "index": cfg.index_name,
+        "num_shards": cfg.num_shards,
+        "doc_id_col": cfg.doc_id_col,
+        "routing": cfg.routing,
+        "path": dest,
+        "counters": {COUNTER_DOC_CREATED: created, COUNTER_DOC_FAILED: 0},
+        "shards": shard_counts,
+        "missing_shards_filled": _fill_missing_shards(
+            spark, schema, dest, cfg, shard_counts
+        ),
+        "streamed": True,
+    }
+    _write_manifest(dest, manifest)
+    return manifest
+
+
 def tumbling_agg(
     events: DataFrame,
     window: str = "10 minutes",

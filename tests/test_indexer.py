@@ -119,3 +119,77 @@ def test_engine_facade_end_to_end(spark, tmp_path_factory):
 
     assert "q1_pricing_summary" in eng.query_names
     assert eng.query("q6_revenue_change", "/root/testdata/sf0.001").count() == 1
+
+
+def test_index_empty_input_fills_all_shards(spark, tmp_path_factory):
+    from pyspark.sql.types import StructType
+
+    from elastic_freight_spark.indexer import IndexConfig, build_index
+
+    schema = "user_id long, value double"
+    empty = spark.createDataFrame([], schema)
+    out = str(tmp_path_factory.mktemp("empty_idx"))
+    man = build_index(
+        empty,
+        IndexConfig(index_name="e", doc_id_col="user_id", num_shards=4, output_path=out),
+    )
+    assert man["counters"]["index_doc_created"] == 0
+    assert man["missing_shards_filled"] == [0, 1, 2, 3]
+    assert spark.read.parquet(man["path"]).count() == 0
+
+
+def test_index_all_null_ids_counted_failed(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.indexer import IndexConfig, build_index
+
+    df = spark.range(50).select(F.lit(None).cast("long").alias("user_id"), "id")
+    out = str(tmp_path_factory.mktemp("null_idx"))
+    man = build_index(
+        df,
+        IndexConfig(index_name="n", doc_id_col="user_id", num_shards=4, output_path=out),
+    )
+    assert man["counters"]["index_doc_created"] == 0
+    assert man["counters"]["indexing_doc_fail"] == 50
+
+
+def test_index_unicode_doc_ids_roundtrip(spark, tmp_path_factory):
+    from elastic_freight_spark.indexer import IndexConfig, build_index, read_shard
+
+    ids = ["日本語", "ключ", "clé-ñ", "🙂🙃", "a|b|c", ""]
+    df = spark.createDataFrame([(i, n) for n, i in enumerate(ids)], "doc string, n long")
+    out = str(tmp_path_factory.mktemp("uni_idx"))
+    man = build_index(
+        df,
+        IndexConfig(index_name="u", doc_id_col="doc", num_shards=3, output_path=out),
+    )
+    assert man["counters"]["index_doc_created"] == len(ids)
+    for i in ids:
+        hit = read_shard(spark, man["path"], i)
+        assert hit.count() == 1, f"lookup failed for {i!r}"
+
+
+def test_sort_within_shard_orders_files(spark, tmp_path_factory):
+    import pyarrow.parquet as pq
+    import glob
+
+    from elastic_freight_spark.indexer import IndexConfig, build_index
+    from elastic_freight_spark.session import load_tables
+
+    events = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    out = str(tmp_path_factory.mktemp("sorted_idx"))
+    man = build_index(
+        events,
+        IndexConfig(
+            index_name="s",
+            doc_id_col="user_id",
+            num_shards=4,
+            output_path=out,
+            sort_within_shard=["user_id", "ts"],
+        ),
+    )
+    files = glob.glob(f"{man['path']}/shard=*/*.parquet")
+    assert files
+    for f in files[:4]:
+        col = pq.read_table(f, columns=["user_id"])["user_id"].to_pylist()
+        assert col == sorted(col)

@@ -154,3 +154,25 @@ def test_apply_in_pandas_with_state_running_totals(spark, events_src):
     want = batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_finalize_stream_index_writes_manifest(spark, events_src, tmp_path_factory):
+    from elastic_freight_spark.streaming import finalize_stream_index
+
+    src, schema, batch = events_src
+    out = str(tmp_path_factory.mktemp("stream_fin"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_fin"))
+    cfg = IndexConfig(
+        index_name="ev_fin",
+        doc_id_col="user_id",
+        num_shards=16,  # more shards than users hit -> some get filled empty
+        output_path=out,
+    )
+    q = stream_index(read_parquet_stream(spark, src, schema), cfg, ckpt, available_now=True)
+    q.awaitTermination(120)
+    man = finalize_stream_index(spark, cfg)
+    assert man["streamed"] is True
+    assert sum(man["shards"].values()) == batch.count()
+    assert set(man["shards"]) == {str(i) for i in range(16)}
+    restored = read_index(spark, man["path"])
+    assert restored.count() == batch.count()
