@@ -1,0 +1,162 @@
+"""Sampling / profiling / reshaping operators for training-data
+pipelines: pivot (crosstab), stratified sampling, train/test split,
+and column profiling.
+
+No reference analogue (elastic-freight moves every document,
+unsampled); these are north-star pipeline ops. Sampling at 100 TB is
+map-side only — `sample`/`sampleBy` evaluate a seeded hash per row
+inside the scan, no shuffle, so a 1% stratified sample of 100 TB
+costs one read pass and writes 1 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elastic_freight_spark.registry import query
+from elastic_freight_spark.session import load_tables
+
+
+@query(
+    "pivot_priority_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS urgent,
+           CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS high,
+           CAST(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS medium,
+           CAST(COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS notspec,
+           CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def pivot_priority_by_status(spark, sf_dir):
+    """groupBy().pivot(): long→wide crosstab. Pivot values are
+    declared explicitly — at scale an undeclared pivot needs an extra
+    distinct pass over the pivot column first."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
+            F.coalesce(F.col("2-HIGH"), F.lit(0)).alias("high"),
+            F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
+            F.coalesce(F.col("4-NOT SPECIFIED"), F.lit(0)).alias("notspec"),
+            F.coalesce(F.col("5-LOW"), F.lit(0)).alias("low"),
+        )
+    )
+
+
+@query(
+    "profile_documents_table",
+    oracle="""
+    SELECT 'n_chars' AS column_name,
+           CAST(COUNT(n_chars) AS BIGINT) AS n_non_null,
+           CAST(COUNT(*) - COUNT(n_chars) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS n_distinct,
+           CAST(MIN(n_chars) AS DOUBLE) AS min_val,
+           CAST(MAX(n_chars) AS DOUBLE) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'doc_id',
+           CAST(COUNT(doc_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(doc_id) AS BIGINT),
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(MIN(doc_id) AS DOUBLE), CAST(MAX(doc_id) AS DOUBLE)
+    FROM documents
+    """,
+)
+def profile_documents_table(spark, sf_dir):
+    """Column-profile pass (null counts, cardinality, range) — the
+    data-quality gate before any training run. One scan computes every
+    column's stats (a single aggregate, not one job per column)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+
+    def stats(col):
+        return [
+            F.count(F.col(col)).alias(f"{col}__n_non_null"),
+            (F.count(F.lit(1)) - F.count(F.col(col))).alias(f"{col}__n_null"),
+            F.countDistinct(F.col(col)).alias(f"{col}__n_distinct"),
+            F.min(F.col(col)).cast("double").alias(f"{col}__min_val"),
+            F.max(F.col(col)).cast("double").alias(f"{col}__max_val"),
+        ]
+
+    wide = docs.agg(*(stats("n_chars") + stats("doc_id")))
+    # unpivot wide one-row stats → (column_name, metric...) rows
+    return wide.selectExpr(
+        "stack(2, "
+        "'n_chars', n_chars__n_non_null, n_chars__n_null, n_chars__n_distinct, "
+        "n_chars__min_val, n_chars__max_val, "
+        "'doc_id', doc_id__n_non_null, doc_id__n_null, doc_id__n_distinct, "
+        "doc_id__min_val, doc_id__max_val"
+        ") AS (column_name, n_non_null, n_null, n_distinct, min_val, max_val)"
+    )
+
+
+@query(
+    "sample_class_balance_plan",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    target AS (SELECT MIN(n) AS floor_n FROM counts)
+    SELECT c.lang, CAST(c.n AS BIGINT) AS n_docs,
+           ROUND(CAST(t.floor_n AS DOUBLE) / c.n, 9) AS sample_fraction
+    FROM counts c CROSS JOIN target t
+    """,
+)
+def sample_class_balance_plan(spark, sf_dir):
+    """Class-rebalance planning: per-language doc counts and the
+    downsampling fraction that levels every class to the smallest —
+    the deterministic half of stratified sampling (the fractions that
+    feed sampleBy)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    floor_n = counts.agg(F.min("n").alias("floor_n"))
+    return (
+        counts.crossJoin(F.broadcast(floor_n))
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.round(F.col("floor_n").cast("double") / F.col("n"), 9).alias(
+                "sample_fraction"
+            ),
+        )
+    )
+
+
+@query("sample_stratified_by_lang")  # rows-only: seeded sampling is engine-specific
+def sample_stratified_by_lang(spark, sf_dir):
+    """Stratified sample via sampleBy (seeded, map-side, no shuffle):
+    ~40% of each language's documents; per-language sampled counts.
+    Determinism across engines is impossible (different PRNGs), so
+    this is rows-only; the unit test pins seed-stability and bounds."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    sampled = docs.sampleBy("lang", {lang: 0.4 for lang in langs}, seed=42)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+def train_test_split(df, weights=(0.8, 0.2), seed: int = 42):
+    """Deterministic split — not randomSplit (whose per-partition
+    sampling re-deals rows when the partitioning changes) but a stable
+    hash of the row content: reproducible across cluster sizes, the
+    property a 100 TB training/eval split must have."""
+    total = float(sum(weights))
+    bounds, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        bounds.append(acc)
+    bucket = (F.abs(F.xxhash64(*df.columns)) % 1_000_000) / 1_000_000.0
+    frames = []
+    prev = 0.0
+    for b in [*bounds, 1.0]:
+        frames.append(df.filter((bucket >= prev) & (bucket < b)))
+        prev = b
+    return frames

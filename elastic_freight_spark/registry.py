@@ -40,6 +40,7 @@ def load_all() -> None:
         indexing,
         multimodal,
         relational,
+        sampling,
         scale,
         subqueries,
         temporal,
