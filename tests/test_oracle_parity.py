@@ -110,3 +110,19 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) == 8
     assert sum(r["n_docs"] for r in rows) > 0
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """A6: approx_count_distinct must sit within a few rsd of the
+    exact cardinality (rows-only in the driver harness; bounded
+    here)."""
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.session import load_tables
+
+    orders = load_tables(spark, "/root/testdata/sf0.01")["orders"]
+    exact = orders.select(F.countDistinct("o_custkey").alias("n")).first()["n"]
+    approx = orders.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n")
+    ).first()["n"]
+    assert abs(approx - exact) / exact < 0.06  # 3x rsd
