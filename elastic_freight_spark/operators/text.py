@@ -273,8 +273,13 @@ LSH_BANDS = 8  # 8 bands × 4 rows
 def minhash_signatures(spark, sf_dir, num_perms: int = MINHASH_PERMS):
     """doc_id → minhash signature array (xxhash64-based permutations).
 
-    One explode of (shingle × permutation-seed) → min per (doc, seed);
-    all JVM expressions, shuffles once on doc_id."""
+    signature[p] = min over the doc's shingles of hash_p(shingle),
+    computed as ``num_perms`` parallel MIN aggregates over ONE pass of
+    the shingle stream — no (shingle × perm) explosion. Partial
+    (map-side) aggregation collapses each partition to one row per
+    doc before the shuffle, so the exchanged data is
+    |docs| × num_perms longs regardless of shingle count: the property
+    that makes this the 100 TB signature plan."""
     t = load_tables(spark, sf_dir)
     toks = t["documents"].select("doc_id", F.split(F.lower("text"), " ").alias("tok"))
     shingles = (
@@ -284,19 +289,14 @@ def minhash_signatures(spark, sf_dir, num_perms: int = MINHASH_PERMS):
         )
         .distinct()
     )
-    seeded = shingles.select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(0, {num_perms - 1})")).alias("perm"),
-        F.col("shingle"),
-    ).select(
-        "doc_id", "perm", F.xxhash64(F.col("perm"), F.col("shingle")).alias("h")
+    mins = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(p), F.col("shingle"))).alias(f"_m{p}")
+            for p in range(num_perms)
+        ]
     )
-    # signature[p] = min over the doc's shingles of hash_p(shingle)
-    minima = seeded.groupBy("doc_id", "perm").agg(F.min("h").alias("mh"))
-    return (
-        minima.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("pairs"))
-        .select("doc_id", F.expr("transform(pairs, p -> p.mh)").alias("signature"))
+    return mins.select(
+        "doc_id", F.array(*[f"_m{p}" for p in range(num_perms)]).alias("signature")
     )
 
 
