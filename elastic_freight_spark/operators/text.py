@@ -440,3 +440,52 @@ def text_token_bpe(spark, sf_dir):
         ),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
     )
+
+
+@query(
+    "dedup_corpus_greedy",
+    oracle=f"""
+    WITH shingles AS ({{SHINGLE_SQL}}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.35
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN dr.doc_id IS NULL THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(COUNT(dr.doc_id) AS BIGINT) AS n_dropped
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    GROUP BY d.source
+    """.replace("{SHINGLE_SQL}", _SHINGLE_SQL),
+)
+def dedup_corpus_greedy(spark, sf_dir):
+    """End-to-end near-dup corpus dedup, greedy policy: a document is
+    dropped iff it is the HIGHER doc_id of any pair with exact 3-gram
+    Jaccard ≥ 0.35 (lowest id in a duplicate cluster always survives;
+    chains are trimmed greedily rather than by full connected
+    components — the standard large-corpus compromise: one
+    anti-join instead of an iterative CC fixpoint). Output: per-source
+    kept/dropped counts."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = neardup_ngram_jaccard(spark, sf_dir)  # exact pairs ≥ 0.35
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        docs.join(dropped.withColumn("_d", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("_d").isNull(), 1)).alias("n_kept"),
+            F.count(F.col("_d")).alias("n_dropped"),
+        )
+    )
