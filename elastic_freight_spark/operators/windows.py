@@ -261,3 +261,28 @@ def t3_session_windows(spark, sf_dir):
         ts_str(F.min("ts"), "session_start"),
         ts_str(F.max("ts"), "session_end"),
     )
+
+
+@query(
+    "w_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume,
+           CAST(NTILE(4) OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w_percent_rank_cume(spark, sf_dir):
+    """Distribution-ranking windows: percent_rank / cume_dist /
+    ntile over per-nation balance order (W1 completion)."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -174,3 +174,32 @@ def test_schema_file_json_and_ddl(spark, tmp_path_factory):
         f.write("doc_id BIGINT, text STRING, lang STRING")
     ddl = load_schema_file(spark, dpath)
     assert [f.name for f in ddl.fields] == ["doc_id", "text", "lang"]
+
+
+def test_map_column_ops_and_parquet_roundtrip(spark, tmp_path_factory):
+    """F12 map surface: construction, key/value access, concat,
+    parquet round-trip (MapType columns at rest)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20).select(
+        "id",
+        F.map_from_arrays(
+            F.array(F.lit("a"), F.lit("b")),
+            F.array(F.col("id"), F.col("id") * 2),
+        ).alias("m"),
+    )
+    got = df.select(
+        "id",
+        F.map_keys("m").alias("ks"),
+        F.map_values("m").alias("vs"),
+        F.element_at("m", "b").alias("b_val"),
+        F.map_concat("m", F.create_map(F.lit("c"), F.lit(9))).alias("m2"),
+    )
+    row = got.orderBy("id").collect()[3]
+    assert row["ks"] == ["a", "b"] and row["vs"] == [3, 6]
+    assert row["b_val"] == 6 and row["m2"]["c"] == 9
+
+    out = str(tmp_path_factory.mktemp("map_pq"))
+    df.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.filter(F.element_at("m", "a") == 7).count() == 1
