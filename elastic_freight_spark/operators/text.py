@@ -362,25 +362,27 @@ def text_simhash(spark, sf_dir):
         .filter(F.col("token") != "")
         .select("doc_id", F.xxhash64("token").alias("h"))
     )
-    # per (doc, bit): sum of +1/-1 votes; then pack majority bits
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.expr("sequence(0, 63)")).alias("bit"),
-        F.col("h"),
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
-    )
-    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return (
-        votes.groupBy("doc_id")
-        .agg(
+    # 64 conditional sums in ONE aggregation (no bit explosion):
+    # map-side partial agg collapses each partition to one row per
+    # doc, so the shuffle carries |docs| rows, not |tokens| x 64
+    votes = toks.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(64)
+        ]
     )
+    packed = sum(
+        (
+            F.when(F.col(f"_v{b}") > 0, F.expr(f"shiftleft(1L, {b})")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(64)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", packed.alias("simhash"))
 
 
 @query(
