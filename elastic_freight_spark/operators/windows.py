@@ -189,7 +189,7 @@ def w_moving_avg_events(spark, sf_dir):
 def t2_tumbling_window_events(spark, sf_dir):
     """Tumbling 1-hour window aggregation (§2.10 T2) — the batch
     face of the streaming tier; identical code runs under
-    readStream+watermark (see streaming/pipeline.py)."""
+    readStream+watermark (see streaming/structured.py)."""
     t = load_tables(spark, sf_dir)
     return (
         t["events"]
@@ -285,4 +285,47 @@ def w_percent_rank_cume(spark, sf_dir):
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "t2_sliding_window_events",
+    oracle=f"""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value
+                FROM events),
+    wins AS (
+      SELECT t, event_type, value,
+             to_timestamp(((CAST(floor(epoch(t)) AS BIGINT) // 1800) - i) * 1800)
+               AS win_start
+      FROM ev, UNNEST([0, 1]) AS u(i)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM wins
+    WHERE t >= win_start AND t < win_start + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def t2_sliding_window_events(spark, sf_dir):
+    """T2 sliding variant: 1-hour windows sliding every 30 minutes —
+    each event lands in width/slide = 2 windows (the only inherent
+    write amplification of sliding windows; Spark assigns the windows
+    as an internal explode before the agg). The DuckDB twin derives
+    the same epoch-aligned window starts arithmetically."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            ts_str(F.col("w.start"), "window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
     )
