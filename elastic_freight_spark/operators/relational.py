@@ -652,3 +652,31 @@ def f_math_casts(spark, sf_dir):
             F.max("absdev").cast("double").alias("max_absdev"),
         )
     )
+
+
+@query(
+    "agg_grouping_sets_mixed",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets_mixed(spark, sf_dir):
+    """Explicit GROUPING SETS (§2.5 A7 beyond rollup/cube): status
+    totals, priority totals, and the grand total in one pass, with
+    GROUPING() flags disambiguating the null group keys."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

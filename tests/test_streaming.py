@@ -176,3 +176,49 @@ def test_finalize_stream_index_writes_manifest(spark, events_src, tmp_path_facto
     assert set(man["shards"]) == {str(i) for i in range(16)}
     restored = read_index(spark, man["path"])
     assert restored.count() == batch.count()
+
+
+def test_stream_stream_join_with_time_bound(spark, events_src):
+    """Stream-stream inner join with an event-time range constraint
+    (clicks joined to purchases by the same user within 1 hour after
+    the click) — checked against the identical batch join."""
+    src, schema, batch = events_src
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        return clicks, purchases
+
+    sc, sp = split(read_parquet_stream(spark, src, schema))
+    joined = (
+        sc.withWatermark("c_ts", "2 hours")
+        .join(
+            sp.withWatermark("p_ts", "2 hours"),
+            F.expr(
+                "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"
+            ),
+        )
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ssj_mem")
+
+    bc, bp = split(batch)
+    want = bc.join(
+        bp,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want.select(*got.columns)).count() == 0
