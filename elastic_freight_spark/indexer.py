@@ -234,3 +234,118 @@ def read_shard(spark: SparkSession, index_path: str, doc_id) -> DataFrame:
     return df.filter(
         (F.col("shard") == shard_id) & (F.col(manifest["doc_id_col"]) == doc_id)
     )
+
+
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    target_files_per_shard: int = 1,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Force-merge analogue: rewrite each shard directory down to
+    ``target_files_per_shard`` files (optionally re-sorted).
+
+    The reference force-merges Lucene segments before snapshotting
+    (ESEmbededContainer.java:71-77; max merged segment 256 MB,
+    segments_per_tier 4 — example/IndexingReducerImpl.java:34-36)
+    because many small segments slow every later search. The Parquet
+    equivalent: a streamed index accumulates one file per shard per
+    micro-batch; compaction folds them so later scans pay one file
+    open per shard instead of hundreds. Data is byte-identical —
+    only file layout changes. Run it like the reference runs
+    force-merge: once, after load, before serving.
+    """
+    manifest = read_manifest(index_path)
+    df = spark.read.parquet(index_path)
+    compacted = df.repartition(
+        manifest["num_shards"] * max(1, target_files_per_shard), F.col("shard")
+    )
+    if sort_cols:
+        compacted = compacted.sortWithinPartitions("shard", *sort_cols)
+    tmp = index_path.rstrip("/") + ".compacting"
+    compacted.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+
+    import shutil
+
+    # atomic-ish swap (same filesystem): old dir out, new dir in
+    old = index_path.rstrip("/") + ".old"
+    os.rename(index_path, old)
+    os.rename(tmp, index_path)
+    shutil.rmtree(old)
+
+    manifest["compacted"] = True
+    manifest["shards"] = _shard_counts(spark, index_path)
+    _write_manifest(index_path, manifest)
+    return manifest
+
+
+# --- range-partitioned layout (alternative to hash sharding) --------------
+
+
+def build_range_index(df: DataFrame, cfg: IndexConfig) -> dict:
+    """Range-partitioned index: shard *i* holds a contiguous doc-id
+    range (boundaries from approxQuantile, stored in the manifest as
+    a zone map).
+
+    Hash sharding (the reference's only layout) optimizes point
+    lookups; a range layout additionally serves *range* scans by
+    pruning shards whose [min,max] cannot overlap — the analogue of
+    ES index sorting / time-based indices. The boundary computation
+    samples (approxQuantile, relativeError 0.001), so the build costs
+    one extra metadata-cheap pass over the doc-id column only.
+    """
+    spark = df.sparkSession
+    good = df.filter(F.col(cfg.doc_id_col).isNotNull())
+    qs = [i / cfg.num_shards for i in range(1, cfg.num_shards)]
+    bounds = good.stat.approxQuantile(cfg.doc_id_col, qs, 0.001)
+
+    shard = F.lit(0)
+    for b in bounds:
+        shard = shard + (F.col(cfg.doc_id_col) > F.lit(b)).cast("int")
+    sharded = good.withColumn("shard", shard).repartition(
+        cfg.num_shards, F.col("shard")
+    )
+    if cfg.sort_within_shard:
+        sharded = sharded.sortWithinPartitions("shard", *cfg.sort_within_shard)
+
+    dest = os.path.join(cfg.output_path, cfg.index_name)
+    (
+        sharded.write.mode(cfg.mode)
+        .option("maxRecordsPerFile", cfg.max_records_per_file)
+        .partitionBy("shard")
+        .parquet(dest)
+    )
+    shard_counts = _shard_counts(spark, dest)
+    manifest = {
+        "index": cfg.index_name,
+        "num_shards": cfg.num_shards,
+        "doc_id_col": cfg.doc_id_col,
+        "routing": "range",
+        "range_bounds": bounds,
+        "path": dest,
+        "shards": shard_counts,
+        "missing_shards_filled": _fill_missing_shards(
+            spark, df.schema, dest, cfg, shard_counts
+        ),
+    }
+    _write_manifest(dest, manifest)
+    return manifest
+
+
+def read_doc_range(spark: SparkSession, index_path: str, lo, hi) -> DataFrame:
+    """Range scan with shard pruning: only shards whose doc range can
+    intersect [lo, hi] are listed/read (partition filter on the shard
+    column + pushed doc-id range predicate)."""
+    manifest = read_manifest(index_path)
+    if manifest.get("routing") != "range":
+        # hash layout: every shard may contain ids in [lo, hi]
+        df = spark.read.parquet(index_path)
+    else:
+        bounds = manifest["range_bounds"]
+        first = sum(1 for b in bounds if lo > b)
+        last = sum(1 for b in bounds if hi > b)
+        df = spark.read.parquet(index_path).filter(
+            F.col("shard").isin(list(range(first, last + 1)))
+        )
+    c = F.col(manifest["doc_id_col"])
+    return df.filter((c >= lo) & (c <= hi))

@@ -193,3 +193,83 @@ def test_sort_within_shard_orders_files(spark, tmp_path_factory):
     for f in files[:4]:
         col = pq.read_table(f, columns=["user_id"])["user_id"].to_pylist()
         assert col == sorted(col)
+
+
+def test_compact_index_folds_files_preserves_data(spark, tmp_path_factory):
+    import glob
+
+    from elastic_freight_spark.indexer import (
+        IndexConfig,
+        build_index,
+        compact_index,
+        read_index,
+    )
+    from elastic_freight_spark.session import load_tables
+
+    events = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    out = str(tmp_path_factory.mktemp("compact_idx"))
+    cfg = IndexConfig(
+        index_name="c", doc_id_col="user_id", num_shards=4, output_path=out,
+        max_records_per_file=50,  # deliberately fragment into many files
+    )
+    man = build_index(events, cfg)
+    before = read_index(spark, man["path"]).orderBy("event_id").collect()
+    n_files_before = len(glob.glob(f"{man['path']}/shard=*/*.parquet"))
+
+    man2 = compact_index(spark, man["path"], target_files_per_shard=1)
+    n_files_after = len(glob.glob(f"{man['path']}/shard=*/*.parquet"))
+    assert n_files_after < n_files_before
+    assert n_files_after <= 4 * 2  # ~1 file per shard (hash collisions allow 2)
+    after = read_index(spark, man["path"]).orderBy("event_id").collect()
+    assert after == before
+    assert man2["compacted"] is True
+    assert {int(k) for k in man2["shards"]} == {0, 1, 2, 3}
+
+
+def test_range_index_prunes_shards_for_range_scan(spark, tmp_path_factory):
+    from elastic_freight_spark.indexer import (
+        IndexConfig,
+        build_range_index,
+        read_doc_range,
+        read_index,
+    )
+    from elastic_freight_spark.plans import (
+        assert_partition_pruned,
+        execution_metrics,
+        summarize,
+    )
+    from elastic_freight_spark.session import load_tables
+
+    events = load_tables(spark, "/root/testdata/sf0.01")["events"]
+    out = str(tmp_path_factory.mktemp("range_idx"))
+    man = build_range_index(
+        events,
+        IndexConfig(
+            index_name="r", doc_id_col="event_id", num_shards=8, output_path=out
+        ),
+    )
+    assert len(man["range_bounds"]) == 7
+    # shards hold non-overlapping contiguous ranges
+    from pyspark.sql import functions as F
+
+    stats = (
+        read_index(spark, man["path"])
+        .groupBy("shard")
+        .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+        .orderBy("shard")
+        .collect()
+    )
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev["hi"] < cur["lo"]
+
+    # a narrow range scan reads a strict subset of shard files
+    total_files = summarize(
+        execution_metrics(read_index(spark, man["path"]))
+    )["scan_files"]
+    narrow = read_doc_range(spark, man["path"], 100, 200)
+    assert_partition_pruned(narrow, "shard")
+    s = summarize(execution_metrics(narrow))
+    assert 0 < s["scan_files"] < total_files
+    # correctness: same rows as a full-scan filter
+    want = events.filter((F.col("event_id") >= 100) & (F.col("event_id") <= 200)).count()
+    assert narrow.count() == want
