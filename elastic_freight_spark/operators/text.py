@@ -491,3 +491,75 @@ def dedup_corpus_greedy(spark, sf_dir):
             F.count(F.col("_d")).alias("n_dropped"),
         )
     )
+
+
+def connected_components(edges, max_iter: int = 20):
+    """Minimum-label propagation over an undirected edge list
+    ``(doc_a, doc_b)`` → ``(doc_id, component)`` where component is
+    the smallest doc_id reachable from each node.
+
+    The iterative fixpoint a full-cluster dedup needs (vs the greedy
+    one-join trim in dedup_corpus_greedy): each round joins every
+    node's current label against its neighbors' and keeps the min;
+    rounds needed = graph diameter (near-dup clusters are shallow, so
+    this converges in 2-4 rounds in practice). Each round is one
+    shuffle join + one aggregate — the standard large-graph CC plan
+    (same shape as GraphX/GraphFrames CC without the dependency).
+    Label frames are cached per round and the loop exits early via a
+    driver-side convergence count."""
+    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    sym = sym.cache()
+    labels = labels.cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("dedup_corpus_connected_components")  # rows-only: iterative fixpoint
+def dedup_corpus_connected_components(spark, sf_dir):
+    """Full-cluster near-dup dedup: connected components over the
+    exact-Jaccard pair graph; the minimum doc_id of each component
+    survives. Per-component sizes returned (clusters of 1 pair or a
+    chain collapse to ONE survivor — the semantic difference from
+    the greedy trim, asserted in tests)."""
+    pairs = neardup_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("node").alias("keeper_doc_id"),
+        )
+        .withColumnRenamed("component", "component_id")
+    )

@@ -133,3 +133,52 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert len(ivf) == 30  # 10 queries x top-3
     hits = sum(1 for pair in ivf if pair in brute)
     assert hits / len(ivf) >= 0.5, f"IVF recall too low: {hits}/{len(ivf)}"
+
+
+def test_connected_components_matches_union_find(spark):
+    """Distributed min-label CC must equal a driver-side union-find
+    over the same exact-Jaccard pair graph."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.text import connected_components
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.01"
+    pairs = registry.QUERIES["neardup_ngram_jaccard"](spark, sf).select(
+        "doc_a", "doc_b"
+    )
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    for n in parent:
+        want.setdefault(find(n), set()).add(n)
+
+    got_rows = connected_components(pairs).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["component"], set()).add(r["node"])
+
+    # same clusters under min-label naming
+    want_named = {min(v): v for v in want.values()}
+    got_named = {min(v): v for v in got.values()}
+    assert got_named == want_named
+
+    # semantic difference vs the greedy trim: greedy can drop a chain
+    # middle AND end; CC keeps exactly one doc per cluster
+    comp_q = registry.QUERIES["dedup_corpus_connected_components"](spark, sf)
+    assert comp_q.count() == len(want_named)
