@@ -101,6 +101,16 @@ def build_index(df: DataFrame, cfg: IndexConfig) -> dict:
     the reference's skip-don't-fail policy (BaseESReducer.java:270).
     """
     spark = df.sparkSession
+    if cfg.routing == "lcg":
+        from pyspark.sql.types import NumericType
+
+        if not isinstance(df.schema[cfg.doc_id_col].dataType, NumericType):
+            raise ValueError(
+                f"routing='lcg' needs a numeric doc-id column; "
+                f"{cfg.doc_id_col!r} is {df.schema[cfg.doc_id_col].dataType} "
+                "(a string id would cast to NULL and rows would land in "
+                "the default partition) — use routing='spark' or 'es'"
+            )
     obs_in = Observation(f"index_{cfg.index_name}_in")
     obs = Observation(f"index_{cfg.index_name}")
 

@@ -111,3 +111,36 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
             df.createOrReplaceTempView(name)
             dfs[name] = df
     return dfs
+
+
+def cluster_conf(
+    executors: int,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """Recommended conf for a real cluster run (the 100 TB story,
+    documented as code — pass to ``get_spark(extra_conf=...)``).
+
+    * shuffle partitions ≈ 3× total cores (enough waves that AQE can
+      coalesce down, never a single mega-partition)
+    * ~128 MB scan partitions (row-group friendly; small enough that
+      a partition's rows + hash tables fit executor memory)
+    * RocksDB state store for streaming state beyond heap
+    * broadcast threshold stays default (10 MB) — AQE upgrades joins
+      at runtime when the built side turns out small
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.shuffle.partitions": str(3 * total_cores),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+    }

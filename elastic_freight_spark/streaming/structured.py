@@ -256,3 +256,33 @@ def user_running_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka source (gated: the spark-sql-kafka external module isn't
+    deployed in every environment — fail with the deploy hint, not a
+    ClassNotFound). Returns the raw (key, value, timestamp, ...)
+    frame; parse `value` with sources/json_source.parse_json_column.
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception as exc:
+        raise RuntimeError(
+            "Kafka support requires the external spark-sql-kafka module "
+            "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
+            "<spark-version>); it is not deployed in this session"
+        ) from exc
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )

@@ -273,3 +273,29 @@ def test_range_index_prunes_shards_for_range_scan(spark, tmp_path_factory):
     # correctness: same rows as a full-scan filter
     want = events.filter((F.col("event_id") >= 100) & (F.col("event_id") <= 200)).count()
     assert narrow.count() == want
+
+
+def test_lcg_routing_rejects_string_ids(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    from elastic_freight_spark.indexer import IndexConfig, build_index
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "doc string, n long")
+    with _pytest.raises(ValueError) as exc:
+        build_index(
+            df,
+            IndexConfig(
+                index_name="x", doc_id_col="doc", num_shards=2,
+                output_path=str(tmp_path_factory.mktemp("lcg_bad")), routing="lcg",
+            ),
+        )
+    assert "numeric" in str(exc.value)
+
+
+def test_cluster_conf_shapes(spark):
+    from elastic_freight_spark.session import cluster_conf
+
+    conf = cluster_conf(executors=250, cores_per_executor=4)
+    assert conf["spark.sql.shuffle.partitions"] == "3000"
+    assert conf["spark.executor.memory"] == "16g"
+    assert "RocksDB" in conf["spark.sql.streaming.stateStore.providerClass"]

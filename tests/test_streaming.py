@@ -222,3 +222,13 @@ def test_stream_stream_join_with_time_bound(spark, events_src):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want.select(*got.columns)).count() == 0
+
+
+def test_kafka_source_gated_with_clear_error(spark):
+    from elastic_freight_spark.streaming.structured import read_kafka_stream
+
+    try:
+        df = read_kafka_stream(spark, "localhost:9092", "t")
+        assert "value" in df.columns  # module present: schema sanity
+    except RuntimeError as exc:
+        assert "spark-sql-kafka" in str(exc)
