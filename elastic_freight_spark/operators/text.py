@@ -563,3 +563,57 @@ def dedup_corpus_connected_components(spark, sf_dir):
         )
         .withColumnRenamed("component", "component_id")
     )
+
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or +1 555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+             || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+           LENGTH(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                                 '{_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_len
+    FROM enriched
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing (emails/phones → placeholder tokens) — the
+    redaction pass every training-data pipeline runs before tokenizing.
+    Deterministic synthetic PII is appended per doc so the redaction
+    path actually exercises; the same RE2-compatible patterns run in
+    both engines. Output: per-doc redaction counts + scrubbed length.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-0"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    return enriched.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
