@@ -267,9 +267,17 @@ def compact_index(
     """
     manifest = read_manifest(index_path)
     df = spark.read.parquet(index_path)
-    compacted = df.repartition(
-        manifest["num_shards"] * max(1, target_files_per_shard), F.col("shard")
-    )
+    k = max(1, target_files_per_shard)
+    if k == 1:
+        compacted = df.repartition(manifest["num_shards"], F.col("shard"))
+    else:
+        # repartition on shard alone cannot split a shard (equal keys
+        # hash to one partition) — co-key with a deterministic doc-id
+        # salt to spread each shard over k write tasks
+        salt = F.pmod(F.hash(F.col(manifest["doc_id_col"])), F.lit(k))
+        compacted = df.repartition(
+            manifest["num_shards"] * k, F.col("shard"), salt
+        )
     if sort_cols:
         compacted = compacted.sortWithinPartitions("shard", *sort_cols)
     tmp = index_path.rstrip("/") + ".compacting"

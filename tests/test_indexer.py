@@ -299,3 +299,34 @@ def test_cluster_conf_shapes(spark):
     assert conf["spark.sql.shuffle.partitions"] == "3000"
     assert conf["spark.executor.memory"] == "16g"
     assert "RocksDB" in conf["spark.sql.streaming.stateStore.providerClass"]
+
+
+def test_compact_index_multi_file_target(spark, tmp_path_factory):
+    import glob
+
+    from elastic_freight_spark.indexer import (
+        IndexConfig,
+        build_index,
+        compact_index,
+        read_index,
+    )
+    from elastic_freight_spark.session import load_tables
+
+    events = load_tables(spark, "/root/testdata/sf0.01")["events"]
+    out = str(tmp_path_factory.mktemp("compact_multi"))
+    man = build_index(
+        events,
+        IndexConfig(
+            index_name="cm", doc_id_col="user_id", num_shards=2, output_path=out,
+            max_records_per_file=500,
+        ),
+    )
+    before = read_index(spark, man["path"]).count()
+    compact_index(spark, man["path"], target_files_per_shard=3)
+    per_shard = {}
+    for f in glob.glob(f"{man['path']}/shard=*/*.parquet"):
+        shard = f.split("shard=")[1].split("/")[0]
+        per_shard[shard] = per_shard.get(shard, 0) + 1
+    # each shard actually split across >1 file (salting worked)
+    assert all(1 < n <= 4 for n in per_shard.values()), per_shard
+    assert read_index(spark, man["path"]).count() == before
