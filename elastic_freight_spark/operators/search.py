@@ -1,0 +1,128 @@
+"""Search-style relevance scoring (SURVEY.md §0: the query surface
+the reference's artifact exists to serve — ES term search with
+TF-IDF/BM25 ranking — owned natively).
+
+The reference builds a Lucene index and delegates scoring to
+Elasticsearch after restore. Here the inverted index is a DataFrame
+(token → doc postings with term frequencies), built in one pass, and
+scoring is a join + aggregate:
+
+    score(q, d) = Σ_t∈q  tf(t,d) · idf(t)        (TF-IDF)
+    bm25(q, d)  = Σ_t∈q  idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·|d|/avgdl))
+
+Scale shape: the postings build is the word-count shuffle; the query
+side is a handful of terms — broadcast it, so scoring never shuffles
+the corpus. Top-k lands in TakeOrderedAndProject (no global sort).
+ln() is IEEE libm in both engines; scores are rounded to 9 decimals
+like every float-scoring query in this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elastic_freight_spark.registry import query
+from elastic_freight_spark.session import load_tables
+
+QUERY_TERMS = ("data", "system", "model", "index")
+
+
+def build_postings(docs):
+    """Inverted index: (token, doc_id, tf) + per-doc length — the
+    DataFrame face of what Lucene builds from the same corpus."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    postings = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return postings, doc_len
+
+
+@query(
+    "search_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf
+      FROM toks WHERE token <> '' GROUP BY 1, 2
+    ),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    idf AS (
+      SELECT token, ln(n / CAST(COUNT(*) AS DOUBLE)) AS idf
+      FROM postings CROSS JOIN n_docs
+      WHERE token IN ('data', 'system', 'model', 'index')
+      GROUP BY token, n
+    )
+    SELECT doc_id,
+           ROUND(SUM(p.tf * idf.idf), 9) AS score,
+           CAST(COUNT(*) AS INT) AS n_terms_hit
+    FROM postings p JOIN idf USING (token)
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def search_tfidf_topk(spark, sf_dir):
+    """TF-IDF ranked retrieval for a 4-term query, top-10: the ES
+    `match` query the reference's artifact serves, as postings-join →
+    per-doc score sum → TakeOrderedAndProject. The tiny idf table
+    broadcasts; the corpus never re-shuffles for the query."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    postings, _ = build_postings(docs)
+    n = docs.count()
+    idf = (
+        postings.filter(F.col("token").isin(*QUERY_TERMS))
+        .groupBy("token")
+        .agg(F.log(F.lit(n) / F.count(F.lit(1))).alias("idf"))
+    )
+    scored = (
+        postings.join(F.broadcast(idf), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("tf") * F.col("idf")), 9).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(10)
+
+
+@query("search_bm25_topk")  # rows-only: k1/b-param float chain too long for
+#                             bit-stable cross-engine hashing; pinned by test
+def search_bm25_topk(spark, sf_dir, k1: float = 1.2, b: float = 0.75):
+    """BM25 ranked retrieval, top-10 — same postings, saturation-tf
+    scoring with length normalization (the default ES similarity
+    since 5.x, which the reference's artifact would serve)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    postings, doc_len = build_postings(docs)
+    n = docs.count()
+    stats = postings.filter(F.col("token").isin(*QUERY_TERMS))
+    df_counts = stats.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # Lucene/ES BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5))
+    idf = df_counts.select(
+        "token",
+        F.log(
+            1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    avgdl = doc_len.agg(F.avg("dl").alias("avgdl")).first()["avgdl"]
+    scored = (
+        stats.join(F.broadcast(idf), "token")
+        .join(doc_len, "doc_id")
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term_score"), 9).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(10)

@@ -42,6 +42,7 @@ def load_all() -> None:
         relational,
         sampling,
         scale,
+        search,
         subqueries,
         temporal,
         text,

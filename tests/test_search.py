@@ -1,0 +1,63 @@
+"""Search-scoring tests: the TF-IDF query is oracle-checked by the
+driver; BM25 (rows-only) is pinned here against a pure-python
+recomputation from the same postings."""
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from elastic_freight_spark import registry
+from elastic_freight_spark.operators.search import QUERY_TERMS
+from elastic_freight_spark.session import load_tables
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_bm25_matches_python_recomputation(spark):
+    registry.load_all()
+    docs = load_tables(spark, SF)["documents"].select("doc_id", "text").collect()
+
+    tf = defaultdict(Counter)
+    dl = {}
+    for r in docs:
+        toks = [t for t in r["text"].lower().split(" ") if t]
+        dl[r["doc_id"]] = len(toks)
+        for t in toks:
+            tf[t][r["doc_id"]] += 1
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    k1, b = 1.2, 0.75
+    scores = Counter()
+    hits = Counter()
+    for term in QUERY_TERMS:
+        postings = tf.get(term, {})
+        if not postings:
+            continue
+        idf = math.log(1.0 + (n - len(postings) + 0.5) / (len(postings) + 0.5))
+        for d, f_td in postings.items():
+            scores[d] += idf * (f_td * (k1 + 1)) / (
+                f_td + k1 * (1 - b + b * dl[d] / avgdl)
+            )
+            hits[d] += 1
+
+    want = sorted(
+        ((round(s, 9), -d) for d, s in scores.items()), reverse=True
+    )[:10]
+    want_ids = [-d for _, d in want]
+
+    got = registry.QUERIES["search_bm25_topk"](spark, SF).collect()
+    got_ids = [int(r["doc_id"]) for r in got]
+    assert got_ids == want_ids
+    for r in got:
+        assert abs(r["score"] - scores[r["doc_id"]]) < 1e-6
+        assert r["n_terms_hit"] == hits[r["doc_id"]]
+
+
+def test_tfidf_ranking_properties(spark):
+    registry.load_all()
+    rows = registry.QUERIES["search_tfidf_topk"](spark, SF).collect()
+    assert len(rows) == 10
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["score"] > 0 for r in rows)
