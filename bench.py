@@ -56,6 +56,7 @@ def main() -> None:
         "mm_binary_stats",
         "neardup_ngram_jaccard",
         "neardup_minhash_lsh",
+        "search_tfidf_topk",
         "knn_bruteforce_cosine",
         "ann_lsh_cosine",
         "apply_in_pandas_group_rank",
