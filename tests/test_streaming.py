@@ -232,3 +232,42 @@ def test_kafka_source_gated_with_clear_error(spark):
         assert "value" in df.columns  # module present: schema sanity
     except RuntimeError as exc:
         assert "spark-sql-kafka" in str(exc)
+
+
+def test_stream_index_checkpoint_no_reprocess(spark, events_src, tmp_path_factory):
+    """Restarting the stream with the same checkpoint must not
+    re-ingest already-processed files (exactly-once source tracking;
+    the reference's rebuild-from-scratch model has no equivalent)."""
+    src, schema, batch = events_src
+    out = str(tmp_path_factory.mktemp("replay_idx"))
+    ckpt = str(tmp_path_factory.mktemp("replay_ckpt"))
+    cfg = IndexConfig(
+        index_name="replay", doc_id_col="user_id", num_shards=4, output_path=out
+    )
+    for _ in range(2):  # second run: same checkpoint, no new files
+        q = stream_index(
+            read_parquet_stream(spark, src, schema), cfg, ckpt, available_now=True
+        )
+        q.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/replay").count() == batch.count()
+
+
+def test_engine_facade_stream_index(spark, events_src, tmp_path_factory):
+    from elastic_freight_spark.engine import EFSEngine
+    from elastic_freight_spark.streaming import finalize_stream_index
+
+    src, schema, batch = events_src
+    eng = EFSEngine(spark=spark)
+    out = str(tmp_path_factory.mktemp("eng_stream"))
+    ckpt = str(tmp_path_factory.mktemp("eng_ckpt"))
+    q = eng.stream_index(
+        read_parquet_stream(spark, src, schema),
+        ckpt,
+        index_name="es", doc_id_col="user_id", num_shards=4, output_path=out,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    man = finalize_stream_index(
+        spark, IndexConfig(index_name="es", doc_id_col="user_id", num_shards=4, output_path=out)
+    )
+    assert sum(man["shards"].values()) == batch.count()
