@@ -153,7 +153,9 @@ def train_test_split(df, weights=(0.8, 0.2), seed: int = 42):
     for w in weights[:-1]:
         acc += w / total
         bounds.append(acc)
-    bucket = (F.abs(F.xxhash64(*df.columns)) % 1_000_000) / 1_000_000.0
+    # pmod, not abs: abs(Long.MIN_VALUE) is still negative in the JVM,
+    # which would drop that row from every split
+    bucket = F.pmod(F.xxhash64(*df.columns), F.lit(1_000_000)) / 1_000_000.0
     frames = []
     prev = 0.0
     for b in [*bounds, 1.0]:
