@@ -680,3 +680,37 @@ def agg_grouping_sets_mixed(spark, sf_dir):
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "agg_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+           CAST(FLOOR(l_extendedprice / 5000.0) * 5000 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_v,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_v
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def agg_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram (§2.5 A8 companion to
+    percentile_approx): bucket = floor(v / width) is a pure
+    projection, so the histogram is one partial-aggregated shuffle of
+    |buckets| rows — the profile pass behind every 'distribution of X'
+    dashboard at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.floor(F.col("l_extendedprice") / 5000.0)
+    return (
+        t["lineitem"]
+        .groupBy(
+            bucket.alias("bucket"),
+            (bucket * 5000).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("min_v"),
+            F.max("l_extendedprice").alias("max_v"),
+        )
+    )
