@@ -126,3 +126,69 @@ def search_bm25_topk(spark, sf_dir, k1: float = 1.2, b: float = 0.75):
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(10)
+
+
+PHRASE = ("table", "hash")  # most frequent bigram in the synthetic corpus
+
+
+@query(
+    "search_phrase_match",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok[i] AS token, i
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok FROM documents),
+           LATERAL (SELECT unnest(range(1, len(tok) + 1)) AS i)
+      WHERE tok[i] <> ''
+    ),
+    p1 AS (
+      SELECT doc_id, list_sort(list(i)) AS pos FROM toks
+      WHERE token = 'table' GROUP BY doc_id
+    ),
+    p2 AS (
+      SELECT doc_id, list_sort(list(i)) AS pos FROM toks
+      WHERE token = 'hash' GROUP BY doc_id
+    )
+    SELECT p1.doc_id,
+           CAST(len(list_intersect(list_transform(p1.pos, x -> x + 1), p2.pos))
+                AS INT) AS n_phrase_hits
+    FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+    WHERE len(list_intersect(list_transform(p1.pos, x -> x + 1), p2.pos)) > 0
+    """,
+)
+def search_phrase_match(spark, sf_dir):
+    """Positional phrase matching — the ES `match_phrase` analogue:
+    per-term position lists (the positional postings Lucene stores),
+    adjacency via intersect(positions(t1)+1, positions(t2)). All
+    JVM array functions; the postings build is the only shuffle and
+    each term's positions ride one array row per doc (no per-position
+    join blowup at scale)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("i0", "token"),
+        )
+        .filter(F.col("token") != "")
+        # 1-based positions to mirror the oracle's array subscripts
+        .select("doc_id", "token", (F.col("i0") + 1).alias("i"))
+    )
+
+    def positions(term, alias):
+        return (
+            toks.filter(F.col("token") == term)
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list("i")).alias(alias))
+        )
+
+    p1 = positions(PHRASE[0], "pos1")
+    p2 = positions(PHRASE[1], "pos2")
+    hits = F.size(
+        F.array_intersect(
+            F.transform(F.col("pos1"), lambda x: x + 1), F.col("pos2")
+        )
+    )
+    return (
+        p1.join(p2, "doc_id")
+        .select("doc_id", hits.cast("int").alias("n_phrase_hits"))
+        .filter(F.col("n_phrase_hits") > 0)
+    )
