@@ -714,3 +714,108 @@ def agg_value_histogram(spark, sf_dir):
             F.max("l_extendedprice").alias("max_v"),
         )
     )
+
+
+@query(
+    "agg_collect_set_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+             AS statuses,
+           CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_statuses
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def agg_collect_set_sorted(spark, sf_dir):
+    """Array-valued aggregation: distinct statuses per nation as a
+    sorted, comma-joined set (collect_set is unordered by contract —
+    array_sort + array_join make the result deterministic and its
+    rendering engine-portable)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.countDistinct("o_orderstatus").cast("int").alias("n_statuses"),
+        )
+    )
+
+
+@query(
+    "f_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(o_cnt, 0) AS order_count,
+           CASE WHEN o_cnt IS NULL THEN 'never_ordered' ELSE 'active' END AS status,
+           NULLIF(COALESCE(o_cnt, 0), 0) AS cnt_or_null,
+           IFNULL(CAST(o_max AS DOUBLE), -1.0) AS max_price_or_sentinel
+    FROM customer
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS o_cnt, MAX(o_totalprice) AS o_max
+      FROM orders GROUP BY o_custkey
+    ) o ON c_custkey = o_custkey
+    WHERE c_custkey < 300
+    """,
+)
+def f_null_handling(spark, sf_dir):
+    """NULL-handling function family (coalesce / nullif / ifnull /
+    CASE-on-null) over the nullable side of an outer join."""
+    t = load_tables(spark, sf_dir)
+    agg = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("o_cnt"), F.max("o_totalprice").alias("o_max"))
+    )
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") < 300)
+        .join(agg, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("o_cnt"), F.lit(0)).alias("order_count"),
+            F.when(F.col("o_cnt").isNull(), "never_ordered")
+            .otherwise("active")
+            .alias("status"),
+            F.nullif(F.coalesce(F.col("o_cnt"), F.lit(0)), F.lit(0)).alias(
+                "cnt_or_null"
+            ),
+            F.ifnull(F.col("o_max").cast("double"), F.lit(-1.0)).alias(
+                "max_price_or_sentinel"
+            ),
+        )
+    )
+
+
+@query(
+    "sq_correlated_min_price",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice = (
+      SELECT MIN(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def sq_correlated_min_price(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q2 shape: the row matching a
+    per-group minimum) — Catalyst decorrelates it into an aggregate +
+    join rather than re-executing per row."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (
+          SELECT MIN(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
