@@ -166,3 +166,27 @@ def test_index_build_single_shuffle(spark, tmp_path_factory):
     s = shuffle_summary(plan_df)
     assert s["n_shuffles"] == 1
     assert s["shuffle_records_written"] == s["scan_rows"]  # one full pass
+
+
+def test_join_hints_control_physical_strategy(spark):
+    """Join hints are the per-query override for Catalyst's strategy
+    choice — the knob for when statistics mislead at scale."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.plans.explain import formatted_plan
+
+    t = load_tables(spark, SF_DIR)
+    li = t["lineitem"].select("l_orderkey", "l_quantity")
+    orders = t["orders"].select("o_orderkey", "o_totalprice")
+    cond = F.col("l_orderkey") == F.col("o_orderkey")
+
+    merged = formatted_plan(li.join(orders.hint("merge"), cond))
+    assert "SortMergeJoin" in merged, merged
+
+    shuffled = formatted_plan(li.join(orders.hint("shuffle_hash"), cond))
+    assert "ShuffledHashJoin" in shuffled, shuffled
+
+    bcast = formatted_plan(li.join(orders.hint("broadcast"), cond))
+    assert _re.search(r"BroadcastHashJoin", bcast), bcast

@@ -203,3 +203,17 @@ def test_map_column_ops_and_parquet_roundtrip(spark, tmp_path_factory):
     df.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     assert back.filter(F.element_at("m", "a") == 7).count() == 1
+
+
+def test_explode_outer_preserves_empty_arrays(spark):
+    """explode vs explode_outer: outer keeps rows whose array is
+    empty/null (the fan-out-without-row-loss variant)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)], "id int, xs array<string>"
+    )
+    assert df.select("id", F.explode("xs")).count() == 2
+    outer = df.select("id", F.explode_outer("xs").alias("x"))
+    assert outer.count() == 4
+    assert outer.filter(F.col("x").isNull()).count() == 2
