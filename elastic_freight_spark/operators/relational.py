@@ -819,3 +819,39 @@ def sq_correlated_min_price(spark, sf_dir):
         ORDER BY o_custkey, o_orderkey
         """
     )
+
+
+@query(
+    "f_date_arithmetic_ship_delay",
+    oracle="""
+    SELECT CAST(date_diff('day', CAST(o_orderdate AS TIMESTAMP),
+                          CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS delay_days,
+           COUNT(*) AS n_items,
+           CAST(MIN(date_part('month', CAST(l_shipdate AS TIMESTAMP))) AS INT)
+             AS min_ship_month,
+           CAST(MAX(date_part('year', CAST(l_shipdate AS TIMESTAMP))) AS INT)
+             AS max_ship_year
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY 1
+    """,
+)
+def f_date_arithmetic_ship_delay(spark, sf_dir):
+    """Date arithmetic spectrum (F10): datediff / extract-part over a
+    join — the shipping-delay histogram, grouped by whole-day lag."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("bigint")
+            .alias("delay_days")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min(F.month("l_shipdate")).cast("int").alias("min_ship_month"),
+            F.max(F.year("l_shipdate")).cast("int").alias("max_ship_year"),
+        )
+    )

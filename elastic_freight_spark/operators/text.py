@@ -617,3 +617,63 @@ def text_pii_scrub(spark, sf_dir):
         F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
         F.length(scrubbed).alias("scrubbed_len"),
     )
+
+
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40  # 10-token overlap
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(c AS INT) AS chunk_idx,
+             list_slice(tok, c * {CHUNK_STRIDE} + 1,
+                        c * {CHUNK_STRIDE} + {CHUNK_SIZE}) AS chunk
+      FROM toks,
+           LATERAL (SELECT unnest(range(0,
+             CAST(ceil(greatest(len(tok) - {CHUNK_SIZE}, 0)
+                       / {CHUNK_STRIDE}.0) AS BIGINT) + 1)) AS c)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS INT) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM chunks WHERE len(chunk) > 0
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Overlapping-window document chunking (50-token chunks, stride
+    40) — the RAG/training-example prep operator: tokens → slice per
+    chunk index → one row per chunk. Pure JVM array functions; the
+    fan-out is bounded at ~len/stride rows per doc and chunk ids are
+    deterministic, so re-chunking is reproducible at any scale."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 200)
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("tok"))
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size("tok") - CHUNK_SIZE, F.lit(0)) / float(CHUNK_STRIDE)
+        ).cast("int")
+        + 1
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.col("tok"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.slice(
+            "tok", F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE
+        ).alias("chunk"),
+    )
+    return chunks.filter(F.size("chunk") > 0).select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").alias("n_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
