@@ -855,3 +855,35 @@ def f_date_arithmetic_ship_delay(spark, sf_dir):
             F.max(F.year("l_shipdate")).cast("int").alias("max_ship_year"),
         )
     )
+
+
+@query(
+    "f_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND a.c_custkey < 40 AND b.c_custkey < 40
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def f_fuzzy_levenshtein(spark, sf_dir):
+    """Fuzzy string matching: Levenshtein-bounded name pairs (edit
+    distance ≤ 2) over a bounded block — the entity-resolution
+    primitive. At scale the cross product is blocked first (length /
+    prefix / LSH buckets, as in the near-dup tier); the distance
+    function itself is identical in both engines."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_custkey") < 40).select("c_custkey", "c_name")
+    a = c.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"))
+    b = c.select(F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )

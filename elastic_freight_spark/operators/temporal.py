@@ -90,3 +90,55 @@ def join_asof_click_before_purchase(spark, sf_dir):
         ts_str("prior_click_ts_t", "prior_click_ts"),
         F.col("prior_click_value").alias("click_value"),
     )
+
+
+@query(
+    "t_time_spine_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ),
+    counts AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT strftime(s.hour_start, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(c.n, 0) AS n_purchases,
+           (c.n IS NULL) AS is_gap
+    FROM spine s LEFT JOIN counts c ON s.hour_start = c.hour_start
+    """,
+)
+def t_time_spine_fill(spark, sf_dir):
+    """Time-spine gap fill: generate the complete hourly spine between
+    min and max event time (sequence + explode — no data shuffle to
+    build it), left-join hourly purchase counts, zero-fill gaps. The
+    'no silent missing buckets' discipline every time-series rollup
+    needs; at scale the spine is generated, never scanned."""
+    events = load_tables(spark, sf_dir)["events"]
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    counts = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(counts, "hour_start", "left").select(
+        ts_str("hour_start", "hour_start"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases"),
+        F.col("n").isNull().alias("is_gap"),
+    )
