@@ -142,3 +142,62 @@ def t_time_spine_fill(spark, sf_dir):
         F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "t_funnel_click_to_purchase",
+    oracle="""
+    WITH first_click AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS c_ts
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT fc.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM first_click fc
+      JOIN events e ON e.user_id = fc.user_id
+       AND e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= fc.c_ts
+      GROUP BY fc.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clickers,
+           CAST(COUNT(p_ts) AS BIGINT) AS n_converted,
+           ROUND(COUNT(p_ts) / CAST(COUNT(*) AS DOUBLE), 9) AS conversion_rate,
+           CAST(SUM(CASE WHEN p_ts IS NOT NULL
+                    THEN date_diff('second', c_ts, p_ts) END) AS BIGINT)
+             AS total_lag_seconds
+    FROM first_click LEFT JOIN conv USING (user_id)
+    """,
+)
+def t_funnel_click_to_purchase(spark, sf_dir):
+    """Two-step conversion funnel: first click → first purchase at or
+    after it, per user; conversion rate + total lag. Two aggregates
+    and one join — the funnel never materializes per-event state, so
+    it scales as two shuffles keyed on user_id."""
+    events = load_tables(spark, sf_dir)["events"]
+    first_click = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_raw")
+    )
+    conv = (
+        first_click.join(purchases, "user_id")
+        .filter(F.col("p_raw") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_raw").alias("p_ts"))
+    )
+    joined = first_click.join(conv, "user_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_clickers"),
+        F.count("p_ts").alias("n_converted"),
+        F.round(F.count("p_ts") / F.count(F.lit(1)), 9).alias("conversion_rate"),
+        F.sum(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"),
+            )
+        )
+        .cast("bigint")
+        .alias("total_lag_seconds"),
+    )
