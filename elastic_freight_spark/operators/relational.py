@@ -887,3 +887,82 @@ def f_fuzzy_levenshtein(spark, sf_dir):
         )
         .filter(F.col("edit_dist") <= 2)
     )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(var_samp(l_discount), 6) AS var_disc,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark, sf_dir):
+    """Second-moment statistics (stddev / variance / correlation /
+    covariance) per group — single-pass partial-aggregated moments,
+    rounded to absorb engine-specific summation order in the last
+    digits."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@query(
+    "agg_conditional_bools",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_conditional_bools(spark, sf_dir):
+    """Conditional/boolean aggregates: count_if / every / any — the
+    assertion-style aggregates data-quality checks are written in."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.some(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+    )
+
+
+@query(
+    "f_split_part_surgery",
+    oracle="""
+    SELECT o_orderkey,
+           split_part(o_orderpriority, '-', 1) AS prio_num,
+           split_part(o_orderpriority, '-', 2) AS prio_word,
+           CAST(strlen(o_orderpriority)
+                - strlen(replace(o_orderpriority, '-', '')) AS INT) AS n_dashes
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def f_split_part_surgery(spark, sf_dir):
+    """split_part + occurrence counting — delimiter surgery on the
+    priority code (the reference's '|' tuple splitting class of ops,
+    BaseESReducer.java:210,274, done on real columns)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).alias("prio_num"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(2)).alias("prio_word"),
+        (
+            F.length("o_orderpriority")
+            - F.length(F.regexp_replace("o_orderpriority", "-", ""))
+        )
+        .cast("int")
+        .alias("n_dashes"),
+    )

@@ -329,3 +329,32 @@ def t2_sliding_window_events(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "w_trailing_values_array",
+    oracle="""
+    SELECT user_id, event_id,
+           array_to_string(list(CAST(value AS VARCHAR)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ',') AS trailing3
+    FROM events WHERE user_id < 20
+    """,
+)
+def w_trailing_values_array(spark, sf_dir):
+    """Array-valued window: the trailing-3 values per row as a
+    comma-joined list (the feature-window shape for sequence models;
+    string-joined for engine-stable rendering)."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return t["events"].filter(F.col("user_id") < 20).select(
+        "user_id",
+        "event_id",
+        F.array_join(
+            F.collect_list(F.col("value").cast("string")).over(w), ","
+        ).alias("trailing3"),
+    )
