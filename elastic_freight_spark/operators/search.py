@@ -192,3 +192,67 @@ def search_phrase_match(spark, sf_dir):
         .select("doc_id", hits.cast("int").alias("n_phrase_hits"))
         .filter(F.col("n_phrase_hits") > 0)
     )
+
+
+@query(
+    "search_significant_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    fg AS (
+      SELECT token, COUNT(*) AS fg_n FROM toks
+      WHERE source = 'src0' AND token <> '' GROUP BY token
+    ),
+    bg AS (
+      SELECT token, COUNT(*) AS bg_n FROM toks
+      WHERE token <> '' GROUP BY token
+    ),
+    totals AS (
+      SELECT (SELECT CAST(SUM(fg_n) AS DOUBLE) FROM fg) AS fg_total,
+             (SELECT CAST(SUM(bg_n) AS DOUBLE) FROM bg) AS bg_total
+    )
+    SELECT token,
+           CAST(fg_n AS BIGINT) AS fg_n,
+           CAST(bg_n AS BIGINT) AS bg_n,
+           ROUND((fg_n / fg_total) / (bg_n / bg_total), 9) AS lift
+    FROM fg JOIN bg USING (token) CROSS JOIN totals
+    WHERE fg_n >= 5
+    ORDER BY lift DESC, token
+    LIMIT 15
+    """,
+)
+def search_significant_terms(spark, sf_dir):
+    """ES `significant_terms` analogue: tokens over-represented in a
+    foreground subset (source='src0') vs the whole corpus, scored by
+    frequency lift. Two word-count aggregates + a broadcast of the
+    (tiny) foreground vocabulary — the background never re-shuffles
+    per query."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    fg = (
+        toks.filter(F.col("source") == "src0")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("fg_n"))
+    )
+    bg = toks.groupBy("token").agg(F.count(F.lit(1)).alias("bg_n"))
+    fg_total = fg.agg(F.sum("fg_n")).first()[0]
+    bg_total = bg.agg(F.sum("bg_n")).first()[0]
+    return (
+        F.broadcast(fg.filter(F.col("fg_n") >= 5))
+        .join(bg, "token")
+        .select(
+            "token",
+            "fg_n",
+            "bg_n",
+            F.round(
+                (F.col("fg_n") / float(fg_total)) / (F.col("bg_n") / float(bg_total)),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("token"))
+        .limit(15)
+    )
