@@ -966,3 +966,60 @@ def f_split_part_surgery(spark, sf_dir):
         .cast("int")
         .alias("n_dashes"),
     )
+
+
+@query(
+    "agg_max_by_min_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_max_by_min_by(spark, sf_dir):
+    """Argmax/argmin aggregates (§2.5 A3 as a first-class function):
+    the order id carrying each group's extreme price — one pass, no
+    window or self-join. (o_totalprice values are distinct per status
+    group at this scale, so the argmax is deterministic.)"""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+    )
+
+
+@query(
+    "f_greatest_least_bits",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(greatest(l_quantity, l_discount * 100) AS DOUBLE) AS g,
+           CAST(least(l_quantity, l_tax * 100) AS DOUBLE) AS l,
+           CAST(xor(CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT))
+                AS BIGINT) AS key_xor,
+           CAST(CAST(l_orderkey AS BIGINT) & 255 AS BIGINT) AS key_low_byte
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def f_greatest_least_bits(spark, sf_dir):
+    """greatest/least and bitwise ops (xor / mask) — the key-mixing
+    primitives behind bucketing and bloom-style filters."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].filter(F.col("l_orderkey") < 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100)
+        .cast("double")
+        .alias("g"),
+        F.least(F.col("l_quantity"), F.col("l_tax") * 100).cast("double").alias("l"),
+        F.col("l_orderkey")
+        .cast("bigint")
+        .bitwiseXOR(F.col("l_linenumber").cast("bigint"))
+        .alias("key_xor"),
+        F.col("l_orderkey").cast("bigint").bitwiseAND(F.lit(255)).alias("key_low_byte"),
+    )
