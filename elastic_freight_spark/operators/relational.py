@@ -1023,3 +1023,33 @@ def f_greatest_least_bits(spark, sf_dir):
         .alias("key_xor"),
         F.col("l_orderkey").cast("bigint").bitwiseAND(F.lit(255)).alias("key_low_byte"),
     )
+
+
+@query(
+    "f_string_family",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up,
+           reverse(c_name) AS rev,
+           translate(c_name, '#0', '_O') AS translated,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           repeat('-', CAST(c_custkey % 4 AS INT)) AS dashes,
+           CAST(strpos(c_name, '#') AS INT) AS hash_pos
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def f_string_family(spark, sf_dir):
+    """String-function family completion (F1-F5): case, reverse,
+    translate, pad, repeat, position — all codegen'd builtins."""
+    t = load_tables(spark, sf_dir)
+    return t["customer"].filter(F.col("c_custkey") < 200).select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.reverse("c_name").alias("rev"),
+        F.translate("c_name", "#0", "_O").alias("translated"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.repeat(F.lit("-"), F.pmod(F.col("c_custkey"), F.lit(4)).cast("int")).alias(
+            "dashes"
+        ),
+        F.instr(F.col("c_name"), "#").cast("int").alias("hash_pos"),
+    )

@@ -201,3 +201,44 @@ def t_funnel_click_to_purchase(spark, sf_dir):
         .cast("bigint")
         .alias("total_lag_seconds"),
     )
+
+
+@query(
+    "t_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id,
+             AVG(value) AS mu,
+             stddev_samp(value) AS sd,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id,
+           CAST(e.value AS DOUBLE) AS value,
+           ROUND((e.value - s.mu) / s.sd, 6) AS zscore
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    WHERE s.n >= 30 AND s.sd > 0
+      AND abs((e.value - s.mu) / s.sd) > 3
+    """,
+)
+def t_zscore_outliers(spark, sf_dir):
+    """Per-user z-score outlier detection (|z| > 3) — the anomaly /
+    bad-sample filter a training pipeline runs before ingestion. One
+    stats aggregate joined back to the stream; no window sort needed."""
+    events = load_tables(spark, sf_dir)["events"]
+    stats = events.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        events.join(stats, "user_id")
+        .filter((F.col("n") >= 30) & (F.col("sd") > 0) & (F.abs(z) > 3))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("value").cast("double").alias("value"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
