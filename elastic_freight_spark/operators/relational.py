@@ -1053,3 +1053,27 @@ def f_string_family(spark, sf_dir):
         ),
         F.instr(F.col("c_name"), "#").cast("int").alias("hash_pos"),
     )
+
+
+@query(
+    "agg_exact_median",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 6) AS med_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_exact_median(spark, sf_dir):
+    """Exact (not approximate) median and quartiles per group — the
+    sort-based exact companion to percentile_approx; at 100 TB this
+    pays a per-group sort, which is why approx is the default and
+    exact the audit pass."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75_price"),
+    )
