@@ -34,18 +34,26 @@ def query(name: str, oracle: str | None = None):
 
 
 def load_all() -> None:
-    """Import every operator module so registration side-effects run."""
+    """Import every operator module so registration side-effects run.
+
+    Import order IS registration order (dicts preserve insertion), and
+    the driver's correctness harness evaluates registry entries in that
+    order under a fixed budget — so the families that most need an
+    automated oracle row (windows/temporal/text/vectors/search/
+    subqueries/scale went unchecked in round 1's alphabetical order)
+    register first, with the round-1-green families after them.
+    """
     from elastic_freight_spark.operators import (  # noqa: F401
-        arrays,
-        indexing,
-        multimodal,
-        relational,
-        sampling,
-        scale,
-        search,
-        subqueries,
+        windows,
         temporal,
         text,
         vectors,
-        windows,
+        search,
+        subqueries,
+        scale,
+        relational,
+        arrays,
+        indexing,
+        sampling,
+        multimodal,
     )

@@ -82,11 +82,22 @@ TABLES = (
 )
 
 
+# (applicationId, abspath(sf_dir)) → {name: DataFrame}. Every
+# registered query calls load_tables; without this cache each call
+# re-lists the directory and re-reads ~10 parquet footers, which
+# dominates per-query setup when a harness runs all ~100 queries
+# back-to-back. DataFrames are lazy plans bound to a session, so
+# reusing them across queries is safe; keying on applicationId drops
+# the cache automatically when a new session is built.
+_TABLE_CACHE: dict[tuple[str, str], dict] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """Load the standard test tables from a scale-factor directory.
 
     Returns ``{name: DataFrame}`` and registers each as a temp view so
     operators can be expressed in either the DataFrame or SQL API.
+    Cached per (session, sf_dir) — see ``_TABLE_CACHE``.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
@@ -97,6 +108,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     # (the reference pins UTC in its Driver, driver/Driver.java:28-29).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _TABLE_CACHE.get(cache_key)
+    if cached is not None:
+        # Re-pin temp views (catalog-only, no I/O) in case a caller
+        # replaced one of the names between queries.
+        for name, df in cached.items():
+            df.createOrReplaceTempView(name)
+        return dict(cached)
 
     dfs = {}
     for name in TABLES:
@@ -110,6 +130,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
             df.createOrReplaceTempView(name)
             dfs[name] = df
+    _TABLE_CACHE[cache_key] = dict(dfs)
     return dfs
 
 
