@@ -245,23 +245,61 @@ def ann_lsh_cosine(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def ivf_assign(df, n_cells: int = 16, n_probe: int = 2, seed: int = 42):
+def ivf_assign(
+    df,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    fit_cap: int = 1_000_000,
+):
     """Fit a KMeans coarse quantizer (MLlib, on the vector column) and
-    return (centroids_df, assigned_df) where ``assigned_df`` carries
-    ``cell`` (nearest centroid) and queries probe the ``n_probe``
-    nearest cells. The classic IVF layout: at 100 TB the fit runs on a
-    sample, assignment is one map-side pass, and the cell id becomes a
-    partition/bucket column so a probe touches n_probe/n_cells of the
-    data."""
+    return (centroids, assigned_df) where ``assigned_df`` carries
+    ``cell`` (nearest centroid). The classic IVF layout: the fit runs
+    on a seeded sample capped at ``fit_cap`` rows (KMeans iterates
+    ~maxIter full passes over its input — at 100 TB that must be the
+    sample, never the corpus; centroid quality saturates long before
+    1M training points for any practical ``n_cells``), assignment is
+    one map-side ``transform`` pass over the full table, and the cell
+    id becomes a partition/bucket column so a probe touches
+    n_probe/n_cells of the data."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     with_vec = df.withColumn("features", array_to_vector("vec"))
+    # count() is column-pruned to a metadata-ish scan; one cheap job.
+    n = df.count()
+    frac = min(1.0, fit_cap / max(n, 1))
+    fit_df = with_vec.sample(fraction=frac, seed=seed) if frac < 1.0 else with_vec
     km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(with_vec)
+    model = km.fit(fit_df)
     assigned = model.transform(with_vec).drop("features")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return centroids, assigned
+
+
+def ivf_probe_cells(spark, q: DataFrame, centroids: list, n_probe: int = 2) -> DataFrame:
+    """(query_id, ccell) pairs: each query's ``n_probe`` nearest
+    coarse cells, computed as a broadcast crossJoin of the (tiny)
+    centroid table against the query side — fully distributed, no
+    driver-side loop over collected query vectors. Ties on distance
+    break by cell id (same order as a driver-side sort would give)."""
+    from pyspark.sql import Window as W
+
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "ccell int, cent array<double>"
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qvec, cent, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    w = W.partitionBy("query_id").orderBy("d2", "ccell")
+    return (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "ccell")
+    )
 
 
 @query("ann_ivf_cosine")  # rows-only: learned centroids aren't SQL-portable
@@ -284,18 +322,9 @@ def ann_ivf_cosine(spark, sf_dir):
         F.col("cell").alias("ccell"),
     )
 
-    # probe table: query_id -> n_probe nearest centroid cells, computed
-    # driver-side from the (tiny) query set x (tiny) centroid list
-    qrows = q.collect()
-    probe_rows = []
-    for r in qrows:
-        dists = []
-        for cell_id, cent in enumerate(centroids):
-            d = sum((a - b) ** 2 for a, b in zip(r["qvec"], cent))
-            dists.append((d, cell_id))
-        for _, cell_id in sorted(dists)[:2]:
-            probe_rows.append((r["query_id"], cell_id))
-    probes = spark.createDataFrame(probe_rows, "query_id long, ccell int")
+    # probe table: query_id -> n_probe nearest centroid cells, as a
+    # broadcast centroid join (no driver loop — scales to large Q)
+    probes = ivf_probe_cells(spark, q, centroids, n_probe=2)
 
     scored = (
         F.broadcast(q.join(probes, "query_id"))

@@ -182,3 +182,40 @@ def test_connected_components_matches_union_find(spark):
     # middle AND end; CC keeps exactly one doc per cluster
     comp_q = registry.QUERIES["dedup_corpus_connected_components"](spark, sf)
     assert comp_q.count() == len(want_named)
+
+
+def test_ivf_fit_sample_bounded_and_probe_distributed(spark):
+    """Scale contract for IVF: the KMeans fit input is capped at
+    fit_cap rows (exercised here with cap < table size) while
+    assignment still covers the full table, and the broadcast-join
+    probe table equals a driver-side nearest-cell computation."""
+    from elastic_freight_spark.operators.vectors import (
+        ivf_assign,
+        ivf_probe_cells,
+        with_unit_vectors,
+    )
+    from elastic_freight_spark.session import load_tables
+
+    e = with_unit_vectors(load_tables(spark, "/root/testdata/sf0.01")["embeddings"])
+    n = e.count()
+    cap = max(50, n // 4)
+    assert cap < n  # the sample path is actually exercised
+    centroids, assigned = ivf_assign(e, n_cells=4, fit_cap=cap)
+    assert len(centroids) == 4
+    assert assigned.count() == n  # assignment is over the FULL table
+
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    probes = {
+        (r["query_id"], r["ccell"])
+        for r in ivf_probe_cells(spark, q, centroids, n_probe=2).collect()
+    }
+    expected = set()
+    for r in q.collect():
+        dists = sorted(
+            (sum((a - b) ** 2 for a, b in zip(r["qvec"], c)), i)
+            for i, c in enumerate(centroids)
+        )
+        expected |= {(r["query_id"], i) for _, i in dists[:2]}
+    assert probes == expected
