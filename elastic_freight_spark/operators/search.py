@@ -10,14 +10,22 @@ scoring is a join + aggregate:
     score(q, d) = Σ_t∈q  tf(t,d) · idf(t)        (TF-IDF)
     bm25(q, d)  = Σ_t∈q  idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·|d|/avgdl))
 
-Scale shape: the postings build is the word-count shuffle; the query
-side is a handful of terms — broadcast it, so scoring never shuffles
-the corpus. Top-k lands in TakeOrderedAndProject (no global sort).
-ln() is IEEE libm in both engines; scores are rounded to 9 decimals
-like every float-scoring query in this engine.
+Scale shape: the postings build is the word-count shuffle and the ONE
+corpus-text scan — it is persisted per (session, corpus) so every
+scoring query (and every global scalar: N, avgdl, fg/bg totals) reads
+the cached index, never the corpus again; this is the DataFrame face
+of "build the Lucene index once, serve many queries" that the
+reference's whole artifact exists for. Global scalars ride the plan
+as 1-row-aggregate crossJoins (no driver-side .count()/.first()
+jobs), so each query is a single job. The query side is a handful of
+terms — broadcast it. Top-k lands in TakeOrderedAndProject (no
+global sort). ln() is IEEE libm in both engines; scores are rounded
+to 9 decimals like every float-scoring query in this engine.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import functions as F
 
@@ -29,14 +37,39 @@ QUERY_TERMS = ("data", "system", "model", "index")
 
 def build_postings(docs):
     """Inverted index: (token, doc_id, tf) + per-doc length — the
-    DataFrame face of what Lucene builds from the same corpus."""
+    DataFrame face of what Lucene builds from the same corpus.
+    ``doc_len`` derives from the postings (Σ tf per doc ≡ token
+    count), so a cached postings table serves both."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
     postings = toks.groupBy("token", "doc_id").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return postings, doc_len
+
+
+# (applicationId, abspath(sf_dir)) → persisted postings DataFrame.
+# MEMORY_AND_DISK (persist default): at 100 TB the postings spill to
+# local disk, which is still ~corpus-size I/O paid ONCE instead of
+# once per scoring query per scalar.
+_POSTINGS_CACHE: dict = {}
+
+
+def indexed_postings(spark, sf_dir):
+    """(postings, doc_len) with postings persisted per (session,
+    corpus) — the serve-many-queries entry point. All downstream
+    scoring plans read the cache via InMemoryTableScan; the documents
+    parquet's ``text`` column is scanned exactly once per session."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    postings = _POSTINGS_CACHE.get(key)
+    if postings is None:
+        docs = load_tables(spark, sf_dir)["documents"]
+        postings, _ = build_postings(docs)
+        postings = postings.persist()
+        _POSTINGS_CACHE[key] = postings
+    doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     return postings, doc_len
 
 
@@ -71,14 +104,19 @@ def search_tfidf_topk(spark, sf_dir):
     """TF-IDF ranked retrieval for a 4-term query, top-10: the ES
     `match` query the reference's artifact serves, as postings-join →
     per-doc score sum → TakeOrderedAndProject. The tiny idf table
-    broadcasts; the corpus never re-shuffles for the query."""
+    broadcasts; the corpus never re-shuffles for the query. N rides
+    in as a broadcast 1-row count-star aggregate (column-pruned scan,
+    reads no text) instead of a separate driver-side docs.count()
+    job — the whole query is one job over the cached postings."""
     docs = load_tables(spark, sf_dir)["documents"]
-    postings, _ = build_postings(docs)
-    n = docs.count()
+    postings, _ = indexed_postings(spark, sf_dir)
+    n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
     idf = (
         postings.filter(F.col("token").isin(*QUERY_TERMS))
         .groupBy("token")
-        .agg(F.log(F.lit(n) / F.count(F.lit(1))).alias("idf"))
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .crossJoin(F.broadcast(n_df))
+        .select("token", F.log(F.col("n") / F.col("df_t")).alias("idf"))
     )
     scored = (
         postings.join(F.broadcast(idf), "token")
@@ -96,28 +134,36 @@ def search_tfidf_topk(spark, sf_dir):
 def search_bm25_topk(spark, sf_dir, k1: float = 1.2, b: float = 0.75):
     """BM25 ranked retrieval, top-10 — same postings, saturation-tf
     scoring with length normalization (the default ES similarity
-    since 5.x, which the reference's artifact would serve)."""
+    since 5.x, which the reference's artifact would serve). N and
+    avgdl ride in as broadcast 1-row aggregates over the cached index
+    (no driver-side count()/first() jobs re-deriving the corpus —
+    round 1 paid 3 corpus scans per call here)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    postings, doc_len = build_postings(docs)
-    n = docs.count()
+    postings, doc_len = indexed_postings(spark, sf_dir)
+    n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    avgdl_df = doc_len.agg(F.avg("dl").alias("avgdl"))
     stats = postings.filter(F.col("token").isin(*QUERY_TERMS))
-    df_counts = stats.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # Lucene/ES BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5))
-    idf = df_counts.select(
-        "token",
-        F.log(
-            1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("idf"),
+    idf = (
+        stats.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "token",
+            F.log(
+                1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
     )
-    avgdl = doc_len.agg(F.avg("dl").alias("avgdl")).first()["avgdl"]
     scored = (
         stats.join(F.broadcast(idf), "token")
         .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
         .withColumn(
             "term_score",
             F.col("idf")
             * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
         .groupBy("doc_id")
         .agg(
@@ -159,38 +205,41 @@ def search_phrase_match(spark, sf_dir):
     """Positional phrase matching — the ES `match_phrase` analogue:
     per-term position lists (the positional postings Lucene stores),
     adjacency via intersect(positions(t1)+1, positions(t2)). All
-    JVM array functions; the postings build is the only shuffle and
-    each term's positions ride one array row per doc (no per-position
-    join blowup at scale)."""
+    JVM array functions; both terms' position lists come out of ONE
+    conditional aggregation (one corpus scan, one shuffle — not a
+    per-term branch + join re-deriving the tokenize lineage), and
+    each term's positions ride one array row per doc (no
+    per-position join blowup at scale)."""
     docs = load_tables(spark, sf_dir)["documents"]
     toks = (
         docs.select(
             "doc_id",
             F.posexplode(F.split(F.lower("text"), " ")).alias("i0", "token"),
         )
-        .filter(F.col("token") != "")
+        .filter(F.col("token").isin(*PHRASE))
         # 1-based positions to mirror the oracle's array subscripts
         .select("doc_id", "token", (F.col("i0") + 1).alias("i"))
     )
-
-    def positions(term, alias):
-        return (
-            toks.filter(F.col("token") == term)
-            .groupBy("doc_id")
-            .agg(F.array_sort(F.collect_list("i")).alias(alias))
+    # collect_list drops nulls → one pass yields both position lists
+    pos = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("token") == PHRASE[0], F.col("i")))
+            ).alias("pos1"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("token") == PHRASE[1], F.col("i")))
+            ).alias("pos2"),
         )
-
-    p1 = positions(PHRASE[0], "pos1")
-    p2 = positions(PHRASE[1], "pos2")
+        .filter((F.size("pos1") > 0) & (F.size("pos2") > 0))
+    )
     hits = F.size(
         F.array_intersect(
             F.transform(F.col("pos1"), lambda x: x + 1), F.col("pos2")
         )
     )
-    return (
-        p1.join(p2, "doc_id")
-        .select("doc_id", hits.cast("int").alias("n_phrase_hits"))
-        .filter(F.col("n_phrase_hits") > 0)
+    return pos.select("doc_id", hits.cast("int").alias("n_phrase_hits")).filter(
+        F.col("n_phrase_hits") > 0
     )
 
 
@@ -226,30 +275,36 @@ def search_phrase_match(spark, sf_dir):
 def search_significant_terms(spark, sf_dir):
     """ES `significant_terms` analogue: tokens over-represented in a
     foreground subset (source='src0') vs the whole corpus, scored by
-    frequency lift. Two word-count aggregates + a broadcast of the
-    (tiny) foreground vocabulary — the background never re-shuffles
-    per query."""
+    frequency lift. Both word-counts (fg via a text-free doc_id →
+    source join, bg directly) and both totals derive from the cached
+    postings index — no corpus re-scan, no driver-side .first()
+    pulls; totals ride the plan as a broadcast 1-row crossJoin."""
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = docs.select(
-        "doc_id", "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
-    ).filter(F.col("token") != "")
+    postings, _ = indexed_postings(spark, sf_dir)
+    src = docs.select("doc_id", "source")  # column-pruned: no text read
     fg = (
-        toks.filter(F.col("source") == "src0")
+        postings.join(src, "doc_id")
+        .filter(F.col("source") == "src0")
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("fg_n"))
+        .agg(F.sum("tf").alias("fg_n"))
     )
-    bg = toks.groupBy("token").agg(F.count(F.lit(1)).alias("bg_n"))
-    fg_total = fg.agg(F.sum("fg_n")).first()[0]
-    bg_total = bg.agg(F.sum("bg_n")).first()[0]
+    bg = postings.groupBy("token").agg(F.sum("tf").alias("bg_n"))
+    totals = F.broadcast(
+        fg.agg(F.sum("fg_n").cast("double").alias("fg_total")).crossJoin(
+            bg.agg(F.sum("bg_n").cast("double").alias("bg_total"))
+        )
+    )
     return (
         F.broadcast(fg.filter(F.col("fg_n") >= 5))
         .join(bg, "token")
+        .crossJoin(totals)
         .select(
             "token",
             "fg_n",
             "bg_n",
             F.round(
-                (F.col("fg_n") / float(fg_total)) / (F.col("bg_n") / float(bg_total)),
+                (F.col("fg_n") / F.col("fg_total"))
+                / (F.col("bg_n") / F.col("bg_total")),
                 9,
             ).alias("lift"),
         )

@@ -84,3 +84,33 @@ def summarize(nodes: list[dict]) -> dict:
 def shuffle_summary(df: DataFrame, run: bool = True) -> dict:
     """One-call 'did this shuffle more than it should' probe."""
     return summarize(execution_metrics(df, run=run))
+
+
+def executed_scans(df: DataFrame, run: bool = True) -> list[str]:
+    """One-line description of every scan leaf that actually executes.
+
+    Cached lineage rendered inside an InMemoryRelation does NOT
+    execute — InMemoryTableScan is a leaf in the executed plan — so
+    this is the honest "which files did this query read" probe that
+    a string-match over ``explain()`` output can't give (explain
+    prints the cached plan's original scans too)."""
+    if run:
+        df.collect()
+    out: list[str] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(node.plan())
+            return
+        if name.startswith("Scan"):
+            out.append(node.simpleString(100))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

@@ -61,3 +61,32 @@ def test_tfidf_ranking_properties(spark):
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(r["score"] > 0 for r in rows)
+
+
+def test_search_scoring_single_corpus_scan(spark):
+    """Scale contract: scoring queries read the corpus text exactly
+    once per session (the cached postings build); every per-query
+    executed plan reads the cache plus at most text-free parquet
+    scans (count-star N, doc_id→source). Round 1 paid 2-3 corpus
+    scans per call via driver-side count()/first() pulls."""
+    registry.load_all()
+    from elastic_freight_spark.operators.search import indexed_postings
+    from elastic_freight_spark.plans.metrics import executed_scans
+
+    indexed_postings(spark, SF)  # the one tokenizing scan, cached
+    for name in (
+        "search_bm25_topk",
+        "search_tfidf_topk",
+        "search_significant_terms",
+    ):
+        df = registry.QUERIES[name](spark, SF)
+        scans = executed_scans(df)
+        text_scans = [s for s in scans if "text" in s]
+        assert not text_scans, f"{name} re-reads corpus text: {text_scans}"
+        assert df.count() > 0
+
+    # phrase match keeps its own positional pass: exactly one
+    # text-reading scan executes
+    dfp = registry.QUERIES["search_phrase_match"](spark, SF)
+    text_scans = [s for s in executed_scans(dfp) if "text" in s]
+    assert len(text_scans) == 1, text_scans
