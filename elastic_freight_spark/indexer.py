@@ -51,21 +51,51 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from elastic_freight_spark.sharding import lcg_shard_col, shard_col
 
 MANIFEST_NAME = "_manifest.json"
+CATALOG_NAME = "_catalog.json"
 
 #: Counter names, mirroring the reference's job counters
 #: (BaseESReducer.java:60-62).
 COUNTER_DOC_CREATED = "index_doc_created"
 COUNTER_DOC_FAILED = "indexing_doc_fail"
 
+#: Per-phase wall-clock counters, the analogue of the reference's
+#: TIME_SPENT_INDEXING/FLUSHING/MERGING/SNAPSHOTTING/TRANSPORTING_MS
+#: (BaseESReducer.java:60-62). Spark folds map+shuffle+write into one
+#: job, so the phases are: the indexing job itself, the manifest
+#: (shard-count) scan, the missing-shard fill, and — in
+#: ``compact_index`` — the force-merge analogue.
+COUNTER_T_INDEXING = "time_spent_indexing_ms"
+COUNTER_T_MANIFESTING = "time_spent_manifesting_ms"
+COUNTER_T_FILLING = "time_spent_filling_ms"
+COUNTER_T_MERGING = "time_spent_merging_ms"
+
+
+@dataclass
+class ShardConfig:
+    """Per-index shard counts with a default — the reference's
+    ShardConfig (ShardConfig.java:13-38: index-name → shard-count map,
+    ``getShardsForIndex`` falling back to the default). Lets one
+    multi-index job give its big indexes more shards than its small
+    ones."""
+
+    shards_per_index: dict[str, int] = field(default_factory=dict)
+    default_shards: int = 1
+
+    def shards_for(self, index_name: str) -> int:
+        return self.shards_per_index.get(index_name, self.default_shards)
+
 
 @dataclass
 class IndexConfig:
     """Equivalent of the reference's 13 ConfigParams strings
-    (ConfigParams.java:10-24) minus the ES/snapshot-specific ones."""
+    (ConfigParams.java:10-24) minus the ES/snapshot-specific ones.
+
+    ``num_shards`` may be None when a ``shard_config`` is given — it
+    then resolves per index name, reference-style."""
 
     index_name: str
     doc_id_col: str
-    num_shards: int
+    num_shards: int | None
     output_path: str
     #: 'spark' (murmur3 seed 42, JVM fast path), 'lcg'
     #: (oracle-portable arithmetic), or 'es' (bit-exact ES 5.x parity
@@ -80,6 +110,17 @@ class IndexConfig:
     #: locality / compression, like ES's force-merge producing ordered
     #: segments)
     sort_within_shard: list[str] = field(default_factory=list)
+    #: per-index shard-count policy; consulted when num_shards is None
+    shard_config: ShardConfig | None = None
+
+    def __post_init__(self):
+        if self.num_shards is None:
+            if self.shard_config is None:
+                raise ValueError(
+                    "num_shards=None requires a shard_config to resolve "
+                    "the per-index shard count"
+                )
+            self.num_shards = self.shard_config.shards_for(self.index_name)
 
 
 def shard_expr(cfg: IndexConfig):
@@ -133,27 +174,40 @@ def build_index(df: DataFrame, cfg: IndexConfig) -> dict:
 
     observed = sharded.observe(obs, F.count(F.lit(1)).alias(COUNTER_DOC_CREATED))
 
+    import time
+
     dest = os.path.join(cfg.output_path, cfg.index_name)
+    t0 = time.monotonic()
     (
         observed.write.mode(cfg.mode)
         .option("maxRecordsPerFile", cfg.max_records_per_file)
         .partitionBy("shard")
         .parquet(dest)
     )
+    t_index = time.monotonic()
 
     created = int(obs.get[COUNTER_DOC_CREATED])
     failed = int(obs_in.get["total"]) - created
 
     shard_counts = _shard_counts(spark, dest)
+    t_manifest = time.monotonic()
+    filled = _fill_missing_shards(spark, df.schema, dest, cfg, shard_counts)
+    t_fill = time.monotonic()
     manifest = {
         "index": cfg.index_name,
         "num_shards": cfg.num_shards,
         "doc_id_col": cfg.doc_id_col,
         "routing": cfg.routing,
         "path": dest,
-        "counters": {COUNTER_DOC_CREATED: created, COUNTER_DOC_FAILED: failed},
+        "counters": {
+            COUNTER_DOC_CREATED: created,
+            COUNTER_DOC_FAILED: failed,
+            COUNTER_T_INDEXING: (t_index - t0) * 1000.0,
+            COUNTER_T_MANIFESTING: (t_manifest - t_index) * 1000.0,
+            COUNTER_T_FILLING: (t_fill - t_manifest) * 1000.0,
+        },
         "shards": shard_counts,
-        "missing_shards_filled": _fill_missing_shards(spark, df.schema, dest, cfg, shard_counts),
+        "missing_shards_filled": filled,
     }
     _write_manifest(dest, manifest)
     return manifest
@@ -246,6 +300,149 @@ def read_shard(spark: SparkSession, index_path: str, doc_id) -> DataFrame:
     )
 
 
+# --- multi-index catalog (the reference's post-processor surface) ---------
+
+
+def merge_manifests(
+    index_paths: list[str],
+    catalog_path: str,
+    spark: SparkSession | None = None,
+    shard_config: ShardConfig | None = None,
+) -> dict:
+    """Merge N built indexes' manifests into ONE restorable catalog —
+    the reference's IndexingPostProcessor.execute
+    (IndexingPostProcessor.java:144-246): each reducer emits its own
+    tiny manifest (because listing eventually-consistent job output
+    lies), the post-processor merges them, de-dupes entries per index,
+    places empty shards for any shard that got no data, and writes a
+    single root manifest naming every restorable index.
+
+    Here each ``build_index`` already wrote a per-index manifest; this
+    merges those. De-dupe: the same index path listed twice collapses
+    to one entry; the same index *name* at two different paths is a
+    conflict (the reference would silently union reducer lines — with
+    whole-index manifests that can only be a caller bug) → ValueError.
+    Missing-shard fill needs a SparkSession to write empty parquet
+    shards; pass ``shard_config`` to *widen* the expected shard count
+    beyond what an index's own manifest says (reference semantics:
+    the transport fills up to ShardConfig's count).
+
+    Driver-side and metadata-only (reads N small JSON files, writes
+    one) — nothing scans data.
+    """
+    indices: dict[str, dict] = {}
+    for p in index_paths:
+        m = read_manifest(p)
+        name = m["index"]
+        if name in indices:
+            if indices[name]["path"] != m["path"]:
+                raise ValueError(
+                    f"index {name!r} appears at two paths: "
+                    f"{indices[name]['path']} vs {m['path']}"
+                )
+            continue  # duplicate listing of the same build — de-dupe
+        indices[name] = m
+
+    filled: dict[str, list[int]] = {}
+    for name, m in sorted(indices.items()):
+        expected = m["num_shards"]
+        if shard_config is not None:
+            expected = max(expected, shard_config.shards_for(name))
+            m["num_shards"] = expected
+        missing = sorted(set(range(expected)) - {int(s) for s in m["shards"]})
+        if missing:
+            if spark is None:
+                raise ValueError(
+                    f"index {name!r} is missing shards {missing}; pass "
+                    "spark= so empty placeholder shards can be written"
+                )
+            schema = spark.read.parquet(m["path"]).drop("shard").schema
+            empty = spark.createDataFrame([], schema)
+            for shard_id in missing:
+                empty.write.mode("overwrite").parquet(
+                    os.path.join(m["path"], f"shard={shard_id}")
+                )
+                m["shards"][str(shard_id)] = 0
+            filled[name] = missing
+            _write_manifest(m["path"], m)
+
+    catalog = {
+        "indices": {
+            name: {
+                "path": m["path"],
+                "num_shards": m["num_shards"],
+                "doc_id_col": m["doc_id_col"],
+                "routing": m.get("routing"),
+                "shards": m["shards"],
+                "counters": m.get("counters", {}),
+            }
+            for name, m in sorted(indices.items())
+        },
+        "counters": {
+            COUNTER_DOC_CREATED: sum(
+                m.get("counters", {}).get(COUNTER_DOC_CREATED, 0)
+                for m in indices.values()
+            ),
+            COUNTER_DOC_FAILED: sum(
+                m.get("counters", {}).get(COUNTER_DOC_FAILED, 0)
+                for m in indices.values()
+            ),
+        },
+        "missing_shards_filled": filled,
+    }
+    os.makedirs(catalog_path, exist_ok=True)
+    with open(os.path.join(catalog_path, CATALOG_NAME), "w") as f:
+        json.dump(catalog, f, indent=2, sort_keys=True)
+    return catalog
+
+
+def read_catalog(catalog_path: str) -> dict:
+    with open(os.path.join(catalog_path, CATALOG_NAME)) as f:
+        return json.load(f)
+
+
+def restore_catalog_index(spark: SparkSession, catalog_path: str, index_name: str) -> DataFrame:
+    """'Restore' one index through the merged catalog (the reference
+    restores from the root manifest's snapshot; here: read the path
+    the catalog records)."""
+    cat = read_catalog(catalog_path)
+    return read_index(spark, cat["indices"][index_name]["path"])
+
+
+def build_indexes(
+    dfs: dict[str, DataFrame],
+    doc_id_col: str,
+    output_path: str,
+    shard_config: ShardConfig,
+    routing: str = "spark",
+    **config_kwargs,
+) -> dict:
+    """Build several indexes in one job output and post-process them
+    into one catalog — the reference's whole-job surface (a single
+    MapReduce run emits many indexes, then IndexingPostProcessor
+    stitches the root manifest). Shard counts come per-index from
+    ``shard_config``."""
+    manifests = []
+    for name, df in sorted(dfs.items()):
+        cfg = IndexConfig(
+            index_name=name,
+            doc_id_col=doc_id_col,
+            num_shards=None,
+            output_path=output_path,
+            routing=routing,
+            shard_config=shard_config,
+            **config_kwargs,
+        )
+        manifests.append(build_index(df, cfg))
+    spark = next(iter(dfs.values())).sparkSession
+    return merge_manifests(
+        [m["path"] for m in manifests],
+        output_path,
+        spark=spark,
+        shard_config=shard_config,
+    )
+
+
 def compact_index(
     spark: SparkSession,
     index_path: str,
@@ -264,7 +461,19 @@ def compact_index(
     open per shard instead of hundreds. Data is byte-identical —
     only file layout changes. Run it like the reference runs
     force-merge: once, after load, before serving.
+
+    Crash safety: the compacted tree is fully written — manifest
+    included — at ``<path>.compacting`` BEFORE any rename, and the
+    original survives at ``<path>.old`` until the new tree is in
+    place. A crash can therefore never lose data; the only window is
+    between the two renames (directory swaps can't be atomic
+    together), after which ``recover_compact(index_path)`` restores
+    a readable index: it renames ``.old`` back if the live path is
+    missing, and clears leftovers if the swap completed.
     """
+    import time
+
+    t0 = time.monotonic()
     manifest = read_manifest(index_path)
     df = spark.read.parquet(index_path)
     k = max(1, target_files_per_shard)
@@ -283,18 +492,46 @@ def compact_index(
     tmp = index_path.rstrip("/") + ".compacting"
     compacted.write.mode("overwrite").partitionBy("shard").parquet(tmp)
 
+    # complete the new tree (shard counts + manifest) BEFORE swapping,
+    # so whatever directory ends up at index_path is self-describing
+    manifest["compacted"] = True
+    manifest["shards"] = _shard_counts(spark, tmp)
+    manifest.setdefault("counters", {})[COUNTER_T_MERGING] = (
+        time.monotonic() - t0
+    ) * 1000.0
+    _write_manifest(tmp, manifest)
+
     import shutil
 
-    # atomic-ish swap (same filesystem): old dir out, new dir in
+    # swap (same filesystem): old dir out, new dir in; .old is only
+    # deleted after the new tree is live
     old = index_path.rstrip("/") + ".old"
     os.rename(index_path, old)
     os.rename(tmp, index_path)
     shutil.rmtree(old)
-
-    manifest["compacted"] = True
-    manifest["shards"] = _shard_counts(spark, index_path)
-    _write_manifest(index_path, manifest)
     return manifest
+
+
+def recover_compact(index_path: str) -> str:
+    """Recover from a crash mid-``compact_index``. Returns what was
+    done: 'ok' (live index present, leftovers cleared), 'restored'
+    (live path was missing — ``.old`` renamed back), or 'missing'
+    (nothing recoverable at this path)."""
+    import shutil
+
+    old = index_path.rstrip("/") + ".old"
+    tmp = index_path.rstrip("/") + ".compacting"
+    if os.path.exists(index_path):
+        for leftover in (old, tmp):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+        return "ok"
+    if os.path.exists(old):
+        os.rename(old, index_path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        return "restored"
+    return "missing"
 
 
 # --- range-partitioned layout (alternative to hash sharding) --------------

@@ -145,6 +145,58 @@ def grouped_batch_stats(spark, sf_dir):
     )
 
 
+@query(
+    "manifest_catalog",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'customer_idx' AS index_name, 4 AS num_shards,
+             CAST(COUNT(*) AS BIGINT) AS doc_created,
+             CAST(0 AS BIGINT) AS doc_failed
+      FROM customer
+      UNION ALL
+      SELECT 'orders_idx', 8, CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+      FROM orders
+    ) ORDER BY index_name
+    """,
+)
+def manifest_catalog(spark, sf_dir):
+    """Multi-index job + post-processor merge (IndexingPostProcessor
+    .java:144-246 + ShardConfig.java:13-38): build two real indexes
+    with per-index shard counts from one ShardConfig, merge their
+    manifests into one catalog, and report the catalog's per-index
+    row (shards, created/failed counters). The doc counts are
+    oracle-checkable against the source tables because the build
+    routes every non-null-id row."""
+    import tempfile
+
+    from elastic_freight_spark.indexer import ShardConfig, build_indexes
+
+    t = load_tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="efs_catalog_")
+    cat = build_indexes(
+        {
+            "customer_idx": t["customer"].withColumnRenamed("c_custkey", "doc_id"),
+            "orders_idx": t["orders"].withColumnRenamed("o_orderkey", "doc_id"),
+        },
+        doc_id_col="doc_id",
+        output_path=out,
+        shard_config=ShardConfig({"orders_idx": 8}, default_shards=4),
+    )
+    rows = [
+        (
+            name,
+            int(e["num_shards"]),
+            int(e["counters"]["index_doc_created"]),
+            int(e["counters"]["indexing_doc_fail"]),
+        )
+        for name, e in sorted(cat["indices"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "index_name string, num_shards int, doc_created bigint, doc_failed bigint",
+    ).orderBy("index_name")
+
+
 @query("es_parity_shard_distribution")  # rows-only: murmur3/UTF-16LE not in SQL
 def es_parity_shard_distribution(spark, sf_dir):
     """Bit-exact ES 5.x routing over string ids via the pandas UDF

@@ -330,3 +330,149 @@ def test_compact_index_multi_file_target(spark, tmp_path_factory):
     # each shard actually split across >1 file (salting worked)
     assert all(1 < n <= 4 for n in per_shard.values()), per_shard
     assert read_index(spark, man["path"]).count() == before
+
+
+def test_shard_config_per_index_counts():
+    from elastic_freight_spark.indexer import ShardConfig
+
+    sc = ShardConfig({"big": 32, "mid": 8}, default_shards=4)
+    assert sc.shards_for("big") == 32
+    assert sc.shards_for("mid") == 8
+    assert sc.shards_for("anything_else") == 4
+    assert ShardConfig().shards_for("x") == 1  # reference default
+
+
+def test_index_config_resolves_shards_from_shard_config():
+    from elastic_freight_spark.indexer import ShardConfig
+
+    sc = ShardConfig({"orders_idx": 8}, default_shards=4)
+    cfg = IndexConfig("orders_idx", "id", None, "/tmp/x", shard_config=sc)
+    assert cfg.num_shards == 8
+    cfg2 = IndexConfig("other_idx", "id", None, "/tmp/x", shard_config=sc)
+    assert cfg2.num_shards == 4
+    with pytest.raises(ValueError):
+        IndexConfig("no_config", "id", None, "/tmp/x")
+
+
+def test_build_indexes_merged_catalog_roundtrip(spark, events, tmp_path_factory):
+    from elastic_freight_spark.indexer import (
+        ShardConfig,
+        build_indexes,
+        read_catalog,
+        restore_catalog_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("cat"))
+    evens = events.filter(F.col("user_id") % 2 == 0)
+    odds = events.filter(F.col("user_id") % 2 == 1)
+    cat = build_indexes(
+        {"ev_idx": evens, "od_idx": odds},
+        doc_id_col="user_id",
+        output_path=out,
+        shard_config=ShardConfig({"ev_idx": 8}, default_shards=4),
+    )
+    assert set(cat["indices"]) == {"ev_idx", "od_idx"}
+    assert cat["indices"]["ev_idx"]["num_shards"] == 8
+    assert cat["indices"]["od_idx"]["num_shards"] == 4
+    total = events.count()
+    assert cat["counters"]["index_doc_created"] == total
+    # the catalog on disk equals the returned one
+    assert read_catalog(out) == cat
+    # restore each index through the catalog; union re-covers the input
+    n_ev = restore_catalog_index(spark, out, "ev_idx").count()
+    n_od = restore_catalog_index(spark, out, "od_idx").count()
+    assert n_ev + n_od == total
+    # every shard dir exists (restorability — the post-processor's
+    # whole reason: ES refuses a restore with absent shards)
+    for name, entry in cat["indices"].items():
+        assert set(entry["shards"]) == {str(i) for i in range(entry["num_shards"])}
+
+
+def test_merge_manifests_dedupes_and_widens_shards(spark, events, tmp_path_factory):
+    from elastic_freight_spark.indexer import (
+        ShardConfig,
+        merge_manifests,
+        read_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("widen"))
+    cfg = IndexConfig("small_idx", "user_id", 2, out)
+    m = build_index(events.limit(50), cfg)
+    # duplicate listing de-dupes; shard_config widens 2 → 6 and the
+    # merge fills the 4 new empty shards
+    cat = merge_manifests(
+        [m["path"], m["path"]],
+        out,
+        spark=spark,
+        shard_config=ShardConfig(default_shards=6),
+    )
+    entry = cat["indices"]["small_idx"]
+    assert entry["num_shards"] == 6
+    assert set(entry["shards"]) == {str(i) for i in range(6)}
+    assert cat["missing_shards_filled"]["small_idx"] == [2, 3, 4, 5]
+    # the widened index still restores (all shard dirs readable)
+    assert read_index(spark, m["path"]).count() == 50
+
+
+def test_merge_manifests_conflicting_paths_rejected(spark, events, tmp_path_factory):
+    from elastic_freight_spark.indexer import merge_manifests
+
+    out_a = str(tmp_path_factory.mktemp("a"))
+    out_b = str(tmp_path_factory.mktemp("b"))
+    ma = build_index(events.limit(10), IndexConfig("dup_idx", "user_id", 2, out_a))
+    mb = build_index(events.limit(10), IndexConfig("dup_idx", "user_id", 2, out_b))
+    with pytest.raises(ValueError, match="two paths"):
+        merge_manifests([ma["path"], mb["path"]], out_a)
+
+
+def test_manifest_phase_timing_counters(spark, events, tmp_path_factory):
+    from elastic_freight_spark.indexer import (
+        COUNTER_T_FILLING,
+        COUNTER_T_INDEXING,
+        COUNTER_T_MANIFESTING,
+        COUNTER_T_MERGING,
+        compact_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("timed"))
+    cfg = IndexConfig("timed_idx", "user_id", 4, out)
+    m = build_index(events, cfg)
+    c = m["counters"]
+    for key in (COUNTER_T_INDEXING, COUNTER_T_MANIFESTING, COUNTER_T_FILLING):
+        assert key in c, key
+    assert c[COUNTER_T_INDEXING] > 0
+    assert c[COUNTER_T_MANIFESTING] > 0
+    # persisted in the on-disk manifest too
+    assert read_manifest(m["path"])["counters"][COUNTER_T_INDEXING] > 0
+
+    m2 = compact_index(spark, m["path"])
+    assert m2["counters"][COUNTER_T_MERGING] > 0
+    assert read_manifest(m["path"])["counters"][COUNTER_T_MERGING] > 0
+
+
+def test_compact_crash_recovery(spark, events, tmp_path_factory):
+    """The swap window: if a crash leaves no live dir but an .old,
+    recover_compact restores it; leftovers after a completed swap are
+    cleared; data survives either way."""
+    import shutil
+
+    from elastic_freight_spark.indexer import recover_compact
+
+    out = str(tmp_path_factory.mktemp("crash"))
+    cfg = IndexConfig("crash_idx", "user_id", 2, out)
+    m = build_index(events.limit(100), cfg)
+    path = m["path"]
+
+    # simulate a crash between the two renames: live dir moved to
+    # .old, new tree never moved in
+    os.rename(path, path + ".old")
+    assert recover_compact(path) == "restored"
+    assert read_index(spark, path).count() == 100
+
+    # leftover .compacting/.old next to a live index are cleared
+    shutil.copytree(path, path + ".old")
+    shutil.copytree(path, path + ".compacting")
+    assert recover_compact(path) == "ok"
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".compacting")
+    assert recover_compact(str(tmp_path_factory.mktemp("nope")) + "/gone") == "missing"
