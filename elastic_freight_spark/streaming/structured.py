@@ -92,16 +92,28 @@ def stream_index(
     dest = os.path.join(cfg.output_path, cfg.index_name)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        good = batch_df.filter(F.col(cfg.doc_id_col).isNotNull())
+        from pyspark.sql import Observation
+
+        obs_in = Observation(f"stream_{cfg.index_name}_{batch_id}_in")
+        obs_out = Observation(f"stream_{cfg.index_name}_{batch_id}_out")
+        base = batch_df.observe(obs_in, F.count(F.lit(1)).alias("total"))
+        good = base.filter(F.col(cfg.doc_id_col).isNotNull())
         sharded = good.withColumn("shard", shard_expr(cfg)).repartition(
             cfg.num_shards, F.col("shard")
         )
+        observed = sharded.observe(obs_out, F.count(F.lit(1)).alias("created"))
         (
-            sharded.write.mode("append")
+            observed.write.mode("append")
             .option("maxRecordsPerFile", cfg.max_records_per_file)
             .partitionBy("shard")
             .parquet(dest)
         )
+        # null-id docs are dropped, not fatal — record the per-batch
+        # count so finalize can report an honest fail counter. Keyed
+        # by batch_id: a replayed batch overwrites its own entry
+        # instead of double counting.
+        dropped = int(obs_in.get["total"]) - int(obs_out.get["created"])
+        _record_batch_drop(dest, batch_id, dropped)
 
     writer = (
         stream_df.writeStream.foreachBatch(write_batch)
@@ -115,12 +127,40 @@ def stream_index(
     return writer.start()
 
 
+STREAM_COUNTERS_NAME = "_stream_counters.json"
+
+
+def _record_batch_drop(dest: str, batch_id: int, dropped: int) -> None:
+    """Accumulate per-batch dropped-doc counts in a sidecar JSON next
+    to the index data (driver-side; foreachBatch runs on the driver).
+    Idempotent per batch_id so checkpointed batch replay after a
+    failure can't double count."""
+    import json
+
+    os.makedirs(dest, exist_ok=True)
+    path = os.path.join(dest, STREAM_COUNTERS_NAME)
+    counts: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            counts = json.load(f)
+    counts[str(batch_id)] = dropped
+    with open(path, "w") as f:
+        json.dump(counts, f, indent=2, sort_keys=True)
+
+
 def finalize_stream_index(spark: SparkSession, cfg: IndexConfig) -> dict:
     """Seal a streamed index: fill missing shards and write the
     manifest from the appended table's actual state (the batch
     indexer's post-phase, run once after the stream stops — the
     analogue of the reference's driver-side post-process,
-    job/IndexingPostProcessor.java:144-246)."""
+    job/IndexingPostProcessor.java:144-246). The fail counter sums
+    the per-batch dropped-doc sidecar ``write_batch`` maintains; a
+    stream that committed zero rows finalizes to an all-empty (but
+    well-formed) manifest instead of raising."""
+    import json
+
+    from pyspark.errors import AnalysisException
+
     from elastic_freight_spark.indexer import (
         COUNTER_DOC_CREATED,
         COUNTER_DOC_FAILED,
@@ -132,20 +172,34 @@ def finalize_stream_index(spark: SparkSession, cfg: IndexConfig) -> dict:
     dest = os.path.join(cfg.output_path, cfg.index_name)
     shard_counts = _shard_counts(spark, dest)
     created = sum(shard_counts.values())
-    schema = spark.read.parquet(dest).drop("shard").schema
+
+    failed = 0
+    sidecar = os.path.join(dest, STREAM_COUNTERS_NAME)
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            failed = sum(json.load(f).values())
+
+    try:
+        schema = spark.read.parquet(dest).drop("shard").schema
+        filled = _fill_missing_shards(spark, schema, dest, cfg, shard_counts)
+    except AnalysisException:
+        # zero rows committed → no parquet files to infer a schema
+        # from, so placeholder shards can't be typed; still emit a
+        # well-formed manifest (same fallback as _shard_counts)
+        filled = []
+
     manifest = {
         "index": cfg.index_name,
         "num_shards": cfg.num_shards,
         "doc_id_col": cfg.doc_id_col,
         "routing": cfg.routing,
         "path": dest,
-        "counters": {COUNTER_DOC_CREATED: created, COUNTER_DOC_FAILED: 0},
+        "counters": {COUNTER_DOC_CREATED: created, COUNTER_DOC_FAILED: failed},
         "shards": shard_counts,
-        "missing_shards_filled": _fill_missing_shards(
-            spark, schema, dest, cfg, shard_counts
-        ),
+        "missing_shards_filled": filled,
         "streamed": True,
     }
+    os.makedirs(dest, exist_ok=True)
     _write_manifest(dest, manifest)
     return manifest
 

@@ -271,3 +271,46 @@ def test_engine_facade_stream_index(spark, events_src, tmp_path_factory):
         spark, IndexConfig(index_name="es", doc_id_col="user_id", num_shards=4, output_path=out)
     )
     assert sum(man["shards"].values()) == batch.count()
+
+
+def test_stream_fail_counter_and_zero_row_finalize(spark, tmp_path_factory):
+    """Null-id docs dropped by write_batch surface in the finalize
+    manifest's fail counter (per-batch sidecar), and a stream that
+    committed zero rows finalizes to a well-formed manifest instead
+    of raising."""
+    from elastic_freight_spark.streaming import finalize_stream_index
+
+    src = str(tmp_path_factory.mktemp("null_src"))
+    rows = [(i if i % 3 else None, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    n_null = sum(1 for uid, _ in rows if uid is None)
+
+    out = str(tmp_path_factory.mktemp("null_out"))
+    ckpt = str(tmp_path_factory.mktemp("null_ckpt"))
+    cfg = IndexConfig("null_idx", "user_id", 2, out)
+    stream = read_parquet_stream(spark, src, df.schema)
+    q = stream_index(stream, cfg, ckpt, available_now=True)
+    q.awaitTermination(120)
+    man = finalize_stream_index(spark, cfg)
+    assert man["counters"]["indexing_doc_fail"] == n_null
+    assert man["counters"]["index_doc_created"] == len(rows) - n_null
+
+    # zero-row stream: all ids null → nothing committed
+    src2 = str(tmp_path_factory.mktemp("empty_src"))
+    spark.createDataFrame(
+        [(None, 1.0)], "user_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(src2)
+    out2 = str(tmp_path_factory.mktemp("empty_out"))
+    cfg2 = IndexConfig("empty_idx", "user_id", 2, out2)
+    q2 = stream_index(
+        read_parquet_stream(spark, src2, df.schema),
+        cfg2,
+        str(tmp_path_factory.mktemp("empty_ckpt")),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    man2 = finalize_stream_index(spark, cfg2)
+    assert man2["counters"]["index_doc_created"] == 0
+    assert man2["counters"]["indexing_doc_fail"] == 1
+    assert man2["shards"] == {}
