@@ -300,13 +300,12 @@ def minhash_signatures(spark, sf_dir, num_perms: int = MINHASH_PERMS):
     )
 
 
-@query("neardup_minhash_lsh")  # rows-only: xxhash64 signatures aren't SQL-portable
-def neardup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH candidate pairs: band the 32-perm signature into
+def lsh_candidate_pairs(spark, sf_dir):
+    """Banded-LSH candidate pairs: band the 32-perm signature into
     8 buckets of 4, hash each band, join docs sharing any band
-    bucket, then verify with estimated Jaccard (signature agreement).
-    The banded join replaces the all-pairs product — this is the
-    100 TB near-dup plan."""
+    bucket. Returns distinct (doc_a, doc_b, sig_a, sig_b). The
+    banded equi-join replaces the all-pairs product — the candidate
+    generator for every downstream near-dup policy."""
     sigs = minhash_signatures(spark, sf_dir)
     r = MINHASH_PERMS // LSH_BANDS
     bands = sigs.select(
@@ -323,7 +322,7 @@ def neardup_minhash_lsh(spark, sf_dir):
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -338,6 +337,13 @@ def neardup_minhash_lsh(spark, sf_dir):
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+@query("neardup_minhash_lsh")  # rows-only: xxhash64 signatures aren't SQL-portable
+def neardup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs verified by estimated Jaccard
+    (signature agreement) — this is the 100 TB near-dup plan."""
+    cand = lsh_candidate_pairs(spark, sf_dir)
     est = cand.select(
         "doc_a",
         "doc_b",
@@ -444,10 +450,13 @@ def text_token_bpe(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_corpus_greedy",
-    oracle=f"""
-    WITH shingles AS ({{SHINGLE_SQL}}),
+# Per-source kept/dropped counts under the greedy trim policy — the
+# oracle for BOTH the exact-pairs path and the LSH-fronted scale path
+# (LSH candidates + exact verification produce the same pair set when
+# banding recall covers the threshold, which the differential test
+# pins).
+_DEDUP_COUNTS_SQL = f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -468,8 +477,10 @@ def text_token_bpe(spark, sf_dir):
            CAST(COUNT(dr.doc_id) AS BIGINT) AS n_dropped
     FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
     GROUP BY d.source
-    """.replace("{SHINGLE_SQL}", _SHINGLE_SQL),
-)
+"""
+
+
+@query("dedup_corpus_greedy", oracle=_DEDUP_COUNTS_SQL)
 def dedup_corpus_greedy(spark, sf_dir):
     """End-to-end near-dup corpus dedup, greedy policy: a document is
     dropped iff it is the HIGHER doc_id of any pair with exact 3-gram
@@ -482,6 +493,63 @@ def dedup_corpus_greedy(spark, sf_dir):
     docs = t["documents"]
     pairs = neardup_ngram_jaccard(spark, sf_dir)  # exact pairs ≥ 0.35
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        docs.join(dropped.withColumn("_d", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("_d").isNull(), 1)).alias("n_kept"),
+            F.count(F.col("_d")).alias("n_dropped"),
+        )
+    )
+
+
+@query("dedup_corpus_lsh", oracle=_DEDUP_COUNTS_SQL)
+def dedup_corpus_lsh(spark, sf_dir, threshold: float = 0.35):
+    """Scale-default corpus dedup: banded MinHash-LSH candidate
+    generation → exact 3-gram Jaccard verification of ONLY the
+    candidate pairs → greedy trim; per-source kept/dropped counts.
+
+    This is the 100 TB default policy. The exact path
+    (`dedup_corpus_greedy`, kept as the audit) joins every co-shingle
+    pair through the inverted shingle index — correct, but a hot
+    shingle fans out quadratically. Here the corpus-wide join is on
+    (band, bucket), |candidates| ≪ |co-shingle pairs|, and the exact
+    Jaccard is computed only for candidates by intersecting the two
+    docs' array-packed shingle sets (shuffle carries candidate rows,
+    not the shingle stream). Shares the exact path's oracle: banding
+    recall covers the 0.35 threshold (8 bands × 4 rows catches every
+    true pair in the test corpora; the differential test pins
+    LSH-path == exact-path output)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("tok"))
+    sets = toks.select(
+        "doc_id", F.array_distinct(F.expr(_SHINGLE_EXPR)).alias("sh")
+    ).select("doc_id", "sh", F.size("sh").alias("n"))
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    dropped = verified.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
         docs.join(dropped.withColumn("_d", F.lit(1)), "doc_id", "left")
         .groupBy("source")

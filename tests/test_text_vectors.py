@@ -219,3 +219,25 @@ def test_ivf_fit_sample_bounded_and_probe_distributed(spark):
         )
         expected |= {(r["query_id"], i) for _, i in dists[:2]}
     assert probes == expected
+
+
+def test_dedup_lsh_matches_exact_path(spark):
+    """The LSH-fronted scale dedup (candidates → exact verify →
+    greedy trim) must produce exactly the exact-path per-source
+    kept/dropped counts at sf0.01 — banding recall covers the 0.35
+    threshold."""
+    from elastic_freight_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.01"
+
+    def rows(name):
+        return {
+            r["source"]: (r["n_docs"], r["n_kept"], r["n_dropped"])
+            for r in registry.QUERIES[name](spark, sf).collect()
+        }
+
+    exact = rows("dedup_corpus_greedy")
+    lsh = rows("dedup_corpus_lsh")
+    assert lsh == exact
+    assert sum(v[2] for v in exact.values()) > 0  # dups actually exist
