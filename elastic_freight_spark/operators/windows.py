@@ -8,8 +8,11 @@ tiebreaker so results are total-ordered and engine-portable.
 Scale note: a window over ``partitionBy(k)`` shuffles once on k and
 sorts within partitions — same cost shape as the reference's
 map→shuffle→sorted-reduce. Skewed partition keys are the hazard;
-AQE cannot split a single window partition, so high-skew keys should
-be pre-bucketed (see operators/indexing.py salting).
+AQE cannot split a single window partition. The two-pass helpers at
+the bottom of this module (``skewed_running_sum``,
+``skewed_topk_per_group``) spread one hot key's window over many
+tasks: per-(key, bucket) partials + a tiny merge of per-bucket
+offsets — the distributed-prefix-sum plan.
 """
 
 from __future__ import annotations
@@ -358,3 +361,141 @@ def w_trailing_values_array(spark, sf_dir):
             F.collect_list(F.col("value").cast("string")).over(w), ","
         ).alias("trailing3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-hardened windows: two-pass per-bucket partial + offset merge
+# ---------------------------------------------------------------------------
+
+
+def skewed_running_sum(
+    df,
+    part_col: str,
+    order_cols: list,
+    sum_col: str,
+    n_buckets: int = 32,
+    bucket_on=None,
+    sum_out: str = "running_total",
+    seq_out: str = "order_seq",
+):
+    """Running DECIMAL sum + sequence number over a skewed partition
+    key, as a distributed prefix sum: no single task ever sorts one
+    hot key's full row set.
+
+    Pass 1 buckets rows by value ranges of ``bucket_on`` (a numeric
+    column monotone in the leading sort key; defaults to the first
+    order column) using approxQuantile boundaries — one cheap
+    single-column pass. Each (key, bucket) computes its running
+    partial independently (parallelism = n_buckets per hot key).
+    Pass 2 is tiny: per-(key, bucket) totals get a prefix sum over
+    bucket index (|keys| x n_buckets rows), joined back as offsets.
+    Equal leading-sort values always land in one bucket, so ROWS
+    semantics with a unique tiebreaker are preserved exactly.
+
+    A key whose rows share ONE leading-sort value still lands in one
+    bucket — for that shape pass a finer-grained monotone
+    ``bucket_on`` (e.g. epoch-seconds*1e6 + sequence id).
+    """
+    bcol = F.col(order_cols[0]) if bucket_on is None else bucket_on
+    tmp = df.withColumn("_bval", bcol.cast("double"))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = tmp.approxQuantile("_bval", qs, 0.001)
+    bucket = F.lit(0)
+    for b in sorted(set(bounds)):
+        bucket = bucket + (F.col("_bval") > F.lit(b)).cast("int")
+    bucketed = tmp.withColumn("_bucket", bucket)
+
+    frame = (
+        W.partitionBy(part_col, "_bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wseq = W.partitionBy(part_col, "_bucket").orderBy(*order_cols)
+    partial = bucketed.withColumn(
+        "_psum", F.sum(F.col(sum_col).cast("decimal(18,4)")).over(frame)
+    ).withColumn("_pseq", F.row_number().over(wseq))
+
+    totals = bucketed.groupBy(part_col, "_bucket").agg(
+        F.sum(F.col(sum_col).cast("decimal(18,4)")).alias("_bsum"),
+        F.count(F.lit(1)).alias("_bn"),
+    )
+    woff = (
+        W.partitionBy(part_col)
+        .orderBy("_bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        part_col,
+        "_bucket",
+        F.coalesce(F.sum("_bsum").over(woff), F.lit(0).cast("decimal(18,4)")).alias(
+            "_osum"
+        ),
+        F.coalesce(F.sum("_bn").over(woff), F.lit(0)).alias("_on"),
+    )
+    return (
+        partial.join(offsets, [part_col, "_bucket"])
+        .withColumn(sum_out, (F.col("_psum") + F.col("_osum")).cast("double"))
+        .withColumn(seq_out, (F.col("_pseq") + F.col("_on")).cast("int"))
+        .drop("_bval", "_bucket", "_psum", "_pseq", "_osum", "_on")
+    )
+
+
+def skewed_topk_per_group(
+    df,
+    part_col: str,
+    order_cols: list,
+    k: int,
+    salt_src: str,
+    n_salts: int = 16,
+    rn_out: str = "rn",
+):
+    """Top-k per group that survives a pathological hot group: partial
+    top-k within (group, salt) — each hot group's sort spreads over
+    ``n_salts`` tasks — then final top-k over at most k*n_salts
+    survivors per group. Top-k is salt-decomposable (the global top-k
+    is within the union of per-salt top-ks), so the result is
+    identical to the single-window plan. ``salt_src`` must be a
+    deterministic high-cardinality column (retries re-route rows
+    identically; never rand())."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(F.col(salt_src)), F.lit(n_salts)).cast("int")
+    )
+    w1 = W.partitionBy(part_col, "_salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("_prn", F.row_number().over(w1))
+        .filter(F.col("_prn") <= k)
+        .drop("_salt", "_prn")
+    )
+    w2 = W.partitionBy(part_col).orderBy(*order_cols)
+    return survivors.withColumn(rn_out, F.row_number().over(w2)).filter(
+        F.col(rn_out) <= k
+    )
+
+
+@query(
+    "w_running_revenue_skewed",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS INT) AS order_seq
+    FROM orders
+    """,
+)
+def w_running_revenue_skewed(spark, sf_dir):
+    """Skew-hardened twin of w_running_revenue: same oracle — the
+    two-pass bucket/merge must be invisible in the result. Buckets on
+    day number (monotone in the o_orderdate leading sort key)."""
+    t = load_tables(spark, sf_dir)
+    return skewed_running_sum(
+        t["orders"].select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        part_col="o_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        sum_col="o_totalprice",
+        bucket_on=F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")),
+        n_buckets=8,
+    ).select("o_custkey", "o_orderkey", "running_total", "order_seq")
