@@ -56,9 +56,13 @@ def main() -> None:
         "mm_binary_stats",
         "neardup_ngram_jaccard",
         "neardup_minhash_lsh",
+        "dedup_corpus_lsh",
         "search_tfidf_topk",
+        "search_bm25_topk",
         "knn_bruteforce_cosine",
         "ann_lsh_cosine",
+        "ann_ivf_cosine",
+        "w_running_revenue_skewed",
         "apply_in_pandas_group_rank",
     ]
 
@@ -94,17 +98,59 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+
+    # round-over-round guard: diff against the latest BENCH_r{N}.json
+    # so regressions are visible in the next round's own record
+    prev_name, prev = _prev_bench(os.path.dirname(os.path.abspath(__file__)))
+    prev_ratio: dict[str, float] = {}
+    if prev and isinstance(prev.get("queries"), dict):
+        for qname, t in timings.items():
+            p = prev["queries"].get(qname)
+            if p:
+                prev_ratio[qname] = round(t / p, 3)
+        comparable = [q for q in prev_ratio]
+        now_sub = round(sum(timings[q] for q in comparable), 3)
+        prev_sub = round(sum(prev["queries"][q] for q in comparable), 3)
+        print(
+            f"[bench] vs {prev_name}: comparable subtotal "
+            f"{now_sub}s / {prev_sub}s "
+            f"({round(now_sub / prev_sub, 3) if prev_sub else 'n/a'}x)",
+            file=sys.stderr,
         )
-    )
+        for qname, r in sorted(prev_ratio.items(), key=lambda kv: -kv[1]):
+            if r >= 1.3:
+                print(
+                    f"[bench] REGRESSION {qname}: {timings[qname]}s vs "
+                    f"{prev['queries'][qname]}s ({r}x)",
+                    file=sys.stderr,
+                )
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if prev_ratio:
+        out["prev"] = prev_name
+        out["prev_ratio"] = prev_ratio
+    print(json.dumps(out))
+
+
+def _prev_bench(repo_dir: str):
+    """Latest BENCH_r{N}.json in the repo root, or (None, None)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+    if not files:
+        return None, None
+    last = files[-1]
+    try:
+        with open(last) as f:
+            return os.path.basename(last), json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None, None
 
 
 if __name__ == "__main__":
