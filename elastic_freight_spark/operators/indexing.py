@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 from elastic_freight_spark.functions import dsum, sql_dsum
 from elastic_freight_spark.registry import query
 from elastic_freight_spark.session import load_tables
-from elastic_freight_spark.sharding import lcg_shard_col, lcg_shard_sql
+from elastic_freight_spark.sharding import (
+    lcg_org_subset_shard_col,
+    lcg_org_subset_shard_sql,
+    lcg_shard_col,
+    lcg_shard_sql,
+)
 
 N_SHARDS = 16
 
@@ -141,6 +146,45 @@ def grouped_batch_stats(spark, sf_dir):
             "shard",
             F.ceil(F.col("n_docs") / 20000.0).alias("n_batches"),
             "n_docs",
+        )
+    )
+
+
+ORG_SHARDS = 32  # N
+ORG_K = 4  # partition size: each org spreads over k of N shards
+
+
+@query(
+    "org_routing_subset",
+    oracle=f"""
+    SELECT org,
+           CAST(COUNT(DISTINCT {lcg_org_subset_shard_sql('org', 'event_id', 32, 4)})
+             AS BIGINT) AS n_shards_used,
+           COUNT(*) AS n_docs
+    FROM (SELECT user_id % 50 AS org, user_id, event_id FROM events)
+    GROUP BY org
+    """,
+)
+def org_routing_subset(spark, sf_dir):
+    """Org→k-of-N subset routing (the scheme the reference documents
+    but never implemented, ElasticsearchRoutingStrategyV5.java:18-40;
+    ES shipped it as routing_partition_size): hash(org) picks a
+    k-wide shard window, hash(doc) spreads within it. Per-org shard
+    fan-out must be ≤ k — the middle ground between hot-org
+    concentration (k=1) and full fan-out (k=N). Query-side, an org
+    filter prunes to its k shards (lcg_possible_org_shards)."""
+    t = load_tables(spark, sf_dir)
+    orgs = t["events"].select(
+        (F.col("user_id") % 50).alias("org"), "user_id", "event_id"
+    )
+    return (
+        orgs.withColumn(
+            "shard", lcg_org_subset_shard_col("org", "event_id", ORG_SHARDS, ORG_K)
+        )
+        .groupBy("org")
+        .agg(
+            F.countDistinct("shard").alias("n_shards_used"),
+            F.count(F.lit(1)).alias("n_docs"),
         )
     )
 

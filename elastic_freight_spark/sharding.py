@@ -164,6 +164,72 @@ def possible_shards(doc_id: str, num_shards: int) -> list[int]:
     return [es_shard(doc_id, num_shards)]
 
 
+# ---------------------------------------------------------------------------
+# Org → k-of-N shard-subset routing
+# ---------------------------------------------------------------------------
+#
+# The reference *documents* this scheme but never implemented it
+# (ElasticsearchRoutingStrategyV5.java:18-40 javadoc: route each org to
+# a subset of shards instead of one, so a hot org neither owns a whole
+# shard nor fans out to all N). Elasticsearch later shipped it as
+# ``index.routing_partition_size``: shard = (hash(routing) +
+# hash(id) mod k) mod N — the org hash picks a k-wide window, the doc
+# hash spreads within it. Query side: an org filter probes only its k
+# shards (partition pruning), not all N.
+
+
+def org_subset_shard_col(
+    org_col: Column | str, id_col: Column | str, num_shards: int, partition_size: int
+) -> Column:
+    """JVM fast path: ``pmod(hash(org) + pmod(hash(id), k), N)``."""
+    org = F.col(org_col) if isinstance(org_col, str) else org_col
+    doc = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(
+        F.hash(org) + F.pmod(F.hash(doc), F.lit(partition_size)), F.lit(num_shards)
+    ).cast(IntegerType())
+
+
+def _lcg_h_col(col: Column) -> Column:
+    return F.pmod(F.pmod(col.cast("long"), F.lit(_LCG_M)) * F.lit(_LCG_A), F.lit(_LCG_M))
+
+
+def _lcg_h_sql(col_name: str) -> str:
+    return f"(((({col_name} % {_LCG_M}) + {_LCG_M}) % {_LCG_M}) * {_LCG_A}) % {_LCG_M}"
+
+
+def lcg_org_subset_shard_col(
+    org_col: Column | str, id_col: Column | str, num_shards: int, partition_size: int
+) -> Column:
+    """Oracle-portable org-subset routing on integer keys (same LCG
+    arithmetic as :func:`lcg_shard_col`, so DuckDB reproduces the
+    assignment bit-for-bit)."""
+    org = F.col(org_col) if isinstance(org_col, str) else org_col
+    doc = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(
+        _lcg_h_col(org) + F.pmod(_lcg_h_col(doc), F.lit(partition_size)),
+        F.lit(num_shards),
+    ).cast(IntegerType())
+
+
+def lcg_org_subset_shard_sql(
+    org_name: str, id_name: str, num_shards: int, partition_size: int
+) -> str:
+    """ANSI-SQL text twin of :func:`lcg_org_subset_shard_col`."""
+    return (
+        f"CAST((({_lcg_h_sql(org_name)}) + (({_lcg_h_sql(id_name)}) % {partition_size}))"
+        f" % {num_shards} AS INT)"
+    )
+
+
+def lcg_possible_org_shards(org_value: int, num_shards: int, partition_size: int) -> list[int]:
+    """Query-side pruning for org-routed indexes: the (at most k)
+    shards that can hold the org's documents — the org-routing
+    analogue of ``getPossibleRoutingHashes``
+    (ElasticsearchRoutingStrategyV5.java:97-113)."""
+    h = ((org_value % _LCG_M) + _LCG_M) % _LCG_M * _LCG_A % _LCG_M
+    return sorted({(h + j) % num_shards for j in range(partition_size)})
+
+
 def shard_to_routing(num_shards: int, max_probe: int = 1_000_000) -> dict[int, str]:
     """Inverse map: for each shard i, a routing string that hashes
     back to shard i (reference ``shardToRout`` precompute,

@@ -159,3 +159,48 @@ def test_lcg_shard_python_twin_in_range(ids, n):
         s = ((i % 2147483647) * 48271) % 2147483647 % n
         assert 0 <= s < n
         assert s == ((i % 2147483647) * 48271) % 2147483647 % n
+
+
+def test_org_subset_routing_bounds_and_pruning(spark):
+    """Org-subset routing: every org lands on ≤ k distinct shards, the
+    query-side possible-shard set covers all of an org's docs exactly,
+    and the JVM murmur variant obeys the same ≤ k bound."""
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.sharding import (
+        lcg_org_subset_shard_col,
+        lcg_possible_org_shards,
+        org_subset_shard_col,
+    )
+
+    n, k = 32, 4
+    df = spark.range(20_000).select(
+        (F.col("id") % 37).alias("org"), F.col("id").alias("doc")
+    )
+    routed = df.select(
+        "org", "doc", lcg_org_subset_shard_col("org", "doc", n, k).alias("shard")
+    )
+    per_org = {
+        r["org"]: set(r["shards"])
+        for r in routed.groupBy("org")
+        .agg(F.collect_set("shard").alias("shards"))
+        .collect()
+    }
+    assert all(len(s) <= k for s in per_org.values())
+    # with 20k docs over 37 orgs every org should hit its full window
+    assert all(len(s) == k for s in per_org.values())
+    for org, shards in per_org.items():
+        assert shards == set(lcg_possible_org_shards(org, n, k)), org
+    # fan-out across orgs actually spreads over the ring
+    assert len(set().union(*per_org.values())) > k
+
+    murmur = df.select(
+        "org", org_subset_shard_col("org", "doc", n, k).alias("shard")
+    )
+    mur_counts = {
+        r["org"]: r["ns"]
+        for r in murmur.groupBy("org")
+        .agg(F.countDistinct("shard").alias("ns"))
+        .collect()
+    }
+    assert all(v <= k for v in mur_counts.values())
