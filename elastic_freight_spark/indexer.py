@@ -300,6 +300,118 @@ def read_shard(spark: SparkSession, index_path: str, doc_id) -> DataFrame:
     )
 
 
+# --- incremental upsert: merge-on-read versions + tombstones --------------
+#
+# BEYOND the reference (its artifact is an immutable ES snapshot; any
+# change means a full re-index, example/IndexingJob.java). A training
+# -data index gets re-crawled and re-scored continuously, so the Spark
+# engine adds the standard log-structured answer: upserts append
+# sharded rows stamped with a monotone ``_version`` (and ``_op`` =
+# 'u'/'d' for tombstones); readers resolve latest-per-doc with one
+# window (merge-on-read); compaction folds the log back to one row per
+# doc (copy-on-write) with the same crash-safe swap as compact_index.
+
+UPSERT_VERSION_COL = "_version"
+UPSERT_OP_COL = "_op"
+
+
+def upsert_index(df: DataFrame, index_path: str, delete: bool = False) -> dict:
+    """Append an upsert (or tombstone) batch to a built index.
+
+    ``df`` must carry the index's doc-id column and, for upserts, the
+    full row schema; one row per doc id per batch (latest-batch-wins
+    resolution is by ``_version``, ties within one batch are a caller
+    contract). Returns the updated manifest; ``manifest['version']``
+    is the batch's version stamp. The write is the same
+    shard-route → repartition → partitioned append as the base build
+    — a delta never rewrites the base."""
+    spark = df.sparkSession
+    manifest = read_manifest(index_path)
+    version = int(manifest.get("version", 0)) + 1
+    cfg = IndexConfig(
+        index_name=manifest["index"],
+        doc_id_col=manifest["doc_id_col"],
+        num_shards=manifest["num_shards"],
+        output_path=os.path.dirname(index_path.rstrip("/")),
+        routing=manifest["routing"],
+    )
+    good = df.filter(F.col(cfg.doc_id_col).isNotNull())
+    stamped = (
+        good.withColumn(UPSERT_VERSION_COL, F.lit(version).cast("long"))
+        .withColumn(UPSERT_OP_COL, F.lit("d" if delete else "u"))
+        .withColumn("shard", shard_expr(cfg))
+        .repartition(cfg.num_shards, F.col("shard"))
+    )
+    (
+        stamped.write.mode("append")
+        .option("maxRecordsPerFile", cfg.max_records_per_file)
+        .partitionBy("shard")
+        .parquet(index_path)
+    )
+    manifest["version"] = version
+    manifest["shards"] = _shard_counts(spark, index_path)
+    _write_manifest(index_path, manifest)
+    return manifest
+
+
+def read_index_latest(spark: SparkSession, index_path: str) -> DataFrame:
+    """Merge-on-read: resolve each doc id to its newest version and
+    drop tombstoned docs. Base rows written before any upsert have no
+    version columns (mergeSchema fills null → version 0, op 'u').
+
+    Cost shape: ONE window shuffle on the doc id over base+delta —
+    the read-side price of merge-on-read; run
+    ``compact_index_upserts`` to pay it once instead of per query."""
+    manifest = read_manifest(index_path)
+    df = spark.read.option("mergeSchema", "true").parquet(index_path)
+    if UPSERT_VERSION_COL not in df.columns:
+        return df
+    from pyspark.sql import Window as W
+
+    idc = manifest["doc_id_col"]
+    resolved = (
+        df.withColumn("_v", F.coalesce(F.col(UPSERT_VERSION_COL), F.lit(0)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy(idc).orderBy(F.col("_v").desc())),
+        )
+        .filter(F.col("_rn") == 1)
+        .filter(F.coalesce(F.col(UPSERT_OP_COL), F.lit("u")) != "d")
+        .drop("_v", "_rn")
+    )
+    return resolved
+
+
+def compact_index_upserts(spark: SparkSession, index_path: str) -> dict:
+    """Copy-on-write compaction of the upsert log: materialize the
+    latest-version view (tombstones dropped), rewrite one clean tree,
+    crash-safe swap (same .compacting/.old discipline as
+    compact_index). After this, plain ``read_index`` equals the
+    merge-on-read view and the per-query window cost is gone."""
+    manifest = read_manifest(index_path)
+    latest = read_index_latest(spark, index_path).drop(
+        UPSERT_VERSION_COL, UPSERT_OP_COL
+    )
+    tmp = index_path.rstrip("/") + ".compacting"
+    (
+        latest.repartition(manifest["num_shards"], F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
+    manifest["compacted_upserts_through"] = manifest.get("version", 0)
+    manifest["shards"] = _shard_counts(spark, tmp)
+    _write_manifest(tmp, manifest)
+
+    import shutil
+
+    old = index_path.rstrip("/") + ".old"
+    os.rename(index_path, old)
+    os.rename(tmp, index_path)
+    shutil.rmtree(old)
+    return manifest
+
+
 # --- multi-index catalog (the reference's post-processor surface) ---------
 
 

@@ -241,6 +241,57 @@ def manifest_catalog(spark, sf_dir):
     ).orderBy("index_name")
 
 
+@query(
+    "index_upsert_latest",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(CASE WHEN user_id % 7 = 0 THEN n_events * 10
+                     ELSE n_events END AS BIGINT) AS n_events,
+           CAST(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS version
+    FROM base
+    WHERE user_id % 13 <> 3
+    """,
+)
+def index_upsert_latest(spark, sf_dir):
+    """Incremental upsert surface (beyond the reference's immutable
+    snapshot): build a per-user base index, apply an update batch
+    (v1: users %7==0 get 10x counts) and a tombstone batch (v2:
+    users %13==3 deleted), then resolve merge-on-read latest. The
+    oracle recomputes the same end state relationally — the
+    log-structured mechanics must be invisible in the result."""
+    import tempfile
+
+    from elastic_freight_spark.indexer import (
+        IndexConfig,
+        build_index,
+        read_index_latest,
+        upsert_index,
+    )
+
+    t = load_tables(spark, sf_dir)
+    base = t["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    out = tempfile.mkdtemp(prefix="efs_upsert_")
+    man = build_index(
+        base, IndexConfig("upsert_idx", "user_id", 8, out, routing="lcg")
+    )
+    updates = base.filter(F.col("user_id") % 7 == 0).withColumn(
+        "n_events", F.col("n_events") * 10
+    )
+    upsert_index(updates, man["path"])
+    deletes = base.filter(F.col("user_id") % 13 == 3).select("user_id")
+    upsert_index(deletes, man["path"], delete=True)
+    latest = read_index_latest(spark, man["path"])
+    return latest.select(
+        "user_id",
+        "n_events",
+        F.coalesce(F.col("_version"), F.lit(0)).alias("version"),
+    )
+
+
 @query("es_parity_shard_distribution")  # rows-only: murmur3/UTF-16LE not in SQL
 def es_parity_shard_distribution(spark, sf_dir):
     """Bit-exact ES 5.x routing over string ids via the pandas UDF

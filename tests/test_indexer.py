@@ -476,3 +476,55 @@ def test_compact_crash_recovery(spark, events, tmp_path_factory):
     assert not os.path.exists(path + ".old")
     assert not os.path.exists(path + ".compacting")
     assert recover_compact(str(tmp_path_factory.mktemp("nope")) + "/gone") == "missing"
+
+
+def test_upsert_merge_on_read_and_compaction(spark, events, tmp_path_factory):
+    from elastic_freight_spark.indexer import (
+        compact_index_upserts,
+        read_index_latest,
+        read_manifest,
+        upsert_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("ups"))
+    base = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    man = build_index(base, IndexConfig("ups_idx", "user_id", 4, out, routing="lcg"))
+    n_users = base.count()
+
+    # v1: update a third of the users
+    upd = base.filter(F.col("user_id") % 3 == 0).withColumn("n", F.col("n") + 1000)
+    man1 = upsert_index(upd, man["path"])
+    assert man1["version"] == 1
+    # v2: tombstone a disjoint-ish slice
+    dele = base.filter(F.col("user_id") % 5 == 1).select("user_id")
+    man2 = upsert_index(dele, man["path"], delete=True)
+    assert man2["version"] == 2
+
+    latest = read_index_latest(spark, man["path"])
+    got = {r["user_id"]: r["n"] for r in latest.collect()}
+    want = {}
+    for r in base.collect():
+        uid, n = r["user_id"], r["n"]
+        if uid % 5 == 1:
+            continue
+        want[uid] = n + 1000 if uid % 3 == 0 else n
+    assert got == want
+    # physical rows exceed logical until compaction
+    assert read_index(spark, man["path"]).count() > len(want)
+
+    man3 = compact_index_upserts(spark, man["path"])
+    assert man3["compacted_upserts_through"] == 2
+    plain = read_index(spark, man["path"])
+    assert "_version" not in plain.columns
+    assert {r["user_id"]: r["n"] for r in plain.collect()} == want
+    # shard partitioning preserved, manifest consistent
+    assert sum(read_manifest(man["path"])["shards"].values()) == len(want)
+    # upsert after compaction keeps working (version counter persists)
+    man4 = upsert_index(
+        base.filter(F.col("user_id") == list(want)[0]).select("user_id"),
+        man["path"],
+        delete=True,
+    )
+    assert man4["version"] == 3
+    assert read_index_latest(spark, man["path"]).count() == len(want) - 1
+    assert n_users == len(want) + base.filter(F.col("user_id") % 5 == 1).count()
