@@ -148,9 +148,13 @@ def _prev_bench(repo_dir: str):
     last = files[-1]
     try:
         with open(last) as f:
-            return os.path.basename(last), json.load(f)
+            data = json.load(f)
     except (OSError, json.JSONDecodeError):
         return None, None
+    # the round driver wraps the bench JSON line under "parsed"
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    return os.path.basename(last), data
 
 
 if __name__ == "__main__":
