@@ -134,6 +134,96 @@ def text_quality_scores(spark, sf_dir):
 
 
 @query(
+    "quality_filter_chain",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             LENGTH(text) AS n_chars,
+             LENGTH(string_split(text, ' ')) AS n_tokens,
+             (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+               / CAST(LENGTH(text) AS DOUBLE) AS space_ratio,
+             (LENGTH(lower(text)) - LENGTH(REPLACE(lower(text), 'the', '')))
+               / 3 AS stop_hits
+      FROM documents
+    )
+    SELECT CASE WHEN n_tokens < 20 THEN '1_too_short'
+                WHEN n_chars > 500 THEN '2_too_long'
+                WHEN space_ratio < 0.15 THEN '3_low_space'
+                WHEN stop_hits < 1 THEN '4_no_stopword'
+                ELSE 'pass' END AS stage,
+           COUNT(*) AS n_docs
+    FROM feat GROUP BY 1
+    """,
+)
+def quality_filter_chain(spark, sf_dir):
+    """C4-style staged quality filter with per-stage drop accounting:
+    each document is attributed to the FIRST stage that rejects it
+    (too short → too long → low whitespace ratio → no stopword
+    signal), survivors to 'pass'. The whole chain is ONE scan + one
+    tiny aggregate — per-stage counters come from a CASE attribution,
+    not one filter-then-count job per stage (a pipeline with k stages
+    must not pay k corpus scans at 100 TB)."""
+    t = load_tables(spark, sf_dir)
+    text = F.col("text")
+    lower = F.lower(text)
+    feat = t["documents"].select(
+        F.length(text).alias("n_chars"),
+        F.size(F.split(text, " ")).alias("n_tokens"),
+        (
+            (F.length(text) - F.length(F.regexp_replace(text, " ", "")))
+            / F.length(text).cast("double")
+        ).alias("space_ratio"),
+        (
+            (F.length(lower) - F.length(F.regexp_replace(lower, "the", "")))
+            / F.lit(3)
+        ).alias("stop_hits"),
+    )
+    stage = (
+        F.when(F.col("n_tokens") < 20, "1_too_short")
+        .when(F.col("n_chars") > 500, "2_too_long")
+        .when(F.col("space_ratio") < 0.15, "3_low_space")
+        .when(F.col("stop_hits") < 1, "4_no_stopword")
+        .otherwise("pass")
+    )
+    return feat.groupBy(stage.alias("stage")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "pack_contexts_plan",
+    oracle="""
+    WITH tok AS (
+      SELECT source, LENGTH(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(n) // 2048 AS BIGINT) AS n_full_contexts,
+           CAST(SUM(n) % 2048 AS BIGINT) AS tail_tokens
+    FROM tok GROUP BY source
+    """,
+)
+def pack_contexts_plan(spark, sf_dir):
+    """Sequence-packing plan (GPT-style concat-and-chunk): per
+    source, how many full 2048-token training contexts the corpus
+    fills and what remains. Concat-chunk packing has zero padding
+    waste by construction, so the plan is a pure aggregate — the
+    pre-flight a training-data pipeline runs before materializing
+    packed batches. One scan, group-count-sized shuffle."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("n")
+    )
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.expr("CAST(SUM(n) DIV 2048 AS BIGINT)").alias("n_full_contexts"),
+        F.expr("CAST(SUM(n) % 2048 AS BIGINT)").alias("tail_tokens"),
+    )
+
+
+@query(
     "text_langid_heuristic",
     oracle="""
     WITH scored AS (
