@@ -1077,3 +1077,32 @@ def agg_exact_median(spark, sf_dir):
         F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75_price"),
     )
+
+
+@query(
+    "agg_regression_by_group",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pts,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS icpt,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression_by_group(spark, sf_dir):
+    """Per-group closed-form least-squares (price ~ quantity): the
+    regr_* aggregate family — slope, intercept, r² from single-pass
+    partial-aggregated moments (count/avg/var/covar), so a per-group
+    trend over 100 TB costs exactly one map-side-combined aggregate,
+    never a per-group fit loop. Rounded to absorb engine summation
+    order in the last digits."""
+    t = load_tables(spark, sf_dir)
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("n_pts"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("icpt"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

@@ -162,3 +162,46 @@ def train_test_split(df, weights=(0.8, 0.2), seed: int = 42):
         frames.append(df.filter((bucket >= prev) & (bucket < b)))
         prev = b
     return frames
+
+
+@query(
+    "sample_source_mix_plan",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             POWER(COUNT(*), 0.5) AS w
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT SUM(w) AS wsum, SUM(n_docs) AS total FROM counts
+    )
+    SELECT c.lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+           ROUND(c.w / t.wsum, 6) AS mix_weight,
+           CAST(FLOOR(10000 * c.w / t.wsum) AS BIGINT) AS docs_per_epoch,
+           ROUND((c.w / t.wsum) / (c.n_docs / CAST(t.total AS DOUBLE)), 6)
+             AS upsample_factor
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def sample_source_mix_plan(spark, sf_dir):
+    """Temperature-flattened source mixing (alpha=0.5, the multilingual
+    -sampling rule): weight each source/language by count^alpha so rare
+    sources are upsampled toward parity without drowning the head. The
+    plan reports per-source mix weight, docs per 10k-sample epoch, and
+    the implied upsample factor — the numbers a training-data loader
+    consumes. One aggregate + a broadcast 1-row total: no second
+    corpus scan for the normalizer."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = counts.withColumn("w", F.pow(F.col("n_docs"), F.lit(0.5)))
+    tot = counts.agg(
+        F.sum("w").alias("wsum"), F.sum("n_docs").alias("total")
+    )
+    mix = F.col("w") / F.col("wsum")
+    share = F.col("n_docs") / F.col("total").cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(mix, 6).alias("mix_weight"),
+        F.floor(F.lit(10000) * mix).cast("bigint").alias("docs_per_epoch"),
+        F.round(mix / share, 6).alias("upsample_factor"),
+    )

@@ -24,7 +24,7 @@ unsolved). At 100 TB these are the two Spark-native answers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from elastic_freight_spark.functions import dsum, sql_dsum
 from elastic_freight_spark.registry import query
@@ -109,3 +109,194 @@ def bucketed_join(
     Catalyst plans a sort-merge join with ZERO shuffle exchanges
     (asserted in tests/test_scale.py)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+# --- Bloom-filter semi-join pre-filter ------------------------------------
+#
+# The third scale answer (after salting and bucketing): when the dim
+# side is too big to broadcast raw but its KEY SET fits a few KB of
+# bits, ship a Bloom filter instead and drop non-matching fact rows AT
+# THE SCAN, before the shuffle. This is what Spark's own runtime row
+# filters (InjectRuntimeFilter) do for qualifying shapes; here it is an
+# explicit operator so the pre-filter applies to any composition. The
+# filter may pass false positives — an exact semi-join behind it keeps
+# the result exact — but it can never drop a true match (no false
+# negatives), so correctness never depends on the filter.
+
+
+def build_bloom_words(
+    dim: DataFrame, key: str, m_bits: int = 1 << 17, k: int = 3
+) -> list[int]:
+    """Aggregate ``dim``'s key set into a Bloom bit-array.
+
+    Distributed build: each key contributes ``k`` bit positions
+    (``pmod(xxhash64(key, seed_i), m_bits)``); positions group into
+    64-bit words and a per-word ``bit_or`` folds them map-side, so the
+    shuffle is at most ``m_bits/64`` rows no matter how large the dim
+    is. The driver holds only the finished word array (``m_bits/8``
+    bytes — 16 KiB at the default), never the keys.
+
+    Size ``m_bits`` from the expected key count: ~9.6 bits/key gives
+    ~1% false positives at k=3; FPs only cost wasted shuffle rows.
+    """
+    n_words = m_bits // 64
+    kcol = F.col(key).cast("long")
+    positions = dim.select(
+        F.explode(
+            F.array(
+                *[F.pmod(F.xxhash64(kcol, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+            )
+        ).alias("pos")
+    )
+    rows = (
+        positions.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("word"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
+def bloom_might_contain(
+    key_col: Column, words: list[int], m_bits: int, k: int = 3
+) -> Column:
+    """JVM-side membership predicate against a literal word array.
+
+    ``element_at`` on an array literal is O(1) (backed by ArrayData),
+    so the test is k hashes + k masked loads per row inside
+    whole-stage codegen — no Python, no join, no shuffle; Catalyst
+    keeps it next to the scan so pruning happens before any exchange.
+    """
+    arr = F.lit(words)
+    cond = F.lit(True)
+    kcol = key_col.cast("long")
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(kcol, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        bit = F.pmod(pos, F.lit(64)).cast("int")
+        cond = cond & (F.getbit(word, bit) == 1)
+    return cond
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    m_bits: int = 1 << 17,
+    k: int = 3,
+) -> DataFrame:
+    """Exact semi-join with a Bloom pre-filter on the fact side.
+
+    Semantically identical to ``fact.join(dim, key, 'left_semi')``;
+    the difference is WHERE rows die. The plain semi-join shuffles the
+    whole fact table to meet the dim keys; here non-candidate rows are
+    dropped by a codegen'd predicate at the fact scan, so the exchange
+    moves only candidates (true matches + ~1% false positives), which
+    the exact semi-join behind it then resolves. At 100 TB this is the
+    difference between shuffling the corpus and shuffling the answer.
+    """
+    words = build_bloom_words(dim, key, m_bits=m_bits, k=k)
+    pre = fact.filter(bloom_might_contain(F.col(key), words, m_bits, k=k))
+    return pre.join(dim.select(key).distinct(), key, "left_semi")
+
+
+@query(
+    "join_bloom_semi_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def join_bloom_semi_orders(spark, sf_dir):
+    """Bloom-pre-filtered semi-join; the oracle is the PLAIN semi-join
+    — the filter must be invisible in the result (no false negatives,
+    false positives resolved by the exact join). The measured win
+    (tests/test_scale.py): shuffled fact records drop from |orders| to
+    ≈|matches|."""
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return bloom_semi_join(t["orders"], dim, "o_custkey").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+
+
+# --- Z-order clustered layout ---------------------------------------------
+
+
+def zorder_value(cols: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of pre-scaled long columns into
+    one Morton (Z-curve) value — pure JVM expressions (getbit inside an
+    ``aggregate`` HOF), no UDF. Callers scale each dimension into
+    [0, 2^bits) first (``zorder_write`` does). 2 cols × 16 bits → a
+    32-bit z-value; contributions are exact in double (< 2^53) before
+    the final long cast."""
+    n = len(cols)
+    zero = F.lit(0).cast("long")
+
+    # sequence index is a Column inside the lambda; position arithmetic
+    # stays column-typed
+    def merge(acc, i):
+        total = zero
+        for j, c in enumerate(cols):
+            bit = F.getbit(c, i.cast("int")).cast("long")
+            pos = (i * n + F.lit(j)).cast("double")
+            total = total + bit * F.pow(F.lit(2.0), pos).cast("long")
+        return acc + total
+
+    return F.aggregate(F.sequence(F.lit(0), F.lit(bits - 1)), zero, merge)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` clustered on the Z-curve over ``cols``: scale each
+    dimension to [0, 2^bits) via its min/max (one tiny aggregate),
+    range-partition + sort on the interleaved z-value, write parquet.
+
+    Every output file then covers a tight hyper-rectangle in ALL
+    ``cols`` at once, so parquet min/max stats prune scans for
+    predicates on ANY clustered column — a single-column sort gives
+    that only for its leading column. This is the multi-dimensional
+    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER analogue) for
+    the 100 TB scan problem; tests/test_scale.py measures the pruning
+    from the written footers."""
+    stats = df.agg(
+        *[F.min(c).alias(f"{c}_min") for c in cols],
+        *[F.max(c).alias(f"{c}_max") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = stats[f"{c}_min"], stats[f"{c}_max"]
+        span = max(float(hi) - float(lo), 1.0)
+        scaled.append(
+            F.least(
+                F.lit(top),
+                ((F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * top)
+                .cast("long"),
+            )
+        )
+    z = zorder_value(scaled, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

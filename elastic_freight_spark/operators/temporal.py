@@ -242,3 +242,82 @@ def t_zscore_outliers(spark, sf_dir):
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+@query(
+    "t_ewma_events",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t
+      FROM events
+    ), acc AS (
+      SELECT user_id, event_id, t, value,
+             SUM(value * POWER(1.0/0.7, t))
+               OVER (PARTITION BY user_id ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS wsum,
+             SUM(POWER(1.0/0.7, t))
+               OVER (PARTITION BY user_id ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS wnorm
+      FROM s
+    )
+    SELECT user_id, event_id, CAST(t AS BIGINT) AS t,
+           ROUND(wsum / wnorm, 4) AS ewma
+    FROM acc
+    """,
+)
+def t_ewma_events(spark, sf_dir):
+    """Exponentially-weighted moving average per user (alpha=0.3,
+    adjust=True semantics: ewma_t = sum_j (1-a)^j x_{t-j} / sum_j
+    (1-a)^j) — the standard time-series smoother, expressed as two
+    running window sums so it stays inside whole-stage codegen: weight
+    each point by (1-a)^(-t), running-sum values and weights, divide.
+
+    Numerical envelope: the rebased weight reaches (1/0.7)^len, so the
+    pure-window form is exact for series up to ~2k points per key; for
+    longer keys use ``ewma_apply_in_pandas`` (the Arrow-batched
+    recurrence — same result, no exponent growth, one shuffle on the
+    key; unit-tested equal to this query)."""
+    events = load_tables(spark, sf_dir)["events"]
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = (
+        W.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = events.withColumn("t", F.row_number().over(order) - 1)
+    w = F.pow(F.lit(1.0 / 0.7), F.col("t"))
+    acc = s.select(
+        "user_id",
+        "event_id",
+        F.col("t").cast("bigint").alias("t"),
+        F.sum(F.col("value") * w).over(frame).alias("wsum"),
+        F.sum(w).over(frame).alias("wnorm"),
+    )
+    return acc.select(
+        "user_id",
+        "event_id",
+        "t",
+        F.round(F.col("wsum") / F.col("wnorm"), 4).alias("ewma"),
+    )
+
+
+def ewma_apply_in_pandas(events, alpha: float = 0.3):
+    """Scale-path EWMA: per-key sequential recurrence run as an
+    Arrow-batched grouped map (``applyInPandas``) — numerically stable
+    for unbounded series (no (1-a)^-t rebasing), one shuffle on the
+    key, vectorized C inside each group. Matches ``t_ewma_events``
+    exactly on short series (tests/test_scale.py)."""
+    import pandas as pd
+
+    def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out = pdf[["user_id", "event_id"]].copy()
+        out["t"] = pdf.index.astype("int64")
+        out["ewma"] = (
+            pdf["value"].ewm(alpha=alpha, adjust=True).mean().round(4)
+        )
+        return out
+
+    schema = "user_id bigint, event_id bigint, t bigint, ewma double"
+    return events.groupBy("user_id").applyInPandas(smooth, schema=schema)

@@ -152,3 +152,126 @@ def test_skewed_topk_matches_plain_topk(spark):
         df, part_col="k", order_cols=order, k=5, salt_src="uid", n_salts=8
     ).select("k", "uid", "score", "rn")
     assert sorted(map(tuple, hardened.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bloom_semi_join_exact_and_prunes_shuffle(spark):
+    """Bloom pre-filter must be invisible in the result (no false
+    negatives) and must shrink what the fact side shuffles."""
+    from elastic_freight_spark.operators.scale import (
+        bloom_might_contain,
+        bloom_semi_join,
+        build_bloom_words,
+    )
+    from elastic_freight_spark.plans.metrics import shuffle_summary
+
+    t = load_tables(spark, SF_DIR)
+    dim = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    plain = t["orders"].join(dim, "o_custkey", "left_semi")
+    bloomed = bloom_semi_join(t["orders"], dim, "o_custkey")
+    got = {r["o_orderkey"] for r in bloomed.select("o_orderkey").collect()}
+    want = {r["o_orderkey"] for r in plain.select("o_orderkey").collect()}
+    assert got == want
+
+    # no false negatives, bounded false positives: every true match
+    # passes the raw filter; the filter kills most non-matches
+    words = build_bloom_words(dim, "o_custkey")
+    pre = t["orders"].filter(
+        bloom_might_contain(F.col("o_custkey"), words, 1 << 17)
+    )
+    n_pre, n_fact, n_true = pre.count(), t["orders"].count(), len(want)
+    assert n_true <= n_pre < n_fact
+    assert n_pre - n_true <= 0.05 * n_fact  # FP budget far above 1% target
+
+    # the exchange moves candidates, not the corpus. At sf0.001 the
+    # dim auto-broadcasts (0 shuffle records on both plans), which is
+    # not the scale shape the operator exists for — force the shuffle
+    # join both sides to model the dim-too-big-to-broadcast case.
+    s_plain = shuffle_summary(
+        t["orders"].join(dim.hint("shuffle_hash"), "o_custkey", "left_semi")
+    )
+    s_bloom = shuffle_summary(
+        pre.join(dim.hint("shuffle_hash").distinct(), "o_custkey", "left_semi")
+    )
+    assert s_plain["shuffle_records_written"] >= n_fact
+    assert s_bloom["shuffle_records_written"] < s_plain["shuffle_records_written"]
+
+
+def test_ewma_apply_in_pandas_matches_window_formula(spark):
+    """The Arrow-batched recurrence (scale path for unbounded series)
+    and the pure-window rebased-weight formula are the same smoother."""
+    from elastic_freight_spark.operators.temporal import (
+        ewma_apply_in_pandas,
+        t_ewma_events,
+    )
+
+    win = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in t_ewma_events(spark, SF_DIR).collect()
+    }
+    rec = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma_apply_in_pandas(
+            load_tables(spark, SF_DIR)["events"]
+        ).collect()
+    }
+    assert win.keys() == rec.keys() and len(win) > 0
+    for k, v in win.items():
+        assert abs(v - rec[k]) <= 1e-3, k
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering: every file covers a tight box in ALL
+    clustered columns, so footer min/max stats prune scans on either
+    column; a single-column sort only prunes its own column."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from elastic_freight_spark.operators.scale import zorder_write
+
+    orders = load_tables(spark, "/root/testdata/sf0.01")["orders"].withColumn(
+        "o_day", F.datediff("o_orderdate", F.lit("1992-01-01"))
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_write(orders, zpath, ["o_custkey", "o_day"], n_files=16)
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def files_hit(path, col, lo, hi):
+        n_tot, n_hit = 0, 0
+        for f in glob.glob(os.path.join(path, "part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            cmin = cmax = None
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    c = row.column(ci)
+                    if c.path_in_schema == col and c.statistics and c.statistics.has_min_max:
+                        cmin = c.statistics.min if cmin is None else min(cmin, c.statistics.min)
+                        cmax = c.statistics.max if cmax is None else max(cmax, c.statistics.max)
+            n_tot += 1
+            if cmin is not None and not (cmax < lo or cmin > hi):
+                n_hit += 1
+        return n_hit, n_tot
+
+    # in-domain boxes (custkey 0..1499, day ~1096..3500 at sf0.01)
+    zk, ztot = files_hit(zpath, "o_custkey", 100, 199)
+    zd, _ = files_hit(zpath, "o_day", 1500, 1699)
+    lk, ltot = files_hit(lpath, "o_custkey", 100, 199)
+    ld, _ = files_hit(lpath, "o_day", 1500, 1699)
+    assert ztot == ltot == 16
+    assert lk <= 2  # dedicated sort prunes its own column best
+    assert ld == 16  # ...but cannot prune the other column at all
+    assert zk <= 10 and zd <= 10  # z-order prunes BOTH
+    # layout change must not change the data
+    got = spark.read.parquet(zpath).count()
+    assert got == orders.count()
