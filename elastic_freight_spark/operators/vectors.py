@@ -245,35 +245,79 @@ def ann_lsh_cosine(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def fit_centroids_sampled(
+    df,
+    n_cells: int = 16,
+    seed: int = 42,
+    fit_cap: int = 100_000,
+    max_iter: int = 20,
+):
+    """Train the IVF coarse quantizer on a seeded sample, driver-side.
+
+    This is how production ANN systems train quantizers (faiss trains
+    IVF on a bounded sample, never the corpus): centroid quality
+    saturates long before ``fit_cap`` points for any practical
+    ``n_cells``, so the fit cost is CONSTANT in corpus size — one
+    sample scan to pull ≤ ``fit_cap`` vectors, then vectorized Lloyd
+    iterations in numpy (||x-c||² via the x²+c²-2x·c expansion, no
+    n×k×d intermediate). Replaces an MLlib KMeans fit whose ~maxIter
+    distributed passes dominated wall-clock even at bench scale."""
+    import numpy as np
+
+    n = df.count()
+    frac = min(1.0, fit_cap / max(n, 1))
+    sample = df.sample(fraction=frac, seed=seed) if frac < 1.0 else df
+    X = np.asarray(
+        sample.select("vec").toPandas()["vec"].tolist(), dtype="float64"
+    )
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    x2 = (X * X).sum(1)[:, None]
+    for _ in range(max_iter):
+        d = x2 + (cent * cent).sum(1)[None, :] - 2.0 * (X @ cent.T)
+        lab = d.argmin(1)
+        new = np.stack(
+            [X[lab == j].mean(0) if (lab == j).any() else cent[j] for j in range(len(cent))]
+        )
+        if np.allclose(new, cent, atol=1e-9):
+            cent = new
+            break
+        cent = new
+    return [list(map(float, c)) for c in cent]
+
+
 def ivf_assign(
     df,
     n_cells: int = 16,
     n_probe: int = 2,
     seed: int = 42,
-    fit_cap: int = 1_000_000,
+    fit_cap: int = 100_000,
 ):
-    """Fit a KMeans coarse quantizer (MLlib, on the vector column) and
-    return (centroids, assigned_df) where ``assigned_df`` carries
-    ``cell`` (nearest centroid). The classic IVF layout: the fit runs
-    on a seeded sample capped at ``fit_cap`` rows (KMeans iterates
-    ~maxIter full passes over its input — at 100 TB that must be the
-    sample, never the corpus; centroid quality saturates long before
-    1M training points for any practical ``n_cells``), assignment is
-    one map-side ``transform`` pass over the full table, and the cell
-    id becomes a partition/bucket column so a probe touches
-    n_probe/n_cells of the data."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Return (centroids, assigned_df) — the classic IVF layout.
 
-    with_vec = df.withColumn("features", array_to_vector("vec"))
-    # count() is column-pruned to a metadata-ish scan; one cheap job.
-    n = df.count()
-    frac = min(1.0, fit_cap / max(n, 1))
-    fit_df = with_vec.sample(fraction=frac, seed=seed) if frac < 1.0 else with_vec
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(fit_df)
-    assigned = model.transform(with_vec).drop("features")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    Fit: sample-bounded driver-side Lloyd (``fit_centroids_sampled``),
+    constant cost in corpus size. Assignment: ONE map-side pass of
+    pure JVM expressions — the centroid list rides the plan as a
+    nested array literal and each row takes argmin over the k
+    distances inside whole-stage codegen; no MLlib, no UDF, no
+    shuffle. The cell id then acts as a partition/bucket column so a
+    probe touches n_probe/n_cells of the data."""
+    centroids = fit_centroids_sampled(
+        df, n_cells=n_cells, seed=seed, fit_cap=fit_cap
+    )
+    cent_lit = F.lit(centroids)  # array<array<double>> literal
+    d2 = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with("vec", c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    assigned = df.withColumn(
+        "cell",
+        (F.array_position(d2, F.array_min(d2)) - 1).cast("int"),
+    )
     return centroids, assigned
 
 
