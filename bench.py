@@ -64,6 +64,9 @@ def main() -> None:
         "ann_ivf_cosine",
         "w_running_revenue_skewed",
         "apply_in_pandas_group_rank",
+        "join_bloom_semi_orders",
+        "q10_returned_items",
+        "quality_filter_chain",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -1106,3 +1106,83 @@ def agg_regression_by_group(spark, sf_dir):
         F.round(F.regr_intercept(y, x), 2).alias("icpt"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT l_extendedprice,
+             NTILE(8) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram (the optimizer-statistics kind: equal row
+    mass per bucket, data-driven boundaries) via ntile over a total
+    order — complements the fixed-width `agg_value_histogram`. The
+    tie-break columns make the total order unique so bucket edges are
+    engine-deterministic. At 100 TB the global sort is the cost; the
+    approx_percentile boundary variant trades exactness for a single
+    aggregate when that matters."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    b = t["lineitem"].select(
+        "l_extendedprice", F.ntile(8).over(w).alias("bucket")
+    )
+    return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue', 4)},
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): a 4-table star join
+    — two broadcast dims (customer is borderline; nation trivially) —
+    filtered on the fact, grouped on customer, global top-20 by lost
+    revenue. The plan to want at 100 TB: returnflag filter pushed to
+    the lineitem scan, nation broadcast, one fact shuffle for the
+    groupBy, TakeOrderedAndProject for the limit."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(rev, "revenue", 4),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

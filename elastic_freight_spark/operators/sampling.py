@@ -205,3 +205,102 @@ def sample_source_mix_plan(spark, sf_dir):
         F.floor(F.lit(10000) * mix).cast("bigint").alias("docs_per_epoch"),
         F.round(mix / share, 6).alias("upsample_factor"),
     )
+
+
+@query(
+    "sample_reservoir_per_lang",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def sample_reservoir_per_lang(spark, sf_dir):
+    """Deterministic 'reservoir' k-per-stratum sample: rank rows by a
+    content hash (md5 of the id — engine-portable, unlike any PRNG)
+    and keep the k smallest per language. Statistically a uniform
+    without-replacement sample per stratum, but reproducible across
+    engines, partitionings, AND corpus growth: a document keeps or
+    loses its slot only based on hashes, never on arrival order —
+    the property randomSplit/sampleBy cannot give. At scale the
+    window is a single shuffle on the stratum key; with a hot stratum
+    compose with skewed_topk_per_group (same shape: min-k by a key)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+def dq_check(df, checks):
+    """Deequ-style declarative data-quality gate: ``checks`` maps a
+    constraint name to an aggregate expression counting its VIOLATIONS
+    (0 = pass). All constraints fold into ONE aggregate — a 20-check
+    suite over 100 TB costs a single map-side-combined pass, never one
+    job per check — then unpivot to a (constraint, violations, passed)
+    report via stack()."""
+    from pyspark.sql import functions as F
+
+    agg = df.agg(*[c.cast("bigint").alias(n) for n, c in checks.items()])
+    pairs = ", ".join(f"'{n}', {n}" for n in checks)
+    return agg.selectExpr(
+        f"stack({len(checks)}, {pairs}) AS (constraint_name, violations)"
+    ).withColumn("passed", F.col("violations") == 0)
+
+
+@query(
+    "dq_orders_constraints",
+    oracle="""
+    WITH a AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_key,
+             SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+             SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                      THEN 1 ELSE 0 END) AS bad_status,
+             SUM(CASE WHEN o_orderdate < DATE '1990-01-01'
+                       OR o_orderdate > DATE '2005-01-01'
+                      THEN 1 ELSE 0 END) AS bad_date
+      FROM orders
+    )
+    SELECT constraint_name, CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS passed
+    FROM (
+      SELECT 'complete_custkey' AS constraint_name, null_cust AS violations FROM a
+      UNION ALL SELECT 'unique_orderkey', dup_key FROM a
+      UNION ALL SELECT 'positive_totalprice', bad_price FROM a
+      UNION ALL SELECT 'valid_orderstatus', bad_status FROM a
+      UNION ALL SELECT 'orderdate_in_range', bad_date FROM a
+    )
+    """,
+)
+def dq_orders_constraints(spark, sf_dir):
+    """Data-quality constraint suite on orders (completeness,
+    uniqueness, range, domain, freshness-window) — the ingestion gate
+    a pipeline runs before accepting a drop. One pass, one report."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    ok_status = F.col("o_orderstatus").isin("F", "O", "P")
+    in_range = F.col("o_orderdate").between("1990-01-01", "2005-01-01")
+    return dq_check(
+        orders,
+        {
+            "complete_custkey": F.sum(F.col("o_custkey").isNull().cast("int")),
+            "unique_orderkey": F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+            "positive_totalprice": F.sum((F.col("o_totalprice") <= 0).cast("int")),
+            "valid_orderstatus": F.sum((~ok_status).cast("int")),
+            "orderdate_in_range": F.sum((~in_range).cast("int")),
+        },
+    )

@@ -321,3 +321,48 @@ def ewma_apply_in_pandas(events, alpha: float = 0.3):
 
     schema = "user_id bigint, event_id bigint, t bigint, ewma double"
     return events.groupBy("user_id").applyInPandas(smooth, schema=schema)
+
+
+@query(
+    "t_winsorize_events",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN e.value < c.p05 OR e.value > c.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           ROUND(AVG(e.value), 4) AS mean_raw,
+           ROUND(AVG(GREATEST(c.p05, LEAST(c.p95, e.value))), 4)
+             AS mean_winsorized
+    FROM events e CROSS JOIN cuts c
+    GROUP BY e.event_type
+    """,
+)
+def t_winsorize_events(spark, sf_dir):
+    """Winsorization at exact p05/p95 — the outlier-clipping step a
+    training pipeline applies to reward/score columns before fitting.
+    The cutoffs are a 1-row exact-percentile aggregate broadcast back
+    over the stream (crossJoin), so the whole thing is two passes and
+    zero driver-side scalars; per-type clipped counts and the
+    before/after means report the distortion introduced."""
+    events = load_tables(spark, sf_dir)["events"]
+    cuts = events.agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value")))
+    out_of_band = (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
+    return (
+        events.crossJoin(F.broadcast(cuts))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out_of_band.cast("int")).cast("bigint").alias("n_clipped"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+        )
+    )

@@ -835,3 +835,57 @@ def text_chunking(spark, sf_dir):
         F.size("chunk").alias("n_tokens"),
         F.array_join("chunk", " ").alias("chunk_text"),
     )
+
+
+@query(
+    "text_vocab_df_prune",
+    oracle="""
+    WITH df_counts AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+      )
+      WHERE token <> ''
+      GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT CASE WHEN df < 3 THEN 'rare'
+                WHEN df > 0.5 * n.n_docs THEN 'stop'
+                ELSE 'keep' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(df) AS BIGINT) AS total_df
+    FROM df_counts CROSS JOIN n
+    GROUP BY 1
+    """,
+)
+def text_vocab_df_prune(spark, sf_dir):
+    """Vocabulary pruning by document frequency — the tokenizer-
+    training prep step: terms with df < min_df are 'rare' (typo/noise
+    tail, dropped), terms in > 50% of docs are 'stop' (no signal),
+    the rest is the trainable vocab. One explode+agg over the corpus;
+    the doc count rides the plan as a broadcast 1-row crossJoin, so
+    no second scan for the normalizer. Returns per-bucket term and
+    posting totals (the numbers that size a BPE training run)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    df_counts = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    bucket = (
+        F.when(F.col("df") < 3, "rare")
+        .when(F.col("df") > 0.5 * F.col("n_docs"), "stop")
+        .otherwise("keep")
+    )
+    return (
+        df_counts.crossJoin(F.broadcast(n))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df").cast("bigint").alias("total_df"),
+        )
+    )

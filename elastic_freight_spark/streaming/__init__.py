@@ -4,6 +4,7 @@ from elastic_freight_spark.streaming.structured import (
     read_parquet_stream,
     session_agg,
     stream_index,
+    stream_upsert_index,
     tumbling_agg,
     user_running_state,
 )
@@ -11,6 +12,7 @@ from elastic_freight_spark.streaming.structured import (
 __all__ = [
     "read_parquet_stream",
     "stream_index",
+    "stream_upsert_index",
     "finalize_stream_index",
     "tumbling_agg",
     "session_agg",

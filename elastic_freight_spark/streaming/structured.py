@@ -340,3 +340,45 @@ def read_kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+
+
+def stream_upsert_index(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """CDC-style continuous indexing: every micro-batch lands as an
+    upsert DELTA on an existing index (``indexer.upsert_index`` —
+    shard-routed, versioned, latest-wins), and readers resolve via
+    ``read_index_latest`` merge-on-read, so a query never sees a
+    half-applied batch and the base is never rewritten on the hot
+    path. ``compact_index_upserts`` folds the deltas down out-of-band.
+
+    This is the streaming twin of the reference's rebuild-the-index
+    batch model: same routing, same manifest, but documents can
+    arrive, change, and die while the index serves. Checkpointed
+    foreachBatch gives effectively-once application (a replayed batch
+    re-applies the same rows at a new version — idempotent under
+    latest-wins resolution).
+
+    Returns the StreamingQuery. Caller owns ``awaitTermination``.
+    """
+    from elastic_freight_spark.indexer import upsert_index
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_index(batch_df, index_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

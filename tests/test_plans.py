@@ -190,3 +190,16 @@ def test_join_hints_control_physical_strategy(spark):
 
     bcast = formatted_plan(li.join(orders.hint("broadcast"), cond))
     assert _re.search(r"BroadcastHashJoin", bcast), bcast
+
+
+def test_q10_pushdown_broadcast_and_topk(spark):
+    """Q10's wanted 100 TB plan: returnflag filter pushed to the fact
+    scan, nation broadcast, JVM-only, top-20 via TakeOrderedAndProject
+    (never a global sort materialization)."""
+    from elastic_freight_spark.plans import formatted_plan
+
+    df = registry.QUERIES["q10_returned_items"](spark, SF_DIR)
+    assert_pushed_filters(df, "EqualTo(l_returnflag,R)")
+    assert_broadcast_join(df, expect=1)
+    assert_no_python_in_plan(df)
+    assert "TakeOrderedAndProject" in formatted_plan(df)

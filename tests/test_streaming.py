@@ -314,3 +314,57 @@ def test_stream_fail_counter_and_zero_row_finalize(spark, tmp_path_factory):
     assert man2["counters"]["index_doc_created"] == 0
     assert man2["counters"]["indexing_doc_fail"] == 1
     assert man2["shards"] == {}
+
+
+def test_stream_upsert_index_latest_wins(spark, tmp_path_factory):
+    """CDC stream → upsert deltas → merge-on-read shows the newest
+    version of every doc; replay safety comes from latest-wins."""
+    import os
+
+    from elastic_freight_spark.indexer import (
+        IndexConfig,
+        build_index,
+        read_index_latest,
+        read_manifest,
+    )
+    from elastic_freight_spark.streaming.structured import (
+        read_parquet_stream,
+        stream_upsert_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("upsert_base"))
+    cfg = IndexConfig(
+        index_name="docs_live", doc_id_col="doc_id", num_shards=4, output_path=out
+    )
+    base = spark.createDataFrame(
+        [(i, f"v0_{i}") for i in range(20)], "doc_id bigint, body string"
+    )
+    build_index(base, cfg)
+    index_path = os.path.join(out, "docs_live")
+
+    # two waves of updates as separate stream files: ids 0..9 then 5..14
+    src = str(tmp_path_factory.mktemp("upsert_src"))
+    spark.createDataFrame(
+        [(i, f"v1_{i}") for i in range(10)], "doc_id bigint, body string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(i, f"v2_{i}") for i in range(5, 15)], "doc_id bigint, body string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    ckpt = str(tmp_path_factory.mktemp("upsert_ckpt"))
+    stream = read_parquet_stream(
+        spark, src, base.schema, max_files_per_trigger=1
+    )
+    q = stream_upsert_index(stream, index_path, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    latest = {
+        r["doc_id"]: r["body"]
+        for r in read_index_latest(spark, index_path).collect()
+    }
+    assert len(latest) == 20
+    for i in range(20):
+        expect = "v2" if 5 <= i < 15 else ("v1" if i < 5 else "v0")
+        assert latest[i].startswith(expect), (i, latest[i])
+    # two delta batches applied → manifest version advanced to 2
+    assert read_manifest(index_path)["version"] == 2
