@@ -225,3 +225,128 @@ def mm_frame_sample(spark, sf_dir):
         F.count(F.lit(1)).alias("n_frames"),
         F.countDistinct("frame_hash").alias("n_distinct_frames"),
     )
+
+
+# --- perceptual-hash near-duplicate detection -----------------------------
+
+PHASH_SCHEMA = "doc_id long, media_type string, phash long"
+
+
+def _fake_phash(payload: bytes) -> int:
+    """DETERMINISTIC FAKE perceptual hash — a SimHash over byte
+    4-grams, standing in for a real pHash/dHash (which downscales the
+    decoded image and compares pixels). It keeps the property the
+    plumbing needs: LOCALITY under edits — each 4-gram votes ±1 per
+    bit via a splitmix64-mixed hash and the bit is the vote's sign, so
+    an insert/replace perturbs only the few grams overlapping the edit
+    and near-identical payloads land within a few bits (measured on
+    the synthetic corpus: true near-dups ≤4 bits, unrelated docs ~21).
+    Vectorized numpy inside the Arrow batch; a real phash drops in
+    with the same ``bytes -> int64`` signature."""
+    import numpy as np
+
+    n = len(payload)
+    if n < 4:
+        return 0
+    a = np.frombuffer(payload, dtype=np.uint8).astype(np.uint64)
+    v = a[:-3] | (a[1:-2] << np.uint64(8)) | (a[2:-1] << np.uint64(16)) | (
+        a[3:] << np.uint64(24)
+    )
+    z = v.copy()
+    z ^= z >> np.uint64(30)
+    z = z * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z = z * np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    bits = ((z[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = (bits * 2 - 1).sum(0)
+    out = 0
+    for i in range(64):
+        if votes[i] > 0:
+            out |= 1 << i
+    # two's-complement into a signed 64-bit long for the JVM column
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def phash_media(media: DataFrame, phasher=None) -> DataFrame:
+    """Perceptual-hash stage: Arrow-batched ``mapInPandas`` over the
+    binary payloads (the same sanctioned Python surface as decode —
+    real phash libs are Python), emitting one 64-bit hash per doc."""
+    ph = phasher or _fake_phash
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "phash": [ph(p) for p in pdf["content"]],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(hashed: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-dup media pairs within ``max_hamming`` bits — WITHOUT the
+    all-pairs product: split the 64-bit hash into ``max_hamming + 1``
+    bands that jointly cover every bit; by pigeonhole any pair within
+    the distance budget agrees exactly on ≥1 band, so candidates come
+    from an equi-join on (band_idx, band_value) and only candidates
+    pay the exact ``bit_count(xor)`` check (JVM intrinsics,
+    codegen'd). Same banded-candidate shape as the SimHash text path —
+    the shuffle carries |docs| × n_bands rows, never |docs|². For a
+    bigger distance budget at corpus scale, use a wider fingerprint
+    (256-bit) rather than narrower bands: band width is the knob that
+    keeps random collisions rare."""
+    n_bands = max_hamming + 1
+    cuts = [(i * 64) // n_bands for i in range(n_bands + 1)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftrightunsigned("phash", cuts[i])
+                .bitwiseAND(F.lit((1 << (cuts[i + 1] - cuts[i])) - 1))
+                .alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = hashed.select(
+        "doc_id", "media_type", "phash", F.explode(bands).alias("b")
+    ).select("doc_id", "media_type", "phash", "b.band_idx", "b.band_val")
+    a = banded.select(
+        F.col("band_idx"), F.col("band_val"),
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"),
+        F.col("media_type").alias("mt_a"),
+    )
+    b = banded.select(
+        F.col("band_idx"), F.col("band_val"),
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"),
+        F.col("media_type").alias("mt_b"),
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("mt_a") == F.col("mt_b")))
+        .select(
+            "doc_a", "doc_b", F.col("mt_a").alias("media_type"),
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+@query("mm_phash_neardup")  # rows-only: the fake phash isn't SQL-portable
+def mm_phash_neardup(spark, sf_dir):
+    """Media near-dup detection end-to-end: payloads → perceptual
+    hash (Python stage, Arrow-batched) → banded Hamming candidate
+    join → exact bit_count verify (JVM). The documents corpus carries
+    synthetic near-duplicate pairs whose payloads differ slightly, so
+    true near-dups exist; unit test pins exactness of the band+verify
+    against a brute-force Hamming scan."""
+    media = attach_media(load_tables(spark, sf_dir)["documents"])
+    hashed = phash_media(media)
+    return phash_neardup_pairs(hashed, max_hamming=4)

@@ -85,3 +85,51 @@ def test_frame_sample_explodes_videos(media):
         F.count(F.lit(1)).alias("n"), F.countDistinct("frame_hash").alias("d")
     ).filter(F.col("n") > 1)
     assert multi.filter(F.col("n") != F.col("d")).count() == 0
+
+
+def test_phash_neardup_matches_bruteforce(spark):
+    """Banded candidate join + exact verify must equal the brute-force
+    all-pairs Hamming scan (pigeonhole guarantees no missed pair), and
+    the synthetic corpus must actually contain near-dup media."""
+    from elastic_freight_spark.operators.multimodal import (
+        attach_media,
+        phash_media,
+        phash_neardup_pairs,
+        _fake_phash,
+    )
+    from elastic_freight_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    media = attach_media(docs)
+    hashed = phash_media(media)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_neardup_pairs(hashed, max_hamming=4).collect()
+    }
+
+    rows = [
+        (r["doc_id"], r["media_type"], r["phash"])
+        for r in hashed.collect()
+    ]
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if a[1] != b[1]:
+                continue
+            d = bin((a[2] ^ b[2]) & ((1 << 64) - 1)).count("1")
+            if d <= 4:
+                key = (min(a[0], b[0]), max(a[0], b[0]))
+                want[key] = d
+    assert got == want
+    assert len(got) > 0  # the corpus's synthetic near-dups are found
+
+    # locality of the (stand-in) phash: a small in-place edit moves
+    # the hash by only the few grams overlapping the edit
+    base = bytes(range(256)) * 4
+    edited = bytearray(base)
+    edited[512] ^= 0xFF
+    d = bin(
+        (_fake_phash(base) ^ _fake_phash(bytes(edited))) & ((1 << 64) - 1)
+    ).count("1")
+    assert d <= 8
