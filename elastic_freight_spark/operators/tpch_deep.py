@@ -1,0 +1,511 @@
+"""Deep relational shapes: the remaining classic TPC-H query patterns
+(Q7/Q8/Q9/Q11/Q13/Q16/Q17/Q19/Q21/Q22), adapted to the FIXTURES.md
+schema (no partsupp/commitdate/shipmode columns — each query keeps the
+*shape* that stresses the optimizer: multi-way broadcast joins,
+conditional market-share ratios, HAVING against a scalar subquery,
+outer-join count distributions, NOT IN over a subquery, correlated
+scalar averages, disjunctive pushdown, double-correlated EXISTS/NOT
+EXISTS, and anti-join + scalar-threshold opportunity scans).
+
+The reference delegates all querying to the Elasticsearch artifact it
+builds (SURVEY.md §2.4: its only join-shaped machinery is the shard
+shuffle in ESEmbededContainer + BaseTransport's missing-shard check);
+this module supplies the deep relational surface natively on Catalyst.
+
+Scale notes: every dimension side (region/nation/part/supplier/
+customer at TPC-H ratios) is explicitly broadcast so the only fact
+shuffles are the l_orderkey/l_partkey aggregations; self-joins on
+lineitem (Q17 per-part average, Q21 other-supplier EXISTS) shuffle
+both sides on the same key so AQE can coalesce, and the Q11/Q22
+scalar thresholds ride the plan as broadcast 1-row aggregates rather
+than driver-side `.first()` pulls (one scan, no extra job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elastic_freight_spark.functions import davg, dsum, sql_davg, sql_dsum
+from elastic_freight_spark.registry import query
+from elastic_freight_spark.session import load_tables
+
+def _rev():
+    # built lazily: pyspark 4 Column construction needs an active context
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_SQL_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           {sql_dsum(_SQL_REV, 'revenue')}
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. supplier/customer/nation are all broadcast; the nation
+    filter lands on the dimension side BEFORE the join so the fact
+    scan's join fan-in is pre-pruned, and the only shuffle is the
+    final 3-key aggregation."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = t["lineitem"].filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    joined = (
+        li.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair | rpair)
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(dsum(_rev(), "revenue"))
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN CAST(volume AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             {_SQL_REV} AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON r_regionkey = n2.n_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                            AND TIMESTAMP '1997-12-31'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    market per order year — a conditional-sum ratio over a 7-table
+    join where every non-lineitem side is broadcast. The share divides
+    two exact decimal sums in one double op, so the ratio is identical
+    at any partition count (and in DuckDB)."""
+    t = load_tables(spark, sf_dir)
+    n_supp = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    orders = t["orders"].filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nk"))
+    )
+    dec = "decimal(18,4)"
+    vol = _rev().cast(dec)
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast(dec)
+    )
+    return (
+        joined.select(F.year("o_orderdate").alias("o_year"), vol.alias("v"),
+                      nat_vol.alias("nv"))
+        .groupBy("o_year")
+        .agg((F.sum("nv").cast("double") / F.sum("v").cast("double")).alias("mkt_share"))
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           {sql_dsum(f'{_SQL_REV} - p_retailprice * l_quantity * 0.1',
+                     'sum_profit', scale=6)}
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_brand IN ('Brand#5', 'Brand#15', 'Brand#25')
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation × order year. The
+    fixture has no partsupp, so supply cost is proxied as 10% of
+    retail price × quantity — same expression shape (revenue minus a
+    part-joined cost term). part/supplier/nation broadcast; lineitem⋈
+    orders is the one fact-fact shuffle."""
+    t = load_tables(spark, sf_dir)
+    profit = _rev() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    joined = (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"].filter(
+                    F.col("p_brand").isin("Brand#5", "Brand#15", "Brand#25")
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(dsum(profit, "sum_profit", scale=6))
+
+
+@query(
+    "q11_value_concentration",
+    oracle=f"""
+    SELECT n_name, {sql_dsum(_SQL_REV, 'value')}
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING SUM(CAST({_SQL_REV} AS DECIMAL(18,4)))
+         > (SELECT SUM(CAST({_SQL_REV} AS DECIMAL(18,4))) * 0.05
+            FROM lineitem)
+    """,
+)
+def q11_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: groups whose aggregate exceeds a fraction of
+    the global total (HAVING vs an uncorrelated scalar subquery). The
+    global total rides the plan as a broadcast 1-row aggregate
+    crossJoin — no driver-side `.first()` pull, so the fact table is
+    scanned once per side of one job, not across two jobs."""
+    t = load_tables(spark, sf_dir)
+    dec = "decimal(18,4)"
+    li = t["lineitem"].join(
+        F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+    ).join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    per_nation = li.groupBy("n_name").agg(
+        F.sum(_rev().cast(dec)).alias("_dec_value")
+    )
+    total = t["lineitem"].agg(
+        (F.sum(_rev().cast(dec)) * F.lit(0.05)).alias("_threshold")
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("_dec_value") > F.col("_threshold"))
+        .select("n_name", F.col("_dec_value").cast("double").alias("value"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    with the filter inside the OUTER join's ON clause (customers with
+    zero matching orders must survive as c_count=0 — a WHERE would
+    wrongly drop them). Two aggregations: the first shuffles on
+    c_custkey, the second on the (tiny-cardinality) count value."""
+    t = load_tables(spark, sf_dir)
+    joined = t["customer"].join(
+        t["orders"],
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q16_part_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    bucket, excluding a NOT IN supplier subquery (Catalyst plans a
+    null-aware left-anti join; the exclusion side is tiny → broadcast).
+    COUNT(DISTINCT) expands to a two-phase aggregate — partial distinct
+    on (brand,size,suppkey), then the final count — no naive global
+    de-dup."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = t["lineitem"].join(
+        F.broadcast(bad_supp),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#5'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar average (lines below 20% of
+    their part's mean quantity). The correlation decorrelates to a
+    per-part aggregate joined back on l_partkey — both sides shuffle
+    on the same key, so AQE coalesces them into one exchange reuse.
+    Quantities are integer-valued doubles < 2^53, so the AVG is exact
+    and the threshold comparison is engine-independent."""
+    t = load_tables(spark, sf_dir)
+    per_part = t["lineitem"].groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    brand = t["part"].filter(F.col("p_brand") == "Brand#5").select("p_partkey")
+    small = (
+        t["lineitem"]
+        .join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pp_key"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return small.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0)
+        .alias("avg_yearly")
+    )
+
+
+@query(
+    "q19_disjunctive_brand_filter",
+    oracle=f"""
+    SELECT {sql_dsum(_SQL_REV, 'revenue')}
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive_brand_filter(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive cross-table
+    predicates. Catalyst distributes the single-table legs of the OR
+    to each scan (lineitem gets quantity ∈ [1,50], part gets the
+    brand/size union) before the join, then re-applies the full
+    disjunction after — both pushdowns visible in the plan."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    leg = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return j.filter(
+        leg("Brand#1", 1, 15, 1, 20)
+        | leg("Brand#2", 10, 30, 10, 35)
+        | leg("Brand#3", 20, 50, 20, 50)
+    ).agg(dsum(_rev(), "revenue"))
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n_name IN ('NATION_4', 'NATION_5')
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: the sole-blame pattern — suppliers whose line
+    was returned on finalized multi-supplier orders where NO other
+    supplier's line was returned (commitdate/receiptdate aren't in the
+    fixture; returnflag plays the 'failed the order' role). Two
+    correlated self-joins with an inequality on the correlated column:
+    EXISTS → left-semi, NOT EXISTS → left-anti, both shuffling
+    lineitem on l_orderkey — the same key as the orders join, so the
+    exchange is reused across all three."""
+    t = load_tables(spark, sf_dir)
+    nat = t["nation"].filter(F.col("n_name").isin("NATION_4", "NATION_5"))
+    supp = t["supplier"].join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    l1 = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = t["lineitem"].select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    l3 = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key"))
+    )
+    with_other = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2_key"))
+        & (F.col("l_suppkey") != F.col("s2_key")),
+        "left_semi",
+    )
+    sole_blame = with_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3_key"))
+        & (F.col("l_suppkey") != F.col("s3_key")),
+        "left_anti",
+    )
+    return sole_blame.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@query(
+    "q22_dormant_customers",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_dsum('c_acctbal', 'totacctbal')}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_6', 'NATION_7', 'NATION_8')
+      AND c_acctbal > (
+        SELECT {sql_davg('c_acctbal', 'a')} FROM customer
+        WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY n_name
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: high-balance customers (above the global
+    positive-balance average — an uncorrelated scalar subquery riding
+    the plan as a broadcast 1-row crossJoin) in target nations with no
+    recent orders (anti-join against the date-filtered order set; the
+    fixture's customers all have *some* order, so dormancy is defined
+    against the last ~2.5 years). The anti-join's right side is the
+    filtered o_custkey column — filter and projection both reach the
+    scan."""
+    t = load_tables(spark, sf_dir)
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal", "avg_bal"))
+    )
+    nat = t["nation"].filter(F.col("n_name").isin("NATION_6", "NATION_7", "NATION_8"))
+    cust = (
+        t["customer"]
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+    )
+    return cust.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal")
+    )

@@ -50,6 +50,7 @@ def load_all() -> None:
         vectors,
         search,
         subqueries,
+        tpch_deep,
         scale,
         relational,
         arrays,

