@@ -67,6 +67,11 @@ def main() -> None:
         "join_bloom_semi_orders",
         "q10_returned_items",
         "quality_filter_chain",
+        "q9_product_profit",
+        "q13_customer_distribution",
+        "q17_small_quantity_revenue",
+        "q21_waiting_suppliers",
+        "mm_phash_neardup",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -285,6 +285,36 @@ _SHINGLE_EXPR = (
     "ELSE array() END"
 )
 
+# shingle-set frame persisted per (session, corpus) — the same
+# serve-many-policies discipline as search's _POSTINGS_CACHE: every
+# near-dup path (signature build, band join sides, exact-verify join
+# sides) re-reads the cached sets, so the documents `text` column is
+# tokenized+shingled exactly once per session instead of once per
+# lineage branch (dedup_corpus_lsh alone has four such branches).
+_SHINGLE_CACHE: dict = {}
+
+
+def shingle_sets(spark, sf_dir):
+    """doc_id → (sh: distinct 3-gram shingle array, n: set size),
+    persisted per (session, corpus)."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    sets = _SHINGLE_CACHE.get(key)
+    if sets is None:
+        toks = load_tables(spark, sf_dir)["documents"].select(
+            "doc_id", F.split(F.lower("text"), " ").alias("tok")
+        )
+        sets = (
+            toks.select(
+                "doc_id", F.array_distinct(F.expr(_SHINGLE_EXPR)).alias("sh")
+            )
+            .select("doc_id", "sh", F.size("sh").alias("n"))
+            .persist()
+        )
+        _SHINGLE_CACHE[key] = sets
+    return sets
+
 
 @query(
     "neardup_ngram_jaccard",
@@ -311,19 +341,10 @@ def neardup_ngram_jaccard(spark, sf_dir):
     shingle → pair intersection counts → Jaccard from set sizes.
     Cost is driven by shingle-bucket collisions, not n² — the same
     plan LSH approximates when even this is too wide."""
-    t = load_tables(spark, sf_dir)
-    toks = t["documents"].select(
-        "doc_id", F.split(F.lower("text"), " ").alias("tok")
-    )
-    # 3-gram shingles via a positional transform on the token array
-    shingles = (
-        toks.select(
-            "doc_id",
-            F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"),
-        )
-        .distinct()
-    )
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sets = shingle_sets(spark, sf_dir)
+    # 3-gram shingles from the per-session cached sets (already distinct)
+    shingles = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sets.select("doc_id", "n")
     a = shingles.alias("a")
     b = shingles.alias("b")
     pairs = (
@@ -369,15 +390,11 @@ def minhash_signatures(spark, sf_dir, num_perms: int = MINHASH_PERMS):
     (map-side) aggregation collapses each partition to one row per
     doc before the shuffle, so the exchanged data is
     |docs| × num_perms longs regardless of shingle count: the property
-    that makes this the 100 TB signature plan."""
-    t = load_tables(spark, sf_dir)
-    toks = t["documents"].select("doc_id", F.split(F.lower("text"), " ").alias("tok"))
-    shingles = (
-        toks.select(
-            "doc_id",
-            F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"),
-        )
-        .distinct()
+    that makes this the 100 TB signature plan. Reads the per-session
+    shingle-set cache, so the corpus text is shingled once across all
+    near-dup policies."""
+    shingles = shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
     mins = shingles.groupBy("doc_id").agg(
         *[
@@ -614,10 +631,7 @@ def dedup_corpus_lsh(spark, sf_dir, threshold: float = 0.35):
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("tok"))
-    sets = toks.select(
-        "doc_id", F.array_distinct(F.expr(_SHINGLE_EXPR)).alias("sh")
-    ).select("doc_id", "sh", F.size("sh").alias("n"))
+    sets = shingle_sets(spark, sf_dir)
     a = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sh_a"),

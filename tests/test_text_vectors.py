@@ -241,3 +241,26 @@ def test_dedup_lsh_matches_exact_path(spark):
     lsh = rows("dedup_corpus_lsh")
     assert lsh == exact
     assert sum(v[2] for v in exact.values()) > 0  # dups actually exist
+
+
+def test_neardup_paths_single_corpus_tokenization(spark):
+    """Scale contract (mirrors the search postings test): once the
+    per-session shingle-set cache is built, every near-dup policy's
+    executed plan reads the cache — none re-reads the documents
+    `text` column (dedup_corpus_lsh alone had four text-tokenizing
+    lineage branches before the cache)."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.text import shingle_sets
+    from elastic_freight_spark.plans.metrics import executed_scans
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    shingle_sets(spark, sf).count()  # the one tokenizing scan, cached
+    for name in (
+        "neardup_ngram_jaccard",
+        "neardup_minhash_lsh",
+        "dedup_corpus_lsh",
+    ):
+        df = registry.QUERIES[name](spark, sf)
+        text_scans = [s for s in executed_scans(df) if "text" in s]
+        assert not text_scans, f"{name} re-reads corpus text: {text_scans}"
