@@ -304,3 +304,32 @@ def dq_orders_constraints(spark, sf_dir):
             "orderdate_in_range": F.sum((~in_range).cast("int")),
         },
     )
+
+
+@query(
+    "training_shuffle_order",
+    oracle="""
+    SELECT doc_id, md5(concat('42:', CAST(doc_id AS VARCHAR))) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 100
+    """,
+)
+def training_shuffle_order(spark, sf_dir):
+    """Deterministic global training-order shuffle: the order key is
+    md5(seed || doc_id) — reproducible across engines, partition
+    counts, and reruns (unlike ``rand()``), and a new seed is a new
+    epoch permutation with zero data movement until the export. At
+    scale the export is ``repartitionByRange(shuffle_key) +
+    sortWithinPartitions`` (a range shuffle, no global sort gather);
+    the query surface returns the first 100 docs of the seed-42
+    epoch, which a TakeOrderedAndProject serves without materializing
+    the full order."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    return keyed.orderBy("shuffle_key", "doc_id").limit(100)

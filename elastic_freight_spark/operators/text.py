@@ -903,3 +903,94 @@ def text_vocab_df_prune(spark, sf_dir):
             F.sum("df").cast("bigint").alias("total_df"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — drop training docs that share an n-gram
+# with the held-out eval set (the step every LLM data pipeline runs
+# before training; 13-grams at production scale, 5-grams here because
+# the synthetic docs are ~55 tokens).
+# ---------------------------------------------------------------------------
+
+_GRAM5_EXPR = (
+    "CASE WHEN size(tok) >= 5 THEN "
+    "transform(sequence(0, size(tok) - 5), "
+    "i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2], tok[i+3], tok[i+4])) "
+    "ELSE array() END"
+)
+
+
+def decontaminate(train_docs, eval_docs, n_tokens: int = 5):
+    """(clean_train_docs, contaminated_ids): semi-join the training
+    corpus's n-gram stream against the eval set's n-gram set. The
+    eval side is a benchmark — tiny by construction — so its gram set
+    is broadcast and the training corpus is never shuffled: each task
+    checks its own docs' grams against the broadcast set and only the
+    contaminated doc_ids (rare by design) move."""
+    def grams(docs):
+        return (
+            docs.select("doc_id", F.split(F.lower("text"), " ").alias("tok"))
+            .select("doc_id", F.explode(F.expr(_GRAM5_EXPR)).alias("gram"))
+        )
+
+    eval_grams = grams(eval_docs).select("gram").distinct()
+    contaminated = (
+        grams(train_docs)
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train_docs.join(contaminated, "doc_id", "left_anti")
+    return clean, contaminated
+
+
+@query(
+    "decontaminate_eval_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS tok
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tok) >= 5 THEN
+               [array_to_string(tok[i:i+4], ' ') FOR i IN range(1, len(tok) - 3)]
+             ELSE [] END) AS gram
+      FROM toks
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM grams t
+      JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0) e
+        ON t.gram = e.gram
+      WHERE t.doc_id % 20 <> 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(*) - COUNT(c.doc_id) AS BIGINT) AS n_clean
+    FROM documents LEFT JOIN contaminated c USING (doc_id)
+    WHERE doc_id % 20 <> 0
+    GROUP BY source
+    """,
+)
+def decontaminate_eval_overlap(spark, sf_dir):
+    """Decontamination report: documents with doc_id ≡ 0 (mod 20)
+    play the held-out benchmark; the rest is the training corpus.
+    Per-source counts of training docs sharing any 5-gram with the
+    eval set (the synthetic corpus's planted near-dup pairs are
+    exactly what this catches)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    is_eval = F.pmod(F.col("doc_id"), F.lit(20)) == 0
+    train = docs.filter(~is_eval)
+    _, contaminated = decontaminate(train, docs.filter(is_eval))
+    flagged = contaminated.withColumn("_c", F.lit(1))
+    return (
+        train.join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count(F.col("_c")).alias("n_contaminated"),
+            (F.count(F.lit(1)) - F.count(F.col("_c"))).alias("n_clean"),
+        )
+    )

@@ -1,5 +1,6 @@
 from elastic_freight_spark.streaming.structured import (
     dedup_stream,
+    enrich_stream,
     finalize_stream_index,
     read_parquet_stream,
     session_agg,
@@ -17,5 +18,6 @@ __all__ = [
     "tumbling_agg",
     "session_agg",
     "dedup_stream",
+    "enrich_stream",
     "user_running_state",
 ]

@@ -312,6 +312,21 @@ def user_running_state(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_stream(stream_df: DataFrame, dim_df: DataFrame, on, how: str = "left") -> DataFrame:
+    """Stream-static enrichment: join a stream against a batch
+    dimension table. The static side is explicitly broadcast — each
+    micro-batch joins map-side against the (re-read per batch, so
+    dimension updates are picked up) broadcast dim, with no stateful
+    shuffle and no watermark requirement. This is the streaming twin
+    of the batch dimension joins in operators/relational.py and the
+    standard way to attach org/tenant metadata to an event stream
+    before indexing (the reference resolves index metadata per batch
+    in its job setup; ConfigurationLoader usage in
+    /root/reference/src/main/java/com/simondata/elasticfreight/job/
+    ESIndexShardSnapshotJob.java — here it's a first-class join)."""
+    return stream_df.join(F.broadcast(dim_df), on, how)
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -368,3 +368,38 @@ def test_stream_upsert_index_latest_wins(spark, tmp_path_factory):
         assert latest[i].startswith(expect), (i, latest[i])
     # two delta batches applied → manifest version advanced to 2
     assert read_manifest(index_path)["version"] == 2
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_src):
+    """Stream-static broadcast join: events enriched with a static
+    user-tier dimension must equal the identical batch join, and the
+    static side must not require a watermark or state store."""
+    from elastic_freight_spark.streaming import enrich_stream, read_parquet_stream
+
+    src, schema, batch = events_src
+    tiers = (
+        batch.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 3 == 0, "gold")
+            .when(F.col("user_id") % 3 == 1, "silver")
+            .otherwise("bronze")
+            .alias("tier"),
+        )
+    )
+    enriched = enrich_stream(
+        read_parquet_stream(spark, src, schema), tiers, "user_id"
+    ).select("event_id", "user_id", "tier")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("enrich_mem")
+    want = batch.join(tiers, "user_id").select("event_id", "user_id", "tier")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
