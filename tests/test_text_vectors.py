@@ -264,3 +264,35 @@ def test_neardup_paths_single_corpus_tokenization(spark):
         df = registry.QUERIES[name](spark, sf)
         text_scans = [s for s in executed_scans(df) if "text" in s]
         assert not text_scans, f"{name} re-reads corpus text: {text_scans}"
+
+
+def test_semdedup_recall_vs_exact_pairs(spark):
+    """Within-cell semantic dedup must recover nearly all truly
+    similar pairs: recall vs the exact all-pairs cosine scan at the
+    same threshold, on the small fixture."""
+    import itertools
+    import math
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in registry.QUERIES["semdedup_ivf_cells"](spark, sf).collect()
+    }
+    rows = load_tables(spark, sf)["embeddings"].select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+    want = set()
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        if dot / (na * nb) > 0.35:
+            want.add((a, b))
+    assert want, "fixture should contain similar pairs"
+    assert got <= want  # no false positives: exact verify inside cells
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, f"recall {recall:.2f} too low"
