@@ -366,3 +366,43 @@ def t_winsorize_events(spark, sf_dir):
             F.round(F.avg(clipped), 4).alias("mean_winsorized"),
         )
     )
+
+
+@query(
+    "t_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, MIN(act_week) AS cohort_week FROM activity GROUP BY 1
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+           CAST(date_diff('day', cohort_week, act_week) / 7 AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity JOIN first_seen USING (user_id)
+    GROUP BY cohort, week_offset
+    """,
+)
+def t_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohort matrix: users bucketed by first-seen
+    week, counted in every later week they were active — the
+    product-analytics staple. Two aggregations on the same user_id
+    key (distinct weekly activity, then first-seen), so the second
+    reuses the first's shuffle partitioning; the cohort matrix itself
+    is tiny (weeks × weeks)."""
+    events = load_tables(spark, sf_dir)["events"]
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    first_seen = activity.groupBy("user_id").agg(
+        F.min("act_week").alias("cohort_week")
+    )
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

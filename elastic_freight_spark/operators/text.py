@@ -994,3 +994,62 @@ def decontaminate_eval_overlap(spark, sf_dir):
             (F.count(F.lit(1)) - F.count(F.col("_c"))).alias("n_clean"),
         )
     )
+
+
+@query(
+    "pack_contexts_assign",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             LENGTH(string_split(text, ' ')) AS n_tokens,
+             md5(concat('pack:', CAST(doc_id AS VARCHAR))) AS pack_key
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY pack_key, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM tok
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+           CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS start_context,
+           CAST((cum_tokens - 1) // 2048 AS BIGINT) AS end_context
+    FROM cum
+    """,
+)
+def pack_contexts_assign(spark, sf_dir):
+    """Materialized concat-and-chunk packing (the GPT-style zero-pad
+    packing whose yield `pack_contexts_plan` estimates): docs are laid
+    on a per-source token tape in deterministic md5 order, and each
+    doc's byte-range maps to its covering 2048-token contexts
+    (start/end context ids; a doc spanning a boundary appears in
+    both). The running total is a window cumsum PARTITIONED BY source
+    — each source packs independently, so at 100 TB the window never
+    sees a global order, just one source's slice per partition group
+    (pre-partition a huge source by a hash prefix the same way)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from pyspark.sql import Window as W
+
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias(
+            "pack_key"
+        ),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("pack_key", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = tok.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2048).alias("start_context"),
+        F.floor((F.col("cum_tokens") - 1) / 2048).alias("end_context"),
+    )
