@@ -1186,3 +1186,36 @@ def q10_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "f_unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           l_quantity AS value
+    FROM lineitem WHERE l_orderkey < 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey < 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def f_unpivot_measures(spark, sf_dir):
+    """UNPIVOT/melt — the inverse of the pivot query: wide per-line
+    measures to long (measure, value) rows via the native `unpivot`
+    API (one generate pass, no self-union; the oracle's UNION ALL
+    form would scan the table once per measure). The filter is pushed
+    below the generate, so the scan reads only qualifying row
+    groups."""
+    li = load_tables(spark, sf_dir)["lineitem"].filter(F.col("l_orderkey") < 200)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    ).withColumn("measure", F.expr("substring(measure, 3)"))

@@ -333,3 +333,36 @@ def training_shuffle_order(spark, sf_dir):
         ),
     )
     return keyed.orderBy("shuffle_key", "doc_id").limit(100)
+
+
+@query(
+    "sample_det_hash_fraction",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN md5(concat('ws:', CAST(doc_id AS VARCHAR)))
+                              < '1999999999999999999999999999999999'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY source
+    """,
+)
+def sample_det_hash_fraction(spark, sf_dir):
+    """Deterministic ~10% sample via hash thresholding: a row is in
+    the sample iff md5(salt‖doc_id) falls in the first 1/10 of hex
+    space (lexicographic compare — portable to any engine with md5,
+    unlike rand() or xxhash64). The membership decision is a pure
+    function of the row key: stable under repartitioning, engine
+    swaps, reruns, and corpus growth (old rows never change fate) —
+    the property a reproducible training-data subset needs. Returns
+    per-source totals; the sample itself is the same filter without
+    the aggregate."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    in_sample = (
+        F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+        < "1999999999999999999999999999999999"
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(in_sample.cast("int")).cast("bigint").alias("n_sampled"),
+    )

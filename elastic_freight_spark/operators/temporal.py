@@ -406,3 +406,59 @@ def t_retention_cohorts(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "t_sessionize_gaps",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def t_sessionize_gaps(spark, sf_dir):
+    """Explicit sessionization (gaps-and-islands): a session starts at
+    the first event or after a >30 min silence; the running sum of
+    start markers is the per-user session sequence. This is the
+    row-level twin of the `session_window` aggregate (T3) — it hands
+    every EVENT its session id, which the aggregate form can't. Both
+    windows partition by user_id, so one hash exchange serves the lag,
+    the cumsum, and the final per-session rollup."""
+    events = load_tables(spark, sf_dir)["events"]
+    from pyspark.sql import Window as W
+
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    is_start = (
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000)
+    ).cast("int")
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = events.withColumn("is_start", is_start).withColumn(
+        "session_seq", F.sum("is_start").over(cum)
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_sec"),
+    )
