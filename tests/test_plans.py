@@ -203,3 +203,35 @@ def test_q10_pushdown_broadcast_and_topk(spark):
     assert_broadcast_join(df, expect=1)
     assert_no_python_in_plan(df)
     assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+# Python-surface ops: the declared exceptions — each exists to pin a
+# Python API surface (pandas_udf / applyInPandas / mapInPandas), never
+# as the default path for semantics expressible in JVM expressions.
+_PYTHON_SURFACE = {
+    "apply_in_pandas_group_rank",   # §2.11 applyInPandas pin
+    "es_parity_shard_distribution", # §2.11 pandas_udf pin (ES murmur3)
+    "mm_decode_features",           # multimodal decode (Python codecs)
+    "mm_frame_sample",              # multimodal frame sampler
+    "mm_phash_neardup",             # perceptual-hash stage
+}
+
+
+def test_every_registered_query_plans_jvm_only(spark):
+    """Sweeping hot-path audit: EVERY query in the registry must plan
+    without Python stages, except the declared Python-surface pins.
+    Catches any future operator accidentally dropping into a row-UDF.
+    Plans are built, not executed — the audit is cheap and total."""
+    registry.load_all()
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        has_python = any(
+            tok in plan for tok in ("EvalPython", "InPandas", "PythonMapInArrow")
+        )
+        if has_python and name not in _PYTHON_SURFACE:
+            offenders.append(name)
+        if not has_python and name in _PYTHON_SURFACE:
+            offenders.append(f"{name} (expected a Python stage, found none)")
+    assert not offenders, offenders
