@@ -462,3 +462,62 @@ def t_sessionize_gaps(spark, sf_dir):
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_sec"),
     )
+
+
+_MULTI_GRAIN_SQL = """
+SELECT CASE WHEN grain_day IS NOT NULL AND grain_week IS NOT NULL
+            THEN 'day' WHEN grain_week IS NOT NULL THEN 'week'
+            ELSE 'month' END AS grain,
+       COALESCE(strftime(grain_day, '%Y-%m-%d'),
+                strftime(grain_week, '%Y-%m-%d'),
+                strftime(grain_month, '%Y-%m-%d')) AS bucket,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM (
+  SELECT event_type, value,
+         date_trunc('day', ts) AS grain_day,
+         date_trunc('week', ts) AS grain_week,
+         date_trunc('month', ts) AS grain_month
+  FROM events
+)
+GROUP BY GROUPING SETS ((grain_day, grain_week, event_type),
+                        (grain_week, event_type),
+                        (grain_month, event_type))
+"""
+
+
+@query("t_multi_grain_rollup", oracle=_MULTI_GRAIN_SQL)
+def t_multi_grain_rollup(spark, sf_dir):
+    """Multi-grain time rollup: day, week, and month aggregates of the
+    event stream in ONE grouping-sets pass — one scan + one shuffle
+    instead of a scan per grain (at 100 TB, a dashboard's 3 grain
+    tables for the cost of 1). The grain label is recovered from which
+    grain columns are non-null (day rows carry their week so the
+    (day, week) pair stays hierarchical); value sums ride DECIMAL for
+    partition-count independence."""
+    events = load_tables(spark, sf_dir)["events"]
+    events.select(
+        "event_type",
+        "value",
+        F.date_trunc("day", "ts").alias("grain_day"),
+        F.date_trunc("week", "ts").alias("grain_week"),
+        F.date_trunc("month", "ts").alias("grain_month"),
+    ).createOrReplaceTempView("_mg_events")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grain_day IS NOT NULL AND grain_week IS NOT NULL
+                    THEN 'day' WHEN grain_week IS NOT NULL THEN 'week'
+                    ELSE 'month' END AS grain,
+               COALESCE(date_format(grain_day, 'yyyy-MM-dd'),
+                        date_format(grain_week, 'yyyy-MM-dd'),
+                        date_format(grain_month, 'yyyy-MM-dd')) AS bucket,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM _mg_events
+        GROUP BY GROUPING SETS ((grain_day, grain_week, event_type),
+                                (grain_week, event_type),
+                                (grain_month, event_type))
+        """
+    )
