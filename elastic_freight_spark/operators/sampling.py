@@ -366,3 +366,78 @@ def sample_det_hash_fraction(spark, sf_dir):
         F.count(F.lit(1)).alias("n_total"),
         F.sum(in_sample.cast("int")).cast("bigint").alias("n_sampled"),
     )
+
+
+@query(
+    "batch_padding_plan",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, LENGTH(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    sorted_b AS (
+      SELECT n_tokens,
+             CAST((ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1) // 32 AS BIGINT)
+               AS batch_id
+      FROM tok
+    ),
+    arrival_b AS (
+      SELECT n_tokens,
+             CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 32 AS BIGINT)
+               AS batch_id
+      FROM tok
+    ),
+    s AS (
+      SELECT 'length_sorted' AS strategy,
+             CAST(COUNT(DISTINCT batch_id) AS BIGINT) AS n_batches,
+             CAST(SUM(pad) AS BIGINT) AS total_padding
+      FROM (
+        SELECT batch_id,
+               MAX(n_tokens) OVER (PARTITION BY batch_id) - n_tokens AS pad
+        FROM sorted_b
+      ) GROUP BY 1
+    ),
+    a AS (
+      SELECT 'arrival_order' AS strategy,
+             CAST(COUNT(DISTINCT batch_id) AS BIGINT) AS n_batches,
+             CAST(SUM(pad) AS BIGINT) AS total_padding
+      FROM (
+        SELECT batch_id,
+               MAX(n_tokens) OVER (PARTITION BY batch_id) - n_tokens AS pad
+        FROM arrival_b
+      ) GROUP BY 1
+    )
+    SELECT * FROM s UNION ALL SELECT * FROM a
+    """,
+)
+def batch_padding_plan(spark, sf_dir):
+    """Inference/training batch packing audit: pad-to-longest waste of
+    batch-size-32 batches under length-sorted vs arrival-order
+    assignment (length bucketing is why serving stacks sort by
+    sequence length — this measures exactly what it saves). Both
+    assignments are window row_numbers, the waste is a per-batch
+    MAX window minus the row's length — two passes over a 1-column
+    projection, no Python. At scale the global row_number becomes
+    per-source/per-range bucketing (same plan, partitioned window)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from pyspark.sql import Window as W
+
+    tok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+    def waste(order_cols, strategy):
+        rn = F.row_number().over(W.orderBy(*order_cols))
+        b = tok.withColumn("batch_id", ((rn - 1) / 32).cast("bigint"))
+        pad = F.max("n_tokens").over(W.partitionBy("batch_id")) - F.col("n_tokens")
+        return (
+            b.withColumn("pad", pad)
+            .agg(
+                F.countDistinct("batch_id").alias("n_batches"),
+                F.sum("pad").cast("bigint").alias("total_padding"),
+            )
+            .select(F.lit(strategy).alias("strategy"), "n_batches", "total_padding")
+        )
+
+    return waste([F.col("n_tokens"), F.col("doc_id")], "length_sorted").unionByName(
+        waste([F.col("doc_id")], "arrival_order")
+    )
