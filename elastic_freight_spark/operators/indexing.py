@@ -337,3 +337,27 @@ def apply_in_pandas_group_rank(spark, sf_dir):
         .groupBy("user_id")
         .applyInPandas(rank_group, schema="user_id long, event_id long, value_rank int")
     )
+
+
+@query("pandas_udaf_group_geomean")  # rows-only: libm exp/ln isn't bit-portable
+def pandas_udaf_group_geomean(spark, sf_dir):
+    """The grouped-aggregate pandas UDF surface (§2.11's custom-UDAF
+    slot — the one UDF API variant the other pins don't cover): a
+    vectorized numpy geometric mean per order status. Spark plans it
+    as a real aggregate (partial batches stream through Arrow), not a
+    collect-the-group applyInPandas. Pinned against the JVM
+    exp(avg(ln)) identity in tests (libm differences keep it out of
+    the hash-exact oracle set)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(geomean("o_totalprice").alias("geomean_price"))
+    )

@@ -204,3 +204,28 @@ def test_org_subset_routing_bounds_and_pruning(spark):
         .collect()
     }
     assert all(v <= k for v in mur_counts.values())
+
+
+def test_pandas_udaf_geomean_matches_jvm_identity(spark):
+    """The grouped-agg pandas UDF must equal exp(avg(ln(x))) computed
+    JVM-side, to double precision."""
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.operators.indexing import pandas_udaf_group_geomean
+    from elastic_freight_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["o_orderstatus"]: r["geomean_price"]
+        for r in pandas_udaf_group_geomean(spark, sf).collect()
+    }
+    want = {
+        r["o_orderstatus"]: r["w"]
+        for r in load_tables(spark, sf)["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.exp(F.avg(F.log("o_totalprice"))).alias("w"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9 * max(1.0, abs(want[k]))
