@@ -1053,3 +1053,102 @@ def pack_contexts_assign(spark, sf_dir):
         F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2048).alias("start_context"),
         F.floor((F.col("cum_tokens") - 1) / 2048).alias("end_context"),
     )
+
+
+@query(
+    "text_repetition_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tok_counts AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM toks
+      WHERE token <> '' GROUP BY doc_id, token
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(MAX(c) AS BIGINT) AS top_token_count,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+      FROM tok_counts GROUP BY doc_id
+    ),
+    big AS (
+      SELECT doc_id,
+             [concat(tok[i], ' ', tok[i+1]) FOR i IN range(1, len(tok))] AS bigrams
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok FROM documents)
+      WHERE len(tok) >= 2
+    ),
+    big_stats AS (
+      SELECT doc_id,
+             CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+             CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams
+      FROM big
+    )
+    SELECT p.doc_id, p.n_tokens, p.n_distinct_tokens,
+           ROUND(p.top_token_count / CAST(p.n_tokens AS DOUBLE), 9)
+             AS top_token_frac,
+           ROUND(1.0 - p.n_distinct_tokens / CAST(p.n_tokens AS DOUBLE), 9)
+             AS dup_token_frac,
+           ROUND(1.0 - b.n_distinct_bigrams / CAST(b.n_bigrams AS DOUBLE), 9)
+             AS dup_bigram_frac
+    FROM per_doc p JOIN big_stats b USING (doc_id)
+    """,
+)
+def text_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition signals per document: top-token
+    concentration, duplicate-token fraction, duplicate-bigram
+    fraction — the 'repetitious text' axis of pretraining quality
+    filters (Rae et al. 2021 §A1.1 use exactly these shapes). Token
+    stats come from one explode+groupBy; bigram dup-rate needs no
+    explode at all — `array_distinct` sizes computed per row, map-
+    side. Both branches join on doc_id, the only shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok_counts = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_token_count"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+    )
+    big_stats = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("tok"))
+        .filter(F.size("tok") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, size(tok) - 2), "
+                "i -> concat(tok[i], ' ', tok[i+1]))"
+            ).alias("bigrams"),
+        )
+        .select(
+            "doc_id",
+            F.size("bigrams").cast("bigint").alias("n_bigrams"),
+            F.size(F.array_distinct("bigrams")).cast("bigint").alias(
+                "n_distinct_bigrams"
+            ),
+        )
+    )
+    return per_doc.join(big_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(
+            F.col("top_token_count") / F.col("n_tokens").cast("double"), 9
+        ).alias("top_token_frac"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_tokens") / F.col("n_tokens").cast("double"),
+            9,
+        ).alias("dup_token_frac"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct_bigrams") / F.col("n_bigrams").cast("double"),
+            9,
+        ).alias("dup_bigram_frac"),
+    )
