@@ -477,3 +477,41 @@ def semdedup_ivf_cells(spark, sf_dir):
         .select("vec_a", "vec_b", F.round("cosine_raw", 9).alias("cosine"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
+
+
+@query(
+    "vector_label_centroids",
+    oracle="""
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean_val
+    FROM (
+      SELECT label,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def vector_label_centroids(spark, sf_dir):
+    """Per-label centroid vectors (element-wise mean pooling), in long
+    (label, pos, mean_val) format — the class-centroid build step for
+    nearest-centroid classification and per-cluster summarization.
+    posexplode → one (label, pos) aggregation: the shuffle carries
+    |labels| × dim partial sums thanks to map-side combine, never the
+    raw vectors. Component sums ride DECIMAL so the centroid is
+    identical at any partition count; long format keeps the result
+    engine-portable (array renderings aren't)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "label", F.posexplode(_as_double_array("embedding")).alias("pos0", "v")
+    )
+    return (
+        e.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_val")
+        )
+    )
