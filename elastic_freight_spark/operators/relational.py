@@ -1219,3 +1219,41 @@ def f_unpivot_measures(spark, sf_dir):
         "measure",
         "value",
     ).withColumn("measure", F.expr("substring(measure, 3)"))
+
+
+@query(
+    "keyset_pagination_page2",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey > (
+      SELECT MAX(o_orderkey) FROM (
+        SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 50
+      )
+    )
+    ORDER BY o_orderkey
+    LIMIT 50
+    """,
+)
+def keyset_pagination_page2(spark, sf_dir):
+    """Keyset (seek) pagination — the ES composite-agg / search_after
+    analogue and the only pagination that scales: page N+1 resumes
+    from the last key (`WHERE k > last ORDER BY k LIMIT p`), so every
+    page is a pushed range filter + TakeOrderedAndProject, where
+    OFFSET would scan and discard N·p rows. Here page 2 of 50 with
+    the cursor computed in-plan (broadcast 1-row subquery; a real
+    client passes the literal from the previous page)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    page1_last = (
+        orders.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(50)
+        .agg(F.max("o_orderkey").alias("last_key"))
+    )
+    return (
+        orders.crossJoin(F.broadcast(page1_last))
+        .filter(F.col("o_orderkey") > F.col("last_key"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(50)
+    )

@@ -311,3 +311,33 @@ def search_significant_terms(spark, sf_dir):
         .orderBy(F.col("lift").desc(), F.col("token"))
         .limit(15)
     )
+
+
+@query(
+    "search_prefix_suggest",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    )
+    WHERE token LIKE 'c%' AND token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 10
+    """,
+)
+def search_prefix_suggest(spark, sf_dir):
+    """Prefix completion suggester (ES `completion`/`terms` prefix
+    analogue): top-10 corpus terms under a prefix by frequency. The
+    LIKE 'c%' predicate is a leading-prefix range — sargable, pushed
+    below the aggregation; on a postings-indexed layout this reads
+    one term range, never the corpus."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter((F.col("token") != "") & F.col("token").like("c%"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(10)
+    )
