@@ -1152,3 +1152,151 @@ def text_repetition_scores(spark, sf_dir):
             9,
         ).alias("dup_bigram_frac"),
     )
+
+
+_PIPELINE_SQL = f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             LENGTH(text) AS n_chars,
+             LENGTH(string_split(text, ' ')) AS n_tokens,
+             (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+               / CAST(LENGTH(text) AS DOUBLE) AS space_ratio,
+             (LENGTH(lower(text)) - LENGTH(REPLACE(lower(text), 'the', '')))
+               / 3 AS stop_hits
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tok) >= 5 THEN
+               [array_to_string(tok[i:i+4], ' ') FOR i IN range(1, len(tok) - 3)]
+             ELSE [] END) AS gram
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok FROM documents)
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM grams t
+      JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0) e
+        ON t.gram = e.gram
+      WHERE t.doc_id % 20 <> 0
+    ),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY sha256(lower(trim(text)))
+    ),
+    shingles AS ({{SHINGLE}}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    near_dropped AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.35
+    )
+    SELECT CASE
+             WHEN f.doc_id % 20 = 0 THEN 'eval_holdout'
+             WHEN f.n_tokens < 20 THEN 'quality_too_short'
+             WHEN f.n_chars > 500 THEN 'quality_too_long'
+             WHEN f.space_ratio < 0.15 THEN 'quality_low_space'
+             WHEN f.stop_hits < 1 THEN 'quality_no_stopword'
+             WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+             WHEN k.doc_id IS NULL THEN 'exact_dup'
+             WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+             ELSE 'kept' END AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM feat f
+    LEFT JOIN contaminated c ON f.doc_id = c.doc_id
+    LEFT JOIN keepers k ON f.doc_id = k.doc_id
+    LEFT JOIN near_dropped nd ON f.doc_id = nd.doc_id
+    GROUP BY stage
+"""
+
+
+@query("pretrain_pipeline_report", oracle=_PIPELINE_SQL.format(SHINGLE=_SHINGLE_SQL))
+def pretrain_pipeline_report(spark, sf_dir):
+    """The full pretraining-data pipeline as ONE attributed report:
+    every document lands in exactly one bucket by filter precedence —
+    eval holdout → staged quality rules (C4) → benchmark
+    decontamination (5-gram overlap, broadcast eval set) → exact
+    dedup (sha256 min-id keeper) → near-dup (MinHash-LSH candidates,
+    exact-Jaccard verify, greedy trim) → kept. Each membership set is
+    computed independently on the full corpus (so the report is
+    order-deterministic and each set reuses its operator's plan —
+    shingle cache included), then one CASE attributes the first
+    rejecting stage. This is the composition a 100 TB pretraining run
+    executes; the per-stage counts are its yield audit."""
+    docs = load_tables(spark, sf_dir)["documents"]
+
+    text = F.col("text")
+    lower = F.lower(text)
+    feat = docs.select(
+        "doc_id",
+        F.length(text).alias("n_chars"),
+        F.size(F.split(text, " ")).alias("n_tokens"),
+        (
+            (F.length(text) - F.length(F.regexp_replace(text, " ", "")))
+            / F.length(text).cast("double")
+        ).alias("space_ratio"),
+        (
+            (F.length(lower) - F.length(F.regexp_replace(lower, "the", ""))) / F.lit(3)
+        ).alias("stop_hits"),
+    )
+
+    is_eval = F.pmod(F.col("doc_id"), F.lit(20)) == 0
+    _, contaminated = decontaminate(docs.filter(~is_eval), docs.filter(is_eval))
+    contaminated = contaminated.withColumn("_cont", F.lit(1))
+
+    keepers = (
+        docs.select(
+            F.sha2(F.lower(F.trim(text)), 256).alias("_h"), "doc_id"
+        )
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .withColumn("_keep", F.lit(1))
+    )
+
+    # the LSH candidate → exact-verify pair stream (the scale-default
+    # near-dup policy, same as dedup_corpus_lsh)
+    cand = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sets = shingle_sets(spark, sf_dir)
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+                    F.col("n").alias("na"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+                    F.col("n").alias("nb"))
+    verified = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jac",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jac") >= 0.35)
+    )
+    near = verified.select(F.col("doc_b").alias("doc_id")).distinct().withColumn(
+        "_near", F.lit(1)
+    )
+
+    stage = (
+        F.when(is_eval, "eval_holdout")
+        .when(F.col("n_tokens") < 20, "quality_too_short")
+        .when(F.col("n_chars") > 500, "quality_too_long")
+        .when(F.col("space_ratio") < 0.15, "quality_low_space")
+        .when(F.col("stop_hits") < 1, "quality_no_stopword")
+        .when(F.col("_cont").isNotNull(), "contaminated")
+        .when(F.col("_keep").isNull(), "exact_dup")
+        .when(F.col("_near").isNotNull(), "near_dup")
+        .otherwise("kept")
+    )
+    return (
+        feat.join(contaminated, "doc_id", "left")
+        .join(keepers, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .groupBy(stage.alias("stage"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
