@@ -72,6 +72,7 @@ def main() -> None:
         "q17_small_quantity_revenue",
         "q21_waiting_suppliers",
         "mm_phash_neardup",
+        "pretrain_pipeline_report",
     ]
 
     # warm up JVM + file listing once (excluded from timings)
