@@ -521,3 +521,70 @@ def t_multi_grain_rollup(spark, sf_dir):
                                 (grain_month, event_type))
         """
     )
+
+
+@query(
+    "events_cooccurrence_lift",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    totals AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+    per_type AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           ROUND((n_both / CAST(n_users AS DOUBLE))
+                 / ((pa.n / CAST(n_users AS DOUBLE))
+                    * (pb.n / CAST(n_users AS DOUBLE))), 9) AS lift
+    FROM pairs
+    JOIN per_type pa ON pa.event_type = type_a
+    JOIN per_type pb ON pb.event_type = type_b
+    CROSS JOIN totals
+    """,
+)
+def events_cooccurrence_lift(spark, sf_dir):
+    """Behavior co-occurrence mining (association rules over user
+    baskets): for every event-type pair, how many users did both and
+    the lift over independence. The self-join runs on the DISTINCT
+    (user, type) projection — |users|×|types| rows max, never the raw
+    event stream — and the type marginals + user total ride the plan
+    as broadcast sides; with k event types the output is k·(k-1)/2
+    rows no matter the corpus size."""
+    events = load_tables(spark, sf_dir)["events"]
+    ut = events.select("user_id", "event_type").distinct()
+    totals = events.agg(F.countDistinct("user_id").alias("n_users"))
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    pa = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    pb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    nu = F.col("n_users").cast("double")
+    return (
+        pairs.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") / nu) / ((F.col("na") / nu) * (F.col("nb") / nu)), 9
+            ).alias("lift"),
+        )
+    )
