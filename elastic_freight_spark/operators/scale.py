@@ -300,3 +300,45 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+@query("hll_sketch_rollup")  # rows-only: HLL sketch binaries aren't SQL-portable
+def hll_sketch_rollup(spark, sf_dir):
+    """Sketch-partial reuse — the 100 TB distinct-counting pattern:
+    build ONE HLL sketch per (day, event_type) in a single scan
+    (`hll_sketch_agg`, Apache DataSketches binary), then answer every
+    coarser rollup (per day, per type, global) by merging the tiny
+    sketches (`hll_union_agg`) — no second pass over the data, and
+    the sketch table is what a 1000-executor cluster would persist
+    alongside its fact table. Returns all three rollup grains in long
+    format with the exact distinct count alongside (the fixture is
+    small enough to afford exact; the test pins the estimates within
+    HLL error)."""
+    events = load_tables(spark, sf_dir)["events"]
+    base = events.select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    sketches = base.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    per_day = sketches.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(
+        F.lit("day").alias("grain"),
+        F.col("day").cast("string").alias("key"),
+        "approx_users",
+    )
+    per_type = sketches.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(
+        F.lit("event_type").alias("grain"),
+        F.col("event_type").alias("key"),
+        "approx_users",
+    )
+    global_ = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(
+        F.lit("global").alias("grain"), F.lit("all").alias("key"), "approx_users"
+    )
+    return per_day.unionByName(per_type).unionByName(global_)

@@ -275,3 +275,36 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # layout change must not change the data
     got = spark.read.parquet(zpath).count()
     assert got == orders.count()
+
+
+def test_hll_sketch_rollup_within_error(spark):
+    """Merged HLL sketch estimates must land within HLL error of the
+    exact distinct counts at every rollup grain — the sketch-partial
+    pattern must not lose users in the union."""
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.operators.scale import hll_sketch_rollup
+    from elastic_freight_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r["grain"], r["key"]): r["approx_users"]
+        for r in hll_sketch_rollup(spark, sf).collect()
+    }
+    events = load_tables(spark, sf)["events"].select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    exact = {}
+    for r in events.groupBy("day").agg(F.countDistinct("user_id").alias("n")).collect():
+        exact[("day", str(r["day"]))] = r["n"]
+    for r in (
+        events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    ):
+        exact[("event_type", r["event_type"])] = r["n"]
+    exact[("global", "all")] = events.agg(
+        F.countDistinct("user_id").alias("n")
+    ).first()["n"]
+
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est, exact[k])
