@@ -1257,3 +1257,40 @@ def keyset_pagination_page2(spark, sf_dir):
         .orderBy("o_orderkey")
         .limit(50)
     )
+
+
+@query(
+    "f_variant_shredding",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_event
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY k
+    """,
+)
+def f_variant_shredding(spark, sf_dir):
+    """Semi-structured JSON via Spark 4's VARIANT type: `parse_json`
+    once into a binary variant column, then `variant_get` path
+    extraction — the engine stores the parsed tree, so N path reads
+    don't re-parse the JSON string N times (vs `get_json_object`,
+    which re-parses per call; `f_json_props` keeps that classic path).
+    At 100 TB the variant column is what you'd persist — Parquet
+    shreds it columnar in Spark 4 — making JSON-field predicates
+    skippable like any other column."""
+    events = load_tables(spark, sf_dir)["events"]
+    v = events.select(
+        "event_id", F.parse_json("props").alias("v")
+    )
+    return (
+        v.select(
+            F.variant_get("v", "$.k", "bigint").alias("k"), "event_id"
+        )
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_event"),
+        )
+    )
