@@ -311,16 +311,14 @@ def hll_sketch_rollup(spark, sf_dir):
     sketches (`hll_union_agg`) — no second pass over the data, and
     the sketch table is what a 1000-executor cluster would persist
     alongside its fact table. Returns all three rollup grains in long
-    format with the exact distinct count alongside (the fixture is
-    small enough to afford exact; the test pins the estimates within
-    HLL error)."""
+    format (the test pins every estimate against an exact recount
+    within HLL error)."""
     events = load_tables(spark, sf_dir)["events"]
     base = events.select(
         F.to_date("ts").alias("day"), "event_type", "user_id"
     )
     sketches = base.groupBy("day", "event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").alias("exact"),
+        F.hll_sketch_agg("user_id").alias("sk")
     )
     per_day = sketches.groupBy("day").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")

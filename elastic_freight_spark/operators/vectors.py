@@ -456,7 +456,7 @@ def semdedup_ivf_cells(spark, sf_dir):
     `assigned` is written bucketed by cell so the self-join is
     co-located (no shuffle)."""
     e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
-    centroids = fit_centroids_sampled(e, n_cells=8)
+    centroids, _ = ivf_index(spark, sf_dir, n_cells=8)  # cached fit
     assigned = ivf_multi_assign(e, centroids, m=2)
     a = assigned.select(
         F.col("cell"),
