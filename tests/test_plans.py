@@ -235,3 +235,32 @@ def test_every_registered_query_plans_jvm_only(spark):
         if not has_python and name in _PYTHON_SURFACE:
             offenders.append(f"{name} (expected a Python stage, found none)")
     assert not offenders, offenders
+
+
+def test_partition_count_invariance(spark):
+    """Engine-portability invariant: aggregate results are bit-
+    identical at any shuffle width (the DECIMAL money-sum discipline's
+    whole point — double sums would drift with partition count)."""
+    import math
+
+    targets = [
+        "q1_pricing_summary",
+        "agg_multi_measure",
+        "t_multi_grain_rollup",
+        "q11_value_concentration",
+        "vector_label_centroids",
+    ]
+    registry.load_all()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n_part in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for name in targets:
+                rows = registry.QUERIES[name](spark, SF_DIR).collect()
+                key = sorted(tuple(r) for r in rows)
+                results.setdefault(name, []).append(key)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} differs across shuffle widths"
