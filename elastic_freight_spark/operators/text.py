@@ -133,6 +133,30 @@ def text_quality_scores(spark, sf_dir):
     )
 
 
+def quality_stage_col():
+    """First-rejecting-stage attribution for a `text` column — the
+    single expression both the batch query and the streaming gate
+    apply (write the rule once, run it in either engine mode)."""
+    text = F.col("text")
+    lower = F.lower(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(F.split(text, " "))
+    space_ratio = (
+        (F.length(text) - F.length(F.regexp_replace(text, " ", "")))
+        / F.length(text).cast("double")
+    )
+    stop_hits = (
+        F.length(lower) - F.length(F.regexp_replace(lower, "the", ""))
+    ) / F.lit(3)
+    return (
+        F.when(n_tokens < 20, "1_too_short")
+        .when(n_chars > 500, "2_too_long")
+        .when(space_ratio < 0.15, "3_low_space")
+        .when(stop_hits < 1, "4_no_stopword")
+        .otherwise("pass")
+    )
+
+
 @query(
     "quality_filter_chain",
     oracle="""
@@ -162,31 +186,14 @@ def quality_filter_chain(spark, sf_dir):
     signal), survivors to 'pass'. The whole chain is ONE scan + one
     tiny aggregate — per-stage counters come from a CASE attribution,
     not one filter-then-count job per stage (a pipeline with k stages
-    must not pay k corpus scans at 100 TB)."""
+    must not pay k corpus scans at 100 TB). The attribution expression
+    (`quality_stage_col`) is shared verbatim with the streaming gate
+    (tests/test_streaming.py)."""
     t = load_tables(spark, sf_dir)
-    text = F.col("text")
-    lower = F.lower(text)
-    feat = t["documents"].select(
-        F.length(text).alias("n_chars"),
-        F.size(F.split(text, " ")).alias("n_tokens"),
-        (
-            (F.length(text) - F.length(F.regexp_replace(text, " ", "")))
-            / F.length(text).cast("double")
-        ).alias("space_ratio"),
-        (
-            (F.length(lower) - F.length(F.regexp_replace(lower, "the", "")))
-            / F.lit(3)
-        ).alias("stop_hits"),
-    )
-    stage = (
-        F.when(F.col("n_tokens") < 20, "1_too_short")
-        .when(F.col("n_chars") > 500, "2_too_long")
-        .when(F.col("space_ratio") < 0.15, "3_low_space")
-        .when(F.col("stop_hits") < 1, "4_no_stopword")
-        .otherwise("pass")
-    )
-    return feat.groupBy(stage.alias("stage")).agg(
-        F.count(F.lit(1)).alias("n_docs")
+    return (
+        t["documents"]
+        .groupBy(quality_stage_col().alias("stage"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 

@@ -403,3 +403,36 @@ def test_stream_static_enrichment_matches_batch(spark, events_src):
     want = batch.join(tiers, "user_id").select("event_id", "user_id", "tier")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_quality_gate_matches_batch(spark, tmp_path_factory):
+    """The SAME quality-stage expression runs in a streaming gate and
+    the batch query — per-stage counts over the stream must equal the
+    batch attribution (write the rule once, run it anywhere)."""
+    from elastic_freight_spark.operators.text import quality_stage_col
+    from elastic_freight_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    src = str(tmp_path_factory.mktemp("qg_src"))
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    gated = stream.groupBy(quality_stage_col().alias("stage")).count()
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("qg_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["stage"]: r["count"] for r in spark.table("qg_mem").collect()
+    }
+    want = {
+        r["stage"]: r["n"]
+        for r in docs.groupBy(quality_stage_col().alias("stage"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
