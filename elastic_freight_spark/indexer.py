@@ -259,9 +259,21 @@ def read_manifest(index_path: str) -> dict:
         return json.load(f)
 
 
-def read_index(spark: SparkSession, index_path: str) -> DataFrame:
-    """'Restore': just read the partitioned table."""
-    return spark.read.parquet(index_path)
+def read_index(
+    spark: SparkSession, index_path: str, merge_schema: bool = False
+) -> DataFrame:
+    """'Restore': just read the partitioned table.
+
+    ``merge_schema=True`` reconciles shards written at different
+    schema versions (an incrementally-upserted index whose later
+    batches added columns — the ES analogue is dynamic mapping): the
+    union schema is read, old shards surface nulls for new columns.
+    Off by default because schema merging footer-scans every file at
+    planning time — at 100 TB turn it on only after an evolution."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(index_path)
 
 
 def read_shard(spark: SparkSession, index_path: str, doc_id) -> DataFrame:

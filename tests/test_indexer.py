@@ -528,3 +528,39 @@ def test_upsert_merge_on_read_and_compaction(spark, events, tmp_path_factory):
     assert man4["version"] == 3
     assert read_index_latest(spark, man["path"]).count() == len(want) - 1
     assert n_users == len(want) + base.filter(F.col("user_id") % 5 == 1).count()
+
+
+def test_read_index_merge_schema_evolution(spark, tmp_path_factory):
+    """Shards written at different schema versions (a later batch
+    added a column) must read back as the union schema with nulls for
+    the old shards — the dynamic-mapping analogue for an
+    incrementally-built index."""
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.indexer import IndexConfig, build_index, read_index
+
+    out = str(tmp_path_factory.mktemp("evo_idx"))
+    v1 = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("v1").alias("payload")
+    )
+    build_index(
+        v1,
+        IndexConfig(
+            index_name="evo", doc_id_col="doc_id", num_shards=4, output_path=out
+        ),
+    )
+    # a later writer appends a shard-partitioned batch with an extra column
+    v2 = spark.range(100, 150).select(
+        F.col("id").alias("doc_id"),
+        F.lit("v2").alias("payload"),
+        F.lit(7).alias("quality"),
+    )
+    v2.withColumn(
+        "shard", F.pmod(F.hash(F.col("doc_id").cast("string")), F.lit(4))
+    ).write.mode("append").partitionBy("shard").parquet(f"{out}/evo")
+
+    full = read_index(spark, f"{out}/evo", merge_schema=True)
+    assert "quality" in full.columns
+    assert full.count() == 150
+    assert full.filter(F.col("quality").isNull()).count() == 100
+    assert full.filter(F.col("quality") == 7).count() == 50
