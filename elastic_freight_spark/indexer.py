@@ -728,3 +728,45 @@ def read_doc_range(spark: SparkSession, index_path: str, lo, hi) -> DataFrame:
         )
     c = F.col(manifest["doc_id_col"])
     return df.filter((c >= lo) & (c <= hi))
+
+
+# ---------------------------------------------------------------------------
+# Aliases — the ES blue/green go-live surface: readers address an alias,
+# publishes atomically repoint it at a freshly built index (the artifact
+# the reference uploads is served through exactly this indirection once
+# restored into a cluster; here the pointer IS the serving switch).
+# ---------------------------------------------------------------------------
+
+
+def set_alias(base_path: str, alias: str, index_path: str) -> str:
+    """Atomically (re)point ``alias`` at ``index_path``.
+
+    The pointer is a JSON file written to a temp name then
+    ``os.replace``-d over the alias file — readers see either the old
+    or the new target, never a partial write. Flipping an alias is
+    O(1) regardless of index size, which is what makes rebuild-then-
+    swap (blue/green) the zero-downtime publish: build the new index
+    under a versioned directory, validate it, then flip."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(base_path, exist_ok=True)
+    target = _os.path.join(base_path, f"_alias_{alias}.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"alias": alias, "index_path": index_path}, f)
+    _os.replace(tmp, target)
+    return target
+
+
+def resolve_alias(base_path: str, alias: str) -> str:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(base_path, f"_alias_{alias}.json")) as f:
+        return _json.load(f)["index_path"]
+
+
+def read_alias(spark: SparkSession, base_path: str, alias: str) -> DataFrame:
+    """Read whichever index the alias currently serves."""
+    return read_index(spark, resolve_alias(base_path, alias))

@@ -564,3 +564,41 @@ def test_read_index_merge_schema_evolution(spark, tmp_path_factory):
     assert full.count() == 150
     assert full.filter(F.col("quality").isNull()).count() == 100
     assert full.filter(F.col("quality") == 7).count() == 50
+
+
+def test_alias_blue_green_flip(spark, tmp_path_factory):
+    """Readers address the alias; a rebuild publishes by atomically
+    repointing it — old readers' DataFrames keep their bound path,
+    new reads see the new build."""
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.indexer import (
+        IndexConfig,
+        build_index,
+        read_alias,
+        resolve_alias,
+        set_alias,
+    )
+
+    base = str(tmp_path_factory.mktemp("alias_base"))
+    df_v1 = spark.range(0, 80).select(
+        F.col("id").alias("doc_id"), F.lit("blue").alias("color")
+    )
+    df_v2 = spark.range(0, 120).select(
+        F.col("id").alias("doc_id"), F.lit("green").alias("color")
+    )
+    for name, df in (("docs_v1", df_v1), ("docs_v2", df_v2)):
+        build_index(
+            df,
+            IndexConfig(
+                index_name=name, doc_id_col="doc_id", num_shards=4, output_path=base
+            ),
+        )
+    set_alias(base, "docs", f"{base}/docs_v1")
+    assert read_alias(spark, base, "docs").count() == 80
+    # zero-downtime publish: flip to the validated new build
+    set_alias(base, "docs", f"{base}/docs_v2")
+    assert resolve_alias(base, "docs").endswith("docs_v2")
+    got = read_alias(spark, base, "docs")
+    assert got.count() == 120
+    assert got.select("color").distinct().first()["color"] == "green"
