@@ -93,6 +93,19 @@ class EFSEngine:
         """Shard-pruned point lookup — reads 1 of N shard dirs."""
         return read_shard(self.spark, index_path, doc_id)
 
+    def publish(self, base_path: str, alias: str, index_path: str) -> str:
+        """Atomically point ``alias`` at a validated build (blue/green
+        go-live); readers using :meth:`serve` flip with zero downtime."""
+        from elastic_freight_spark.indexer import set_alias
+
+        return set_alias(base_path, alias, index_path)
+
+    def serve(self, base_path: str, alias: str) -> DataFrame:
+        """Read whichever index the alias currently publishes."""
+        from elastic_freight_spark.indexer import read_alias
+
+        return read_alias(self.spark, base_path, alias)
+
     # --- streaming tier --------------------------------------------------
 
     def stream_index(self, stream_df: DataFrame, checkpoint_dir: str, **config):
