@@ -602,3 +602,35 @@ def test_alias_blue_green_flip(spark, tmp_path_factory):
     got = read_alias(spark, base, "docs")
     assert got.count() == 120
     assert got.select("color").distinct().first()["color"] == "green"
+
+
+def test_build_index_zero_row_input(spark, tmp_path_factory):
+    """A build whose input is empty (or all-null ids) must still
+    produce a restorable index: every shard directory exists (filled
+    empty), the manifest records 0 created docs, and read-back gives
+    an empty frame with the right schema."""
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.indexer import (
+        IndexConfig,
+        build_index,
+        read_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("zero_idx"))
+    empty = spark.range(0, 5).select(
+        F.lit(None).cast("long").alias("doc_id"), F.col("id").alias("v")
+    )
+    man = build_index(
+        empty,
+        IndexConfig(
+            index_name="zero", doc_id_col="doc_id", num_shards=4, output_path=out
+        ),
+    )
+    assert man["counters"]["index_doc_created"] == 0
+    assert man["counters"]["indexing_doc_fail"] == 5
+    assert set(man["shards"]) == {"0", "1", "2", "3"}
+    assert all(v == 0 for v in man["shards"].values())
+    restored = read_index(spark, f"{out}/zero")
+    assert restored.count() == 0
+    assert "doc_id" in restored.columns
