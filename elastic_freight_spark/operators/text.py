@@ -1307,3 +1307,50 @@ def pretrain_pipeline_report(spark, sf_dir):
         .groupBy(stage.alias("stage"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "dedup_exact_priority",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             sha256(lower(trim(text))) AS content_hash,
+             CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0 ELSE 1 END
+               AS tier
+      FROM documents
+    )
+    SELECT content_hash,
+           MIN(doc_id) FILTER (WHERE (tier, doc_id) = best) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM (
+      SELECT *, MIN((tier, doc_id)) OVER (PARTITION BY content_hash) AS best
+      FROM ranked
+    )
+    GROUP BY content_hash
+    """,
+)
+def dedup_exact_priority(spark, sf_dir):
+    """Exact dedup with source priority: when copies of the same
+    content exist in several sources, keep the copy from the
+    preferred tier (curated sources beat crawl tiers — the standard
+    cross-source dedup policy in pretraining pipelines), breaking
+    ties by min doc_id. One `min_by` on a (tier, doc_id) struct —
+    struct ordering is lexicographic in both engines, so the keeper
+    is deterministic; same single uniform-key shuffle as plain
+    `dedup_exact`."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tier = F.when(F.col("source").isin("src0", "src1", "src2"), 0).otherwise(1)
+    return (
+        docs.select(
+            F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"),
+            "doc_id",
+            F.struct(tier.alias("tier"), F.col("doc_id").alias("doc_id")).alias(
+                "pri"
+            ),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min_by("doc_id", "pri").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
