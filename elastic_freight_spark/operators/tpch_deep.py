@@ -578,3 +578,201 @@ def q21_waiting_suppliers_agg(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey AS cp_part, l_suppkey AS cp_supp,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT cp_part AS bp_part, MIN(unit_cost) AS best_cost
+      FROM cost GROUP BY cp_part
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+    FROM cost
+    JOIN best ON cp_part = bp_part AND unit_cost = best_cost
+    JOIN part ON p_partkey = cp_part
+    JOIN supplier ON s_suppkey = cp_supp
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE' AND p_size <= 15 AND p_type = 'STANDARD'
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-part minimum-cost supplier with a
+    correlated scalar-min subquery, adapted to the fixture schema
+    (no partsupp table — FIXTURES.md §B): "supply cost" is each
+    supplier's best observed unit price MIN(l_extendedprice /
+    l_quantity) over its lineitems for the part, which keeps the
+    decorrelation shape (per-part aggregate joined back on part +
+    exact cost equality) while staying engine-exact: IEEE division
+    and MIN pick an actual row value, so Spark and the oracle agree
+    bit-for-bit (no order-dependent float summation).
+
+    Plan: both aggregates shuffle on l_partkey(+l_suppkey) so AQE
+    reuses the exchange; part/supplier/nation/region are broadcast;
+    the region+size+type filters prune the part side before the join
+    (reference analogue: the ES artifact answers this with a
+    top-hits agg per part — SURVEY.md §2.4)."""
+    t = load_tables(spark, sf_dir)
+    cost = (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_partkey").alias("cp_part"),
+            F.col("l_suppkey").alias("cp_supp"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = cost.groupBy(F.col("cp_part").alias("bp_part")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    part = t["part"].filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    nat = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    supp = t["supplier"].join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        cost.join(
+            best,
+            (F.col("cp_part") == F.col("bp_part"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("cp_part"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("cp_supp"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST({_SQL_REV} AS DECIMAL(18,4))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the revenue view (quarterly per-supplier
+    revenue) filtered to its own maximum — an uncorrelated scalar-max
+    subquery over a derived aggregate. Revenue sums ride as
+    DECIMAL(18,4) so the max-equality comparison is exact and
+    order-independent in both engines (double sums would tie-break
+    differently under reordering).
+
+    Plan: one lineitem scan with the shipdate filter pushed down, one
+    shuffle on l_suppkey; the max rides the plan as a broadcast 1-row
+    aggregate crossJoin (no second job / driver pull); supplier is
+    broadcast onto the (tiny) revenue view."""
+    t = load_tables(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev().cast("decimal(18,4)")).alias("_dec_rev"))
+    )
+    top = revenue.agg(F.max("_dec_rev").alias("_max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("_dec_rev") == F.col("_max_rev"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_dec_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q20_dominant_part_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey AS sp_part, l_suppkey AS sp_supp,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), part_total AS (
+      SELECT sp_part AS pt_part, SUM(supp_qty) AS part_qty
+      FROM shipped GROUP BY sp_part
+    )
+    SELECT DISTINCT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT sp_supp FROM shipped
+        JOIN part_total ON sp_part = pt_part
+        JOIN part ON p_partkey = sp_part
+        WHERE p_name LIKE '%widget%'
+          AND supp_qty > 0.3 * part_qty
+      )
+    """,
+)
+def q20_dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN-subqueries with a correlated
+    quantity threshold, adapted to the fixture schema (no partsupp /
+    ps_availqty — FIXTURES.md §B): a supplier qualifies when it
+    shipped more than 30% of a widget part's total 1996 volume
+    (the original's "availqty > half the year's demand" becomes
+    "supplies a dominant share of the year's demand"). Quantity sums
+    ride as DECIMAL(18,4) so the 30%-threshold comparison is exact in
+    both engines.
+
+    Plan: one lineitem scan (date filter pushed down), one shuffle on
+    (l_partkey, l_suppkey); the per-part total reuses that exchange
+    (AQE); part's name filter is broadcast onto the shipped view; the
+    qualifying-supplier set flows into a left-semi join against the
+    nation-filtered supplier dim — no DISTINCT materialization."""
+    t = load_tables(spark, sf_dir)
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("sp_part"),
+            F.col("l_suppkey").alias("sp_supp"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("supp_qty"))
+    )
+    part_total = shipped.groupBy(F.col("sp_part").alias("pt_part")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    widget = t["part"].filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    qualifying = (
+        shipped.join(part_total, F.col("sp_part") == F.col("pt_part"))
+        .join(F.broadcast(widget), F.col("p_partkey") == F.col("sp_part"))
+        .filter(F.col("supp_qty") > F.lit(0.3) * F.col("part_qty"))
+        .select("sp_supp")
+    )
+    nat = t["nation"].filter(F.col("n_name") == "NATION_3")
+    return (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("sp_supp"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )

