@@ -34,9 +34,18 @@ every other partition directory (partition pruning).
 
 from __future__ import annotations
 
+import sys
+
 import pandas as pd
+import pyspark.cloudpickle
 from pyspark.sql import Column, functions as F
 from pyspark.sql.types import IntegerType
+
+# The ES-parity pandas UDFs below are module-level functions; without
+# by-value registration, workers spawned from a driver whose cwd
+# doesn't have this repo on sys.path fail with ModuleNotFoundError
+# (same discipline as streaming/structured.py and multimodal.py).
+pyspark.cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 # ---------------------------------------------------------------------------
 # Fast path: Spark built-in murmur3 (seed 42)

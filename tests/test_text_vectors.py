@@ -296,3 +296,49 @@ def test_semdedup_recall_vs_exact_pairs(spark):
     assert got <= want  # no false positives: exact verify inside cells
     recall = len(got & want) / len(want)
     assert recall >= 0.8, f"recall {recall:.2f} too low"
+
+
+def test_ann_ivfpq_recall_and_compression(spark):
+    """IVF-PQ must (a) keep recall against the brute-force anchor at
+    least as a 2-probe IVF would (the exact re-rank repairs PQ's
+    ranking noise), and (b) actually compress: one packed BIGINT per
+    vector, reconstructions within a bounded relative error."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.vectors import (
+        _pq_books,
+        ivf_index,
+        pq_encode,
+        pq_reconstruct_expr,
+    )
+    from pyspark.sql import functions as F
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.QUERIES["knn_bruteforce_cosine"](spark, sf).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.QUERIES["ann_ivfpq_cosine"](spark, sf).collect()
+    }
+    assert len(pq) == 30
+    hits = sum(1 for pair in pq if pair in brute)
+    assert hits / len(pq) >= 0.5, f"IVF-PQ recall too low: {hits}/{len(pq)}"
+
+    # compression honesty: codes fit n_sub * n_bits = 48 bits, and the
+    # registered error audit reports sane per-cell relative error
+    _, assigned = ivf_index(spark, sf, n_cells=16)
+    books = _pq_books(spark, sf)
+    coded = pq_encode(assigned, books)
+    mx = coded.agg(F.max("pq_code")).first()[0]
+    assert 0 <= mx < (1 << 48)
+    err = registry.QUERIES["pq_quantization_error"](spark, sf).collect()
+    assert err and all(0.0 <= r["mean_rel_err"] <= 1.0 for r in err)
+    # reconstruction round-trips through the packed code
+    recon_norm = (
+        coded.withColumn("recon", pq_reconstruct_expr(books))
+        .agg(F.min(F.expr("size(recon)")), F.max(F.expr("size(recon)")))
+        .first()
+    )
+    assert recon_norm[0] == recon_norm[1]  # constant dim
