@@ -148,22 +148,27 @@ def main() -> None:
 
 
 def _prev_bench(repo_dir: str):
-    """Latest BENCH_r{N}.json in the repo root, or (None, None)."""
+    """Latest *usable* BENCH_r{N}.json in the repo root, or (None, None).
+
+    Walks backwards past crash records (a failed round stores
+    ``{"rc": 1, "parsed": null}`` — BENCH_r02 is one) so a regression
+    diff always compares against real timings.
+    """
     import glob
 
     files = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
-    if not files:
-        return None, None
-    last = files[-1]
-    try:
-        with open(last) as f:
-            data = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return None, None
-    # the round driver wraps the bench JSON line under "parsed"
-    if "queries" not in data and isinstance(data.get("parsed"), dict):
-        data = data["parsed"]
-    return os.path.basename(last), data
+    for last in reversed(files):
+        try:
+            with open(last) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the round driver wraps the bench JSON line under "parsed"
+        if "queries" not in data and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        if isinstance(data.get("queries"), dict):
+            return os.path.basename(last), data
+    return None, None
 
 
 if __name__ == "__main__":

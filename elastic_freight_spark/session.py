@@ -100,7 +100,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     Cached per (session, sf_dir) — see ``_TABLE_CACHE``.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     # The caller may hand us a session we didn't build (the driver
     # harness does) — pin the runtime-settable confs the engine
@@ -128,6 +128,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
                 # integer DIV — float division would lose precision on
                 # ~1.7e18 ns epochs (> 2^53)
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            # Naive parquet timestamps (timestamp[us], isAdjustedToUTC
+            # =false) read as TIMESTAMP_NTZ under Spark 4's default
+            # inferTimestampNTZ — but NTZ supports neither
+            # cast-to-bigint nor unix_micros, which the temporal/
+            # sessionization operators need. Normalize to TIMESTAMP_LTZ:
+            # with the session tz pinned to UTC above, the rendered
+            # values (and thus the DuckDB-oracle comparison, whose
+            # timestamps are naive) are bit-identical, and epoch
+            # arithmetic becomes legal again.
+            for field in df.schema.fields:
+                if isinstance(field.dataType, TimestampNTZType):
+                    df = df.withColumn(
+                        field.name, F.col(field.name).cast("timestamp")
+                    )
             df.createOrReplaceTempView(name)
             dfs[name] = df
     _TABLE_CACHE[cache_key] = dict(dfs)
