@@ -340,3 +340,90 @@ def hll_sketch_rollup(spark, sf_dir):
         F.lit("global").alias("grain"), F.lit("all").alias("key"), "approx_users"
     )
     return per_day.unionByName(per_type).unionByName(global_)
+
+
+# ---------------------------------------------------------------------------
+# Binned interval join (scale-correct range join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_interval_binned",
+    oracle=f"""
+    WITH a AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS d0 FROM orders),
+    promos AS (
+      SELECT CAST(i AS BIGINT) AS promo_id,
+             d0 + CAST(i * 7 AS INTEGER) AS p_start,
+             d0 + CAST(i * 7 + 14 AS INTEGER) AS p_end
+      FROM a, UNNEST(range(0, 26)) AS r(i)
+    )
+    SELECT promo_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM promos
+    JOIN lineitem
+      ON CAST(l_shipdate AS DATE) >= p_start
+     AND CAST(l_shipdate AS DATE) <  p_end
+    GROUP BY promo_id
+    ORDER BY promo_id
+    """,
+)
+def join_interval_binned(spark, sf_dir):
+    """Interval-overlap join executed as a binned equi-join.
+
+    26 overlapping 14-day promo windows (7-day stride, anchored at the
+    corpus min order date) are matched against lineitem shipments.
+    The naive plan for ``ship >= start AND ship < end`` is a
+    nested-loop join — quadratic, and only survivable here because
+    the interval side is tiny. The scale-correct plan works for TWO
+    LARGE sides: quantize time into fixed bins sized to the maximum
+    interval length (7-day bins, 14-day windows → each interval
+    covers exactly 2 bins), explode the *interval* side onto its
+    covered bins (bounded ×2 blow-up; the fact side stays 1 row → 1
+    bin), equi-join on the bin (hash shuffle both sides, no BNLJ),
+    then re-apply the exact range predicate to discard bin-edge false
+    positives. Cost: one bounded-fanout shuffle join instead of
+    |facts|×|intervals| comparisons.
+
+    The min-date anchor rides the plan as a broadcast 1-row aggregate
+    (crossJoin) — no driver-side ``.first()`` scalar pull, same
+    discipline as the search scorers."""
+    t = load_tables(spark, sf_dir)
+    anchor = t["orders"].agg(F.to_date(F.min("o_orderdate")).alias("d0"))
+    promos = (
+        anchor.select(
+            F.explode(F.sequence(F.lit(0), F.lit(25))).alias("promo_id"), "d0"
+        )
+        .select(
+            F.col("promo_id").cast("bigint").alias("promo_id"),
+            F.date_add("d0", F.col("promo_id").cast("int") * 7).alias("p_start"),
+            F.date_add("d0", F.col("promo_id").cast("int") * 7 + 14).alias("p_end"),
+        )
+    )
+    # interval side: exploded onto the (exactly 2) 7-day bins it covers
+    promo_bins = promos.select(
+        "*",
+        F.explode(
+            F.array(F.col("promo_id").cast("int"), F.col("promo_id").cast("int") + 1)
+        ).alias("bin"),
+    )
+    fact = (
+        t["lineitem"]
+        .select("l_shipdate", "l_extendedprice", "l_discount")
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("ship_date", F.to_date("l_shipdate"))
+        .withColumn("bin", F.expr("datediff(ship_date, d0) div 7").cast("int"))
+    )
+    return (
+        fact.join(F.broadcast(promo_bins), "bin")
+        .filter(
+            (F.col("ship_date") >= F.col("p_start"))
+            & (F.col("ship_date") < F.col("p_end"))
+        )
+        .groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("promo_id")
+    )

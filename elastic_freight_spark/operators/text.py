@@ -1354,3 +1354,71 @@ def dedup_exact_priority(spark, sf_dir):
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level (paragraph-analogue) exact dedup — C4-style
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_paragraph_spans",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             array_to_string(toks[(i-1)*10+1 : i*10], ' ') AS span_text
+      FROM tok, UNNEST(range(1, CAST(len(toks)//10 AS BIGINT)+1)) AS r(i)
+    )
+    SELECT span_text,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM spans
+    GROUP BY span_text
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_paragraph_spans(spark, sf_dir):
+    """Span-level exact dedup, the C4-paper "three-sentence span"
+    policy adapted to whitespace corpora: cut each document into
+    consecutive 10-token spans, hash-group spans corpus-wide, report
+    every span that occurs more than once with its deterministic
+    keeper (min doc_id). Near-duplicate documents that survive
+    doc-level exact dedup (one edited word changes the sha256) still
+    collide on most of their unedited spans, so this is the signal a
+    pipeline uses to trim partially-copied text.
+
+    Scale shape: span construction is pure JVM higher-order functions
+    on each row (split → sequence → transform(slice)) — no explode
+    before the shuffle boundary and no Python anywhere. The single
+    shuffle groups by span text whose hash is uniform by
+    construction; output is only the duplicated tail, so the reduce
+    side is collision-sized, not corpus-sized. At 100 TB you'd group
+    on ``xxhash64(span)`` and drop the text column; the text is kept
+    here because the driver oracle compares values."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    spans = docs.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), " ").alias("toks"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 10 THEN "
+                "  transform(sequence(1, size(toks) div 10), "
+                "            i -> array_join(slice(toks, (i-1)*10 + 1, 10), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("span_text"),
+    )
+    return (
+        spans.groupBy("span_text")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )

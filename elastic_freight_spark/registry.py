@@ -92,6 +92,9 @@ _PRIORITY = (
     "sample_det_hash_fraction",
     "batch_padding_plan",
     "mm_phash_neardup",
+    # round-3 additions (slots 49-50 of the driver's budget)
+    "dedup_paragraph_spans",
+    "join_interval_binned",
 )
 
 
