@@ -361,3 +361,57 @@ def pandas_udaf_group_geomean(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(geomean("o_totalprice").alias("geomean_price"))
     )
+
+
+@query(
+    "udtf_text_segments",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), seg AS (
+      SELECT doc_id,
+             CAST(i - 1 AS INTEGER) AS seg_id,
+             CAST(len(toks[(i-1)*40+1 : LEAST(i*40, len(toks))]) AS INTEGER)
+               AS n_tokens
+      FROM tok,
+           UNNEST(range(1, CAST((len(toks) + 39) // 40 AS BIGINT) + 1)) AS r(i)
+    )
+    SELECT doc_id, seg_id, n_tokens FROM seg
+    """,
+)
+def udtf_text_segments(spark, sf_dir):
+    """The Python UDTF surface (§2.11's table-function slot): one row
+    in, N rows out, consumed via SQL LATERAL join — the API a user
+    reaches for when a per-row expansion needs imperative Python (a
+    real tokenizer, a parser) rather than a JVM higher-order
+    function. Here: fixed 40-token segmentation of each document.
+
+    Arrow-batched (``useArrow=True``) like every Python surface in
+    this engine; the equivalent JVM-only plan exists
+    (``dedup_paragraph_spans`` uses transform/slice) — this entry
+    pins the UDTF API, the others stay JVM. At scale a UDTF is
+    embarrassingly parallel: no shuffle, each worker expands its own
+    partition."""
+    import sys
+
+    import pyspark
+    from pyspark.sql.functions import udtf
+
+    # Ship by value: executors must not need this repo importable.
+    pyspark.cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    @udtf(returnType="seg_id: int, n_tokens: int", useArrow=True)
+    class TextSegments:
+        def eval(self, text: str):
+            toks = text.lower().split(" ")
+            for i in range(0, len(toks), 40):
+                yield i // 40, len(toks[i : i + 40])
+
+    load_tables(spark, sf_dir)
+    spark.udtf.register("text_segments", TextSegments)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.seg_id, s.n_tokens
+        FROM documents d, LATERAL text_segments(d.text) s
+        """
+    )

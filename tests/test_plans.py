@@ -214,6 +214,7 @@ _PYTHON_SURFACE = {
     "mm_decode_features",           # multimodal decode (Python codecs)
     "mm_frame_sample",              # multimodal frame sampler
     "mm_phash_neardup",             # perceptual-hash stage
+    "udtf_text_segments",           # §2.11 Python UDTF pin (LATERAL)
 }
 
 
