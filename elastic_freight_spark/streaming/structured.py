@@ -397,3 +397,62 @@ def stream_upsert_index(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def user_running_state_v2(events: DataFrame) -> DataFrame:
+    """The same running-totals operator on the Spark 4
+    ``transformWithStateInPandas`` API (StatefulProcessor) — the
+    successor to ``applyInPandasWithState`` with named state
+    variables, TTL, and timers, and the surface new stateful
+    operators should target.
+
+    Gated: the API's Python state-server protocol needs the
+    ``protobuf`` package, which is not deployed in every environment
+    (this container lacks it) — probe and fail with the deploy hint
+    rather than a mid-query worker crash. It also requires the
+    RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass`` — already the
+    cluster recommendation in ``session.cluster_conf``)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "for its state-server protocol (pip install protobuf); it is "
+            "not deployed in this session — use user_running_state "
+            "(applyInPandasWithState) instead"
+        ) from exc
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events long, sum_value double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

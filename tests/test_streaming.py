@@ -436,3 +436,29 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path_factory):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_v2_runs_or_gates_cleanly(spark, events_src):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor): where
+    the protobuf dependency exists the operator must reproduce the
+    applyInPandasWithState totals; where it doesn't (this container),
+    the gate must raise the deploy hint BEFORE any streaming query
+    starts — never a mid-query worker crash."""
+    from elastic_freight_spark.streaming.structured import user_running_state_v2
+
+    src, schema, batch = events_src
+    stream = read_parquet_stream(spark, src, schema)
+    try:
+        df = user_running_state_v2(stream)
+    except RuntimeError as exc:
+        assert "protobuf" in str(exc)
+        return
+    q = _run_to_memory(df, "state_v2_mem", "update")
+    got = (
+        spark.table("state_v2_mem")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    want = batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
