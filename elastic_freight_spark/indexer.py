@@ -394,6 +394,48 @@ def read_index_latest(spark: SparkSession, index_path: str) -> DataFrame:
     return resolved
 
 
+def read_index_asof(
+    spark: SparkSession, index_path: str, version: int
+) -> DataFrame:
+    """Time travel over the upsert log: the index exactly as it stood
+    after batch ``version`` committed (0 = the base build). Same
+    merge-on-read plan as ``read_index_latest`` with the delta log
+    truncated at the version fence — deltas newer than ``version``
+    are dropped by a pushed-down predicate BEFORE the resolve
+    shuffle, so reading an old snapshot costs no more than reading
+    the newest (often less: fewer delta rows survive the scan).
+
+    This is the Spark face of the reference's restorable-snapshot
+    catalog (every build is a named, immutable, re-servable snapshot
+    — IndexingPostProcessor.java:225-238 writes the manifest of
+    restorable indexes); the upsert log generalizes it from
+    whole-index granularity to per-batch granularity."""
+    manifest = read_manifest(index_path)
+    df = spark.read.option("mergeSchema", "true").parquet(index_path)
+    if UPSERT_VERSION_COL not in df.columns:
+        return df
+    from pyspark.sql import Window as W
+
+    idc = manifest["doc_id_col"]
+    # NULL version = base rows (version 0), always in scope. Filter on
+    # the raw column (IsNull OR <=) rather than coalesce() so the
+    # predicate stays parquet-pushable and whole delta files newer
+    # than the fence are skipped by row-group stats.
+    vc = F.col(UPSERT_VERSION_COL)
+    fenced = df.filter(vc.isNull() | (vc <= F.lit(int(version)))).withColumn(
+        "_v", F.coalesce(vc, F.lit(0))
+    )
+    return (
+        fenced.withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy(idc).orderBy(F.col("_v").desc())),
+        )
+        .filter(F.col("_rn") == 1)
+        .filter(F.coalesce(F.col(UPSERT_OP_COL), F.lit("u")) != "d")
+        .drop("_v", "_rn")
+    )
+
+
 def compact_index_upserts(spark: SparkSession, index_path: str) -> dict:
     """Copy-on-write compaction of the upsert log: materialize the
     latest-version view (tombstones dropped), rewrite one clean tree,

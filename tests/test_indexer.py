@@ -634,3 +634,40 @@ def test_build_index_zero_row_input(spark, tmp_path_factory):
     restored = read_index(spark, f"{out}/zero")
     assert restored.count() == 0
     assert "doc_id" in restored.columns
+
+
+def test_read_index_asof_time_travel(spark, events, tmp_path_factory):
+    from elastic_freight_spark.indexer import read_index_asof, upsert_index
+
+    out = str(tmp_path_factory.mktemp("asof"))
+    base = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    man = build_index(base, IndexConfig("asof_idx", "user_id", 4, out, routing="lcg"))
+
+    upd = base.filter(F.col("user_id") % 3 == 0).withColumn("n", F.col("n") + 1000)
+    upsert_index(upd, man["path"])                                   # v1
+    dele = base.filter(F.col("user_id") % 5 == 1).select("user_id")
+    upsert_index(dele, man["path"], delete=True)                     # v2
+
+    base_rows = {r["user_id"]: r["n"] for r in base.collect()}
+
+    # as-of 0: exactly the base build
+    v0 = {r["user_id"]: r["n"] for r in read_index_asof(spark, man["path"], 0).collect()}
+    assert v0 == base_rows
+
+    # as-of 1: updates applied, deletes not yet
+    v1 = {r["user_id"]: r["n"] for r in read_index_asof(spark, man["path"], 1).collect()}
+    assert v1 == {
+        u: n + 1000 if u % 3 == 0 else n for u, n in base_rows.items()
+    }
+
+    # as-of 2 == latest: deletes applied too
+    from elastic_freight_spark.indexer import read_index_latest
+
+    v2 = {r["user_id"]: r["n"] for r in read_index_asof(spark, man["path"], 2).collect()}
+    latest = {r["user_id"]: r["n"] for r in read_index_latest(spark, man["path"]).collect()}
+    assert v2 == latest
+    assert set(base_rows) - set(v2) == {u for u in base_rows if u % 5 == 1}
+
+    # the version fence must prune delta rows before the resolve window
+    plan = read_index_asof(spark, man["path"], 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "Filter" in plan
