@@ -129,8 +129,39 @@ def search_tfidf_topk(spark, sf_dir):
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(10)
 
 
-@query("search_bm25_topk")  # rows-only: k1/b-param float chain too long for
-#                             bit-stable cross-engine hashing; pinned by test
+@query(
+    "search_bm25_topk",
+    # Promoted from rows-only in round 3: the full k1/b scoring chain
+    # (ln, three divisions, 4-term sum) measured bit-identical to
+    # DuckDB at sf0.001/0.01/0.1 once both sides round to 9 decimals —
+    # the python-recomputation unit test stays as belt-and-braces.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text),' ')) AS token
+      FROM documents
+    ), postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY 1, 2
+    ), doc_len AS (
+      SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1
+    ), n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    avgdl AS (SELECT AVG(dl) AS avgdl FROM doc_len),
+    idf AS (
+      SELECT token, ln(1 + (n - COUNT(*) + 0.5) / (COUNT(*) + 0.5)) AS idf
+      FROM postings CROSS JOIN n_docs
+      WHERE token IN ('data', 'system', 'model', 'index')
+      GROUP BY token, n
+    )
+    SELECT p.doc_id,
+           ROUND(SUM(idf.idf * (p.tf * (1.2 + 1))
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 9) AS score,
+           CAST(COUNT(*) AS INT) AS n_terms_hit
+    FROM postings p
+    JOIN idf USING (token) JOIN doc_len USING (doc_id) CROSS JOIN avgdl
+    GROUP BY p.doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
 def search_bm25_topk(spark, sf_dir, k1: float = 1.2, b: float = 0.75):
     """BM25 ranked retrieval, top-10 — same postings, saturation-tf
     scoring with length normalization (the default ES similarity

@@ -265,3 +265,32 @@ def test_partition_count_invariance(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for name, (a, b) in results.items():
         assert a == b, f"{name} differs across shuffle widths"
+
+
+def test_interval_binned_join_avoids_nested_loop(spark):
+    """join_interval_binned's whole reason to exist: the equi-join on
+    the bin key must plan as a hash join, never the nested-loop plan
+    the raw range predicate would force on two large sides."""
+    registry.load_all()
+    df = registry.QUERIES["join_interval_binned"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the ONLY nested-loop allowed is the broadcast 1-row anchor
+    # crossJoin; the interval↔fact match itself must be a hash join
+    assert plan.count("NestedLoopJoin") <= 1, plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_paragraph_span_dedup_single_pre_agg_shape(spark):
+    """dedup_paragraph_spans must build spans with row-local
+    higher-order functions — no token-level shuffle before the span
+    group-by, and no Python anywhere."""
+    from elastic_freight_spark.plans.metrics import shuffle_summary
+
+    registry.load_all()
+    df = registry.QUERIES["dedup_paragraph_spans"](spark, SF_DIR)
+    s = shuffle_summary(df, run=True)
+    # the span aggregation's two-phase countDistinct is the only
+    # shuffle pair; nothing token-level ever exchanges (shuffle rows
+    # ≈ span count, NOT token count)
+    assert s["n_shuffles"] <= 2, s
+    assert s["shuffle_records_written"] < 3 * s["scan_rows"] * 5, s
