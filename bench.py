@@ -73,6 +73,9 @@ def main() -> None:
         "q21_waiting_suppliers",
         "mm_phash_neardup",
         "pretrain_pipeline_report",
+        "dedup_paragraph_spans",
+        "join_interval_binned",
+        "udtf_text_segments",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

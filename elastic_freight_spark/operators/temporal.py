@@ -588,3 +588,69 @@ def events_cooccurrence_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "t_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), mad AS (
+      SELECT e.event_type, med, median(abs(value - med)) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, med
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN abs(value - m.med) > 1.3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(m.med, 6) AS med,
+           ROUND(m.mad, 6) AS mad
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type, m.med, m.mad
+    ORDER BY e.event_type
+    """,
+)
+def t_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the
+    estimator that, unlike `t_zscore_outliers`' mean/stddev, is not
+    itself dragged by the outliers it is hunting (50% breakdown point
+    vs 0%). Per event type: med, MAD, and the count of values beyond
+    k·1.4826·MAD (1.4826 scales MAD to σ under normality).
+
+    Plan shape: two grouped exact medians (each a sort-based
+    aggregate within the event-type shuffle) and one flagging pass —
+    three jobs over one cached lineage; the medians ride back in as
+    broadcast joins on the 5-row group table, never a driver-side
+    collect. At 100 TB swap `median` for `approx_percentile(.., 0.5)`
+    per group — the query shape is unchanged."""
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    flagged = ev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 1.3 * 1.4826 * F.col("mad")
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+        .orderBy("event_type")
+    )

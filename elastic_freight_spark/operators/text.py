@@ -1422,3 +1422,81 @@ def dedup_paragraph_spans(spark, sf_dir):
         )
         .filter(F.col("n_occ") >= 2)
     )
+
+
+@query(
+    "dedup_incremental_gate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, source,
+             array_to_string(toks[(i-1)*10+1 : i*10], ' ') AS span_text
+      FROM tok, UNNEST(range(1, CAST(len(toks)//10 AS BIGINT)+1)) AS r(i)
+    ), corpus_spans AS (
+      SELECT DISTINCT span_text FROM spans
+      WHERE CAST(substr(source, 4) AS INTEGER) < 10
+    ), batch AS (
+      SELECT s.doc_id, s.span_text,
+             CASE WHEN c.span_text IS NOT NULL THEN 1 ELSE 0 END AS seen
+      FROM spans s LEFT JOIN corpus_spans c USING (span_text)
+      WHERE CAST(substr(s.source, 4) AS INTEGER) >= 10
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(seen) AS BIGINT) AS n_seen_spans,
+           ROUND(SUM(seen) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
+           CASE WHEN SUM(seen) / CAST(COUNT(*) AS DOUBLE) >= 0.5
+                THEN 'reject' ELSE 'accept' END AS verdict
+    FROM batch
+    GROUP BY doc_id
+    """,
+)
+def dedup_incremental_gate(spark, sf_dir):
+    """Incremental dedup against an already-indexed corpus — the
+    admission gate a continuously-fed pretraining pipeline runs on
+    every new crawl batch: has this content (or most of it) been
+    ingested before? Sources src0-9 stand in for the indexed corpus,
+    src10-19 for the incoming batch; a batch document is rejected
+    when ≥50% of its 10-token spans already exist corpus-side, which
+    catches exact copies AND partial/near copies that a whole-doc
+    hash anti-join misses.
+
+    Scale shape: the corpus side reduces to a DISTINCT span-hash set
+    (built once per ingest cycle — in production it persists as the
+    span index and the new batch only JOINS against it, never
+    rescans corpus text). One equi-join on the uniform span key, one
+    per-doc aggregate; at 100 TB the span index is the thing you
+    keep, exactly like the manifest the reference carries between
+    rebuilds."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    src_num = F.substring("source", 4, 10).cast("int")
+    spans = docs.select(
+        "doc_id",
+        src_num.alias("src_num"),
+        F.split(F.lower(F.col("text")), " ").alias("toks"),
+    ).select(
+        "doc_id",
+        "src_num",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 10 THEN "
+                "  transform(sequence(1, size(toks) div 10), "
+                "            i -> array_join(slice(toks, (i-1)*10 + 1, 10), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("span_text"),
+    )
+    corpus = spans.filter(F.col("src_num") < 10).select("span_text").distinct()
+    batch = spans.filter(F.col("src_num") >= 10)
+    seen = batch.join(
+        corpus.withColumn("seen_flag", F.lit(1)), "span_text", "left"
+    ).select("doc_id", F.coalesce("seen_flag", F.lit(0)).alias("seen"))
+    dup_frac = F.sum("seen") / F.count(F.lit(1)).cast("double")
+    return seen.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("seen").cast("bigint").alias("n_seen_spans"),
+        F.round(dup_frac, 6).alias("dup_frac"),
+        F.when(dup_frac >= 0.5, "reject").otherwise("accept").alias("verdict"),
+    )
