@@ -1361,6 +1361,28 @@ def dedup_exact_priority(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+
+SPAN_TOKENS = 10
+
+def doc_spans(docs, extra_cols=()):
+    """(doc_id, *extra, span_text) — consecutive ``SPAN_TOKENS``-token
+    spans of each document, built row-locally with JVM higher-order
+    functions (split → sequence → transform(slice)): nothing
+    token-level ever reaches a shuffle. Shared by the span-dedup
+    family (corpus report, incremental gate, streaming admission)."""
+    span_expr = F.expr(
+        "CASE WHEN size(toks) >= 10 THEN "
+        "  transform(sequence(1, size(toks) div 10), "
+        "            i -> array_join(slice(toks, (i-1)*10 + 1, 10), ' ')) "
+        "ELSE array() END"
+    )
+    return docs.select(
+        "doc_id",
+        *extra_cols,
+        F.split(F.lower(F.col("text")), " ").alias("toks"),
+    ).select("doc_id", *extra_cols, F.explode(span_expr).alias("span_text"))
+
+
 @query(
     "dedup_paragraph_spans",
     oracle="""
@@ -1399,20 +1421,7 @@ def dedup_paragraph_spans(spark, sf_dir):
     on ``xxhash64(span)`` and drop the text column; the text is kept
     here because the driver oracle compares values."""
     docs = load_tables(spark, sf_dir)["documents"]
-    spans = docs.select(
-        "doc_id",
-        F.split(F.lower(F.col("text")), " ").alias("toks"),
-    ).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(toks) >= 10 THEN "
-                "  transform(sequence(1, size(toks) div 10), "
-                "            i -> array_join(slice(toks, (i-1)*10 + 1, 10), ' ')) "
-                "ELSE array() END"
-            )
-        ).alias("span_text"),
-    )
+    spans = doc_spans(docs)
     return (
         spans.groupBy("span_text")
         .agg(
@@ -1472,22 +1481,7 @@ def dedup_incremental_gate(spark, sf_dir):
     rebuilds."""
     docs = load_tables(spark, sf_dir)["documents"]
     src_num = F.substring("source", 4, 10).cast("int")
-    spans = docs.select(
-        "doc_id",
-        src_num.alias("src_num"),
-        F.split(F.lower(F.col("text")), " ").alias("toks"),
-    ).select(
-        "doc_id",
-        "src_num",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(toks) >= 10 THEN "
-                "  transform(sequence(1, size(toks) div 10), "
-                "            i -> array_join(slice(toks, (i-1)*10 + 1, 10), ' ')) "
-                "ELSE array() END"
-            )
-        ).alias("span_text"),
-    )
+    spans = doc_spans(docs.withColumn("src_num", src_num), extra_cols=("src_num",))
     corpus = spans.filter(F.col("src_num") < 10).select("span_text").distinct()
     batch = spans.filter(F.col("src_num") >= 10)
     seen = batch.join(

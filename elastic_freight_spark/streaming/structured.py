@@ -456,3 +456,76 @@ def user_running_state_v2(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_admission_gate(
+    stream_docs: DataFrame,
+    span_index_path: str,
+    accepted_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    available_now: bool = False,
+):
+    """Continuous-ingestion admission control: the streaming face of
+    ``operators.text.dedup_incremental_gate``. Every micro-batch of
+    documents is span-gated against a *persistent* span index — a
+    batch document is rejected when ≥``threshold`` of its 10-token
+    spans were already accepted in ANY earlier batch — then accepted
+    docs land in ``accepted_path`` and their spans are appended to
+    the index, so later batches see them.
+
+    This is the reference's "unique across rebuilds" manifest
+    discipline (BaseESReducer.java:70-71) upgraded to content
+    granularity: the span index is the state the pipeline keeps
+    between runs, exactly like a snapshot manifest, and it lives as
+    plain parquet — readable, compactable, replayable — instead of a
+    streaming state store (which would re-shuffle the whole index
+    into executor state every restart).
+
+    foreachBatch is what makes the index JOIN-able per batch (a
+    stateful streaming agg cannot join against its own prior output);
+    batch replay after failure re-appends the same spans, which the
+    gate tolerates because the index is consulted as a DISTINCT set.
+    """
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.operators.text import doc_spans
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        spans = doc_spans(batch_df).persist()
+        try:
+            idx = spark.read.parquet(span_index_path).select(
+                "span_text"
+            ).distinct()
+            seen = spans.join(
+                idx.withColumn("_seen", F.lit(1)), "span_text", "left"
+            ).select("doc_id", F.coalesce("_seen", F.lit(0)).alias("seen"))
+        except Exception:  # first batch: no index yet
+            seen = spans.select(
+                "doc_id", F.lit(0).alias("seen")
+            )
+        verdict = seen.groupBy("doc_id").agg(
+            (
+                F.sum("seen") / F.count(F.lit(1)).cast("double") < threshold
+            ).alias("accept")
+        )
+        accepted = batch_df.join(
+            verdict.filter(F.col("accept")).select("doc_id"), "doc_id", "semi"
+        )
+        accepted.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(accepted_path)
+        spans.join(
+            verdict.filter(F.col("accept")).select("doc_id"), "doc_id", "semi"
+        ).select("span_text").write.mode("append").parquet(span_index_path)
+        spans.unpersist()
+
+    writer = stream_docs.writeStream.foreachBatch(_gate).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

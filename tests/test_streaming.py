@@ -462,3 +462,54 @@ def test_transform_with_state_v2_runs_or_gates_cleanly(spark, events_src):
     want = batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_admission_gate_matches_batch_gate(spark, tmp_path_factory):
+    """Two micro-batches through the streaming span gate must
+    reproduce the batch incremental-gate verdicts: batch 1 (the
+    corpus sources, src0-9) all admitted and indexed; batch 2
+    (src10-19) rejected exactly where dedup_incremental_gate says
+    dup_frac >= 0.5."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+    from elastic_freight_spark.streaming.structured import stream_admission_gate
+
+    registry.load_all()
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_tables(spark, sf_dir)["documents"]
+    src_num = F.substring("source", 4, 10).cast("int")
+
+    base = tmp_path_factory.mktemp("admission")
+    src, span_idx, accepted, ckpt = (
+        str(base / d) for d in ("src", "span_idx", "accepted", "ckpt")
+    )
+
+    # micro-batch 1: corpus sources only
+    docs.filter(src_num < 10).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_admission_gate(stream, span_idx, accepted, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    n_corpus = docs.filter(src_num < 10).count()
+    assert spark.read.parquet(accepted).count() == n_corpus  # all admitted
+
+    # micro-batch 2: the new sources arrive; same checkpoint resumes
+    docs.filter(src_num >= 10).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_admission_gate(stream, span_idx, accepted, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    got_accepted = {
+        r["doc_id"]
+        for r in spark.read.parquet(accepted)
+        .filter(F.substring("source", 4, 10).cast("int") >= 10)
+        .collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in registry.QUERIES["dedup_incremental_gate"](spark, sf_dir)
+        .filter(F.col("verdict") == "accept")
+        .collect()
+    }
+    assert got_accepted == want
