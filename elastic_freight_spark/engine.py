@@ -93,6 +93,34 @@ class EFSEngine:
         """Shard-pruned point lookup — reads 1 of N shard dirs."""
         return read_shard(self.spark, index_path, doc_id)
 
+    def upsert(self, df: DataFrame, index_path: str, delete: bool = False) -> dict:
+        """Apply an incremental batch (upserts, or tombstones with
+        ``delete=True``) to a built index; returns the manifest with
+        the new ``version`` stamp."""
+        from elastic_freight_spark.indexer import upsert_index
+
+        return upsert_index(df, index_path, delete=delete)
+
+    def restore_latest(self, index_path: str) -> DataFrame:
+        """Merge-on-read view: newest version per doc, tombstones
+        dropped."""
+        from elastic_freight_spark.indexer import read_index_latest
+
+        return read_index_latest(self.spark, index_path)
+
+    def restore_asof(self, index_path: str, version: int) -> DataFrame:
+        """Time travel: the index exactly as of upsert batch
+        ``version`` (0 = base build)."""
+        from elastic_freight_spark.indexer import read_index_asof
+
+        return read_index_asof(self.spark, index_path, version)
+
+    def restore_catalog(self, catalog_path: str, index_name: str) -> DataFrame:
+        """Read one index out of a multi-index merged catalog."""
+        from elastic_freight_spark.indexer import restore_catalog_index
+
+        return restore_catalog_index(self.spark, catalog_path, index_name)
+
     def publish(self, base_path: str, alias: str, index_path: str) -> str:
         """Atomically point ``alias`` at a validated build (blue/green
         go-live); readers using :meth:`serve` flip with zero downtime."""

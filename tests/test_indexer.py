@@ -671,3 +671,26 @@ def test_read_index_asof_time_travel(spark, events, tmp_path_factory):
     # the version fence must prune delta rows before the resolve window
     plan = read_index_asof(spark, man["path"], 1)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "Filter" in plan
+
+
+def test_engine_facade_upsert_and_time_travel(spark, tmp_path_factory):
+    from elastic_freight_spark.engine import EFSEngine
+
+    eng = EFSEngine("/root/testdata/sf0.001", spark=spark)
+    out = str(tmp_path_factory.mktemp("eng_ups"))
+    base = eng.table("events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    man = eng.index(
+        base,
+        index_name="ev_ups",
+        doc_id_col="user_id",
+        num_shards=4,
+        output_path=out,
+        routing="lcg",
+    )
+    n0 = base.count()
+    man1 = eng.upsert(
+        base.limit(5).select("user_id"), man["path"], delete=True
+    )
+    assert man1["version"] == 1
+    assert eng.restore_latest(man["path"]).count() == n0 - 5
+    assert eng.restore_asof(man["path"], 0).count() == n0
