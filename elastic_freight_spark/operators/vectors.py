@@ -181,21 +181,25 @@ def vector_label_stats(spark, sf_dir):
 # ANN scale path: sign-LSH buckets from deterministic hyperplanes
 # ---------------------------------------------------------------------------
 
-LSH_PLANES = 8  # 2^8 = 256 buckets
+LSH_PLANES = 8  # 2^8 = 256 buckets per table
+LSH_TABLES = 16  # OR-construction: candidate if same bucket in ANY table
 
 
-def _lsh_bucket_expr(vec_col: str, n_planes: int = LSH_PLANES) -> F.Column:
-    """Sign-LSH bucket id. Plane p's j-th component is a deterministic
-    pseudo-random ±1 from xxhash64(p, j) — no stored model, any
-    executor recomputes the same planes (same idea as the reference
-    deriving shard placement purely from a hash,
-    ElasticsearchRoutingStrategyV5.java:115-118)."""
+def _lsh_bucket_expr(
+    vec_col: str, n_planes: int = LSH_PLANES, table: int = 0
+) -> F.Column:
+    """Sign-LSH bucket id for one hash table. Plane p's j-th component
+    is a deterministic pseudo-random ±1 from xxhash64(table, p, j) —
+    no stored model, any executor recomputes the same planes (same
+    idea as the reference deriving shard placement purely from a
+    hash, ElasticsearchRoutingStrategyV5.java:115-118)."""
     bits = []
     for p in range(n_planes):
         # dot(vec, plane_p) where plane_p[j] = ±1 from the hash parity
         dot = F.expr(
             f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-            f"(x, j) -> CASE WHEN pmod(xxhash64({p}, j), 2) = 0 THEN x ELSE -x END), "
+            f"(x, j) -> CASE WHEN pmod(xxhash64({table}, {p}, j), 2) = 0 "
+            "THEN x ELSE -x END), "
             "cast(0.0 as double), (acc, v) -> acc + v)"
         )
         bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
@@ -205,30 +209,70 @@ def _lsh_bucket_expr(vec_col: str, n_planes: int = LSH_PLANES) -> F.Column:
     return bucket.alias("bucket")
 
 
+def _lsh_table_buckets(
+    vec_col: str, n_planes: int = LSH_PLANES, n_tables: int = LSH_TABLES
+) -> F.Column:
+    """Array of per-table bucket ids — posexplode to (table, bucket)
+    for the OR-construction candidate join. An AND-only single table
+    (the round-1/2 design) has near-zero recall on isotropic data:
+    P(all 8 signs agree) ≈ 2^-8 per neighbor. T tables at the same
+    width keep per-table precision but multiply recall ≈ T-fold; the
+    shuffle grows only T× on the (tiny) bucket keys, never on the
+    vectors."""
+    return F.array(
+        *[_lsh_bucket_expr(vec_col, n_planes, t) for t in range(n_tables)]
+    )
+
+
 @query("ann_lsh_cosine")  # rows-only: xxhash64-derived planes aren't SQL-portable
 def ann_lsh_cosine(spark, sf_dir):
-    """Two-stage ANN: assign every vector a sign-LSH bucket, equi-join
-    queries to candidates in the same bucket, brute-force cosine only
-    within the bucket, top-3 per query. Recall vs the brute-force
-    anchor is asserted in tests/test_vectors.py."""
+    """Multi-table sign-LSH ANN (OR-construction): every vector gets
+    ``LSH_TABLES`` bucket ids; a corpus vector is a candidate when it
+    shares a bucket with the query in ANY table. Candidates dedupe on
+    bare (query, neighbor) ids BEFORE the vectors come back (the
+    exact-cosine rerank joins the vector column in afterwards), so
+    the expensive stage scores each candidate pair once regardless of
+    how many tables proposed it. Recall vs the brute-force anchor is
+    asserted in tests and surfaced by ``ann_recall_report``."""
     t = load_tables(spark, sf_dir)
-    e = with_unit_vectors(t["embeddings"]).withColumn(
-        "bucket", _lsh_bucket_expr("vec")
+    e = with_unit_vectors(t["embeddings"])
+    tb = e.select(
+        "vec_id",
+        F.posexplode(_lsh_table_buckets("vec")).alias("table", "bucket"),
     )
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
-        F.col("norm").alias("qnorm"), F.col("bucket"),
+    q_ids = tb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
     )
-    c = e.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec"),
-        F.col("norm").alias("cnorm"), F.col("bucket").alias("cbucket"),
+    c_ids = tb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "table", "bucket"
     )
-    scored = q.join(c, F.col("bucket") == F.col("cbucket")).select(
-        "query_id",
-        "neighbor_id",
-        (
-            F.expr(_DOT.format(a="qvec", b="cvec")) / (F.col("qnorm") * F.col("cnorm"))
-        ).alias("cosine"),
+    cand = (
+        F.broadcast(q_ids)
+        .join(c_ids, ["table", "bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.expr(_DOT.format(a="qvec", b="cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cosine"),
+        )
     )
     from pyspark.sql import Window as W
 
@@ -740,3 +784,39 @@ def pq_quantization_error(spark, sf_dir):
             F.round(F.max("rel_err"), 6).alias("max_rel_err"),
         )
     )
+
+
+@query("ann_recall_report")  # rows-only: compares two internal ANN paths
+def ann_recall_report(spark, sf_dir):
+    """Self-auditing recall report: every approximate index family
+    (sign-LSH buckets, IVF probe cells, IVF-PQ compressed rerank)
+    joined against the brute-force cosine anchor, recall@k computed
+    in-plan. This is the query an operator of a 100 TB vector store
+    runs after every index rebuild — the unit tests pin thresholds,
+    this surfaces the actual numbers (one row per method) so recall
+    regressions are visible in data, not just in CI."""
+    exact = knn_bruteforce_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    reports = []
+    for method, fn in (
+        ("lsh_cosine", ann_lsh_cosine),
+        ("ivf_cosine", ann_ivf_cosine),
+        ("ivfpq_cosine", ann_ivfpq_cosine),
+    ):
+        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        k = 3  # every ANN query returns top-3; anchor holds top-5
+        hits = approx.join(exact, ["query_id", "neighbor_id"], "semi")
+        reports.append(
+            hits.agg(
+                F.lit(method).alias("method"),
+                F.lit(k).cast("int").alias("k"),
+                F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+                F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+                (F.count(F.lit(1)) / F.lit(30.0)).alias("recall_vs_exact5"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
