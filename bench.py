@@ -76,6 +76,9 @@ def main() -> None:
         "dedup_paragraph_spans",
         "join_interval_binned",
         "udtf_text_segments",
+        "dedup_incremental_gate",
+        "t_mad_outliers",
+        "sample_quality_weighted",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -441,3 +441,68 @@ def batch_padding_plan(spark, sf_dir):
     return waste([F.col("n_tokens"), F.col("doc_id")], "length_sorted").unionByName(
         waste([F.col("doc_id")], "arrival_order")
     )
+
+
+@query(
+    "sample_quality_weighted",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             0.1 + 0.8 * LEAST(1.0, n_chars / 500.0) AS weight,
+             CAST(concat('0x', substr(md5(concat('qw:', CAST(doc_id AS VARCHAR))), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS frac
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CAST(weight AS DECIMAL(18,6))) AS DOUBLE) AS expected_kept,
+           CAST(SUM(CASE WHEN frac < weight THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM w
+    GROUP BY source
+    """,
+)
+def sample_quality_weighted(spark, sf_dir):
+    """Importance sampling by per-document weight (the DCLM-style
+    quality-weighted data selection): each document is kept with
+    probability equal to its quality weight, decided by a pure
+    function of the row key — md5(salt‖doc_id) mapped to a [0,1)
+    fraction and compared to the weight. Like
+    ``sample_det_hash_fraction`` this is stable under repartitioning,
+    reruns, engine swaps, and corpus growth, but the acceptance
+    threshold now varies per row, which is what lets a pipeline
+    oversample high-quality sources without a separate pass per
+    stratum. The weight here is a transparent length proxy
+    (0.1 + 0.8·min(1, n_chars/500)); swap in any scored column.
+
+    Portability: the hex→fraction bridge is substr(md5,1,8) parsed
+    base-16 on both engines (Spark ``conv``, DuckDB ``'0x…'`` cast) —
+    48 remaining md5 hex chars are ignored, 32 bits is plenty for a
+    sampling decision. Expected-vs-actual kept counts per source make
+    the report self-auditing (LLN: they converge)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    weight = F.lit(0.1) + 0.8 * F.least(F.lit(1.0), F.col("n_chars") / 500.0)
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qw:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.withColumn("weight", weight)
+        .withColumn("frac", frac)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("weight").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("expected_kept"),
+            F.sum((F.col("frac") < F.col("weight")).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
