@@ -654,3 +654,58 @@ def t_mad_outliers(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type
+      FROM ordered WHERE next_type IS NOT NULL
+    ), counts AS (
+      SELECT from_type, to_type, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 9)
+             AS p_transition
+    FROM counts
+    ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the sequence-mining
+    summary behind session prediction and funnel design. One window
+    pass builds (from, next) pairs inside the per-user ordering, one
+    aggregate counts them, and the row-normalization is a window sum
+    over the (|types|²-row) count table — nothing user-level ever
+    re-shuffles. Deterministic tie order via (ts, event_id)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    wnorm = W.partitionBy("from_type")
+    return (
+        counts.select(
+            "from_type",
+            "to_type",
+            F.col("n_raw").cast("bigint").alias("n"),
+            F.round(
+                F.col("n_raw") / F.sum("n_raw").over(wnorm).cast("double"), 9
+            ).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )

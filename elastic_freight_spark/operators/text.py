@@ -1494,3 +1494,62 @@ def dedup_incremental_gate(spark, sf_dir):
         F.round(dup_frac, 6).alias("dup_frac"),
         F.when(dup_frac >= 0.5, "reject").otherwise("accept").alias("verdict"),
     )
+
+
+@query(
+    "text_unigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY 1
+    ), tot AS (SELECT SUM(n) AS total FROM tf),
+    doc_scores AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(ln(tf.n / CAST(tot.total AS DOUBLE))) AS log_prob
+      FROM toks t JOIN tf ON t.token = tf.token CROSS JOIN tot
+      WHERE t.token <> ''
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(-log_prob / n_tokens, 9) AS mean_nll
+    FROM doc_scores
+    """,
+)
+def text_unigram_lm_score(spark, sf_dir):
+    """Corpus-derived unigram LM scoring — the CCNet/Wikipedia-LM
+    quality-filter shape, model-free: token probabilities come from
+    the corpus itself (tf / total), each document is scored by mean
+    negative log-likelihood. Low mean-NLL ≈ in-distribution prose;
+    high ≈ boilerplate/garbage — the ranking a pipeline thresholds
+    or buckets for curriculum mixing.
+
+    Plan shape: the term-frequency table is the SAME postings
+    aggregate the search tier caches (one corpus scan), the total
+    rides as a broadcast 1-row aggregate, and scoring is one
+    postings-sized join — no second pass over text. At 100 TB the tf
+    table is the artifact you persist beside the span/postings
+    indexes."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = tf.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        toks.join(tf, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("n") / F.col("total"))).alias("log_prob"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(-F.col("log_prob") / F.col("n_tokens"), 9).alias("mean_nll"),
+        )
+    )
