@@ -1294,3 +1294,67 @@ def f_variant_shredding(spark, sf_dir):
             F.min("event_id").alias("min_event"),
         )
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+      FROM orders
+      GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation — recency/frequency/monetary quartiles per
+    customer, then segment sizes: the classic customer-analytics
+    query the built artifact would serve. One aggregate over orders
+    (map-side partial), three ntile windows over the per-customer
+    table (orders-of-magnitude smaller than the fact — the global
+    sort each ntile needs happens AFTER the reduction; ntile ties
+    break deterministically on o_custkey so engines agree), one
+    segment-size aggregate. Monetary sums ride DECIMAL."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = rfm.select(
+        F.ntile(4)
+        .over(W.orderBy("last_order", "o_custkey"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(W.orderBy("frequency", "o_custkey"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(W.orderBy("monetary", "o_custkey"))
+        .cast("int")
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

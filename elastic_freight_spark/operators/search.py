@@ -372,3 +372,62 @@ def search_prefix_suggest(spark, sf_dir):
         .orderBy(F.col("freq").desc(), F.col("token"))
         .limit(10)
     )
+
+
+@query(
+    "search_keywords_per_doc",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf
+      FROM toks WHERE token <> '' GROUP BY 1, 2
+    ), n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    idf AS (
+      SELECT token, ln(n / COUNT(*)) AS idf
+      FROM postings CROSS JOIN n_docs GROUP BY token, n
+    ), scored AS (
+      SELECT p.doc_id, p.token,
+             ROUND(p.tf * idf.idf, 9) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                                ORDER BY p.tf * idf.idf DESC, p.token) AS rn
+      FROM postings p JOIN idf USING (token)
+    )
+    SELECT doc_id, token, tfidf, CAST(rn AS INT) AS rank
+    FROM scored WHERE rn <= 3
+    """,
+)
+def search_keywords_per_doc(spark, sf_dir):
+    """Per-document keyword extraction: top-3 TF-IDF terms per doc —
+    the ES significant-text / more-like-this seed, and the
+    "what is this document about" column an LLM-data catalog keeps.
+    Reuses the cached postings index (no new corpus scan); idf is a
+    token-level aggregate joined back postings-sized; the per-doc
+    top-3 is one window over the postings partitioned by doc.
+    Deterministic tie-break on the token string."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    postings, _ = indexed_postings(spark, sf_dir)
+    n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    idf = (
+        postings.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .crossJoin(F.broadcast(n_df))
+        .select("token", F.log(F.col("n") / F.col("df_t")).alias("idf"))
+    )
+    scored = postings.join(idf, "token").select(
+        "doc_id", "token", (F.col("tf") * F.col("idf")).alias("tfidf_raw")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            F.round("tfidf_raw", 9).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
