@@ -1553,3 +1553,54 @@ def text_unigram_lm_score(spark, sf_dir):
             F.round(-F.col("log_prob") / F.col("n_tokens"), 9).alias("mean_nll"),
         )
     )
+
+
+@query(
+    "text_entropy_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS n
+      FROM toks WHERE token <> '' GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, SUM(n) AS total FROM tf GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           CAST(dl.total AS BIGINT) AS n_tokens,
+           ROUND(-SUM((tf.n / CAST(dl.total AS DOUBLE))
+                      * ln(tf.n / CAST(dl.total AS DOUBLE))), 9) AS entropy
+    FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY tf.doc_id, dl.total
+    """,
+)
+def text_entropy_score(spark, sf_dir):
+    """Per-document token-distribution entropy — the self-information
+    twin of ``text_unigram_lm_score``'s cross-entropy: low entropy =
+    repetitive/templated text (the Gopher repetition signals as one
+    number), high entropy ≈ diverse vocabulary. The LM score asks
+    "how surprising is this doc to the corpus"; entropy asks "how
+    surprising is this doc to itself" — pipelines threshold both.
+
+    Plan: per-doc term frequencies (the within-doc postings), doc
+    length by one more aggregate on the same frame, entropy as a
+    p·ln p sum — two shuffles on doc-sized keys, no corpus-global
+    state at all (embarrassingly parallel at 100 TB)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
+    dl = tf.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total").cast("double")
+    return (
+        tf.join(dl, "doc_id")
+        .groupBy("doc_id", "total")
+        .agg(F.round(-F.sum(p * F.log(p)), 9).alias("entropy"))
+        .select(
+            "doc_id",
+            F.col("total").cast("bigint").alias("n_tokens"),
+            "entropy",
+        )
+    )

@@ -820,3 +820,48 @@ def ann_recall_report(spark, sf_dir):
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "embedding_dimension_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sum_x,
+           ROUND(MIN(x), 9) AS min_x,
+           ROUND(MAX(x), 9) AS max_x
+    FROM dims
+    GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def embedding_dimension_stats(spark, sf_dir):
+    """Per-dimension statistics over the embedding column — the
+    normalization pass every vector store runs before choosing an
+    index layout (mean-centering for PQ, scale checks for LSH plane
+    balance, dead-dimension detection). posexplode to (dim, x), one
+    aggregate; map-side partials carry |dims| rows per task, so the
+    shuffle is dimension-sized, never corpus-sized. Component sums
+    ride DECIMAL for order-independence (same discipline as
+    vector_label_centroids)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    dims = e.select(
+        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))"))
+        .alias("dim", "x")
+    )
+    return (
+        dims.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(18,6)")).cast("double").alias("sum_x"),
+            F.round(F.min("x"), 9).alias("min_x"),
+            F.round(F.max("x"), 9).alias("max_x"),
+        )
+        .select(F.col("dim").cast("int").alias("dim"), "n", "sum_x", "min_x", "max_x")
+        .orderBy("dim")
+    )
