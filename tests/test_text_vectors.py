@@ -342,3 +342,38 @@ def test_ann_ivfpq_recall_and_compression(spark):
         .first()
     )
     assert recon_norm[0] == recon_norm[1]  # constant dim
+
+
+def test_doc_spans_matches_python_twin(spark):
+    """Differential pin for the span family's core expression: the
+    JVM transform/slice span construction must equal a plain-Python
+    reimplementation on adversarial inputs (empty strings, repeated
+    separators, multi-space runs, exact-multiple and off-by-one
+    token counts)."""
+    import random
+
+    from elastic_freight_spark.operators.text import SPAN_TOKENS, doc_spans
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "dd", "e", ""]
+    docs = []
+    for i in range(200):
+        n = rng.choice([0, 1, 9, 10, 11, 19, 20, 21, rng.randint(0, 50)])
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plus exact edge strings
+    docs += [(200, ""), (201, " "), (202, "x " * 10), (203, "Y " * 9 + "Y")]
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_text"])
+        for r in doc_spans(df).collect()
+    }
+
+    want = set()
+    for doc_id, text in docs:
+        toks = text.lower().split(" ")
+        if len(toks) >= SPAN_TOKENS:
+            for s in range(len(toks) // SPAN_TOKENS):
+                span = " ".join(toks[s * SPAN_TOKENS : (s + 1) * SPAN_TOKENS])
+                want.add((doc_id, span))
+    assert got == want
