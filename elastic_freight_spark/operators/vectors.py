@@ -185,20 +185,63 @@ LSH_PLANES = 8  # 2^8 = 256 buckets per table
 LSH_TABLES = 16  # OR-construction: candidate if same bucket in ANY table
 
 
+_LSH_SIGN_PERIOD = 256  # planes repeat signs with this period in j
+
+
+def _plane_sign(table: int, plane: int, j: int) -> float:
+    """Deterministic ±1 for plane (table, plane) component j —
+    splitmix64 bit-mix in pure Python, so the whole sign matrix is
+    computed ONCE on the driver and baked into the plan as literals.
+    (The previous design re-evaluated xxhash64(table, plane, j) per
+    vector element per plane inside the fold: 8,192 hash calls per
+    ROW at 16×8 planes — the hash, not the arithmetic, dominated.)"""
+    z = (table * 1_000_003 + plane * 10_007 + j + 0x9E3779B97F4A7C15) & (2**64 - 1)
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (2**64 - 1)
+    z ^= z >> 31
+    return 1.0 if z & 1 == 0 else -1.0
+
+
+def _plane_masks(table: int, plane: int) -> list[int]:
+    """The 256 ±1 signs of one plane packed into four signed 64-bit
+    bitmask literals (bit set = negative sign)."""
+    masks = []
+    for w in range(_LSH_SIGN_PERIOD // 64):
+        m = 0
+        for b in range(64):
+            if _plane_sign(table, plane, w * 64 + b) < 0:
+                m |= 1 << b
+        if m >= 2**63:  # two's-complement for a SQL BIGINT literal
+            m -= 2**64
+        masks.append(m)
+    return masks
+
+
 def _lsh_bucket_expr(
     vec_col: str, n_planes: int = LSH_PLANES, table: int = 0
 ) -> F.Column:
-    """Sign-LSH bucket id for one hash table. Plane p's j-th component
-    is a deterministic pseudo-random ±1 from xxhash64(table, p, j) —
-    no stored model, any executor recomputes the same planes (same
-    idea as the reference deriving shard placement purely from a
-    hash, ElasticsearchRoutingStrategyV5.java:115-118)."""
+    """Sign-LSH bucket id for one hash table. Plane signs are
+    driver-precomputed and baked into the plan as four 64-bit bitmask
+    literals per plane (period ``_LSH_SIGN_PERIOD`` in j, so the
+    expression is dimension-agnostic) — no stored model, every
+    executor reads the same constants (same idea as the reference
+    deriving shard placement purely from a hash,
+    ElasticsearchRoutingStrategyV5.java:115-118). Per element the
+    sign extraction is shift-and-mask integer ops in codegen: no hash
+    calls (8,192/row in the first multi-table design) and no array
+    allocation (256-element constructor per element in the second) —
+    the fold is pure flops."""
     bits = []
     for p in range(n_planes):
-        # dot(vec, plane_p) where plane_p[j] = ±1 from the hash parity
+        m0, m1, m2, m3 = _plane_masks(table, p)
+        word = (
+            f"CASE (pmod(j, {_LSH_SIGN_PERIOD}) div 64) "
+            f"WHEN 0 THEN {m0}L WHEN 1 THEN {m1}L "
+            f"WHEN 2 THEN {m2}L ELSE {m3}L END"
+        )
         dot = F.expr(
             f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-            f"(x, j) -> CASE WHEN pmod(xxhash64({table}, {p}, j), 2) = 0 "
+            f"(x, j) -> CASE WHEN (shiftright({word}, pmod(j, 64)) & 1) = 0 "
             "THEN x ELSE -x END), "
             "cast(0.0 as double), (acc, v) -> acc + v)"
         )
@@ -224,6 +267,60 @@ def _lsh_table_buckets(
     )
 
 
+def lsh_bucket_table(
+    e: DataFrame,
+    n_planes: int = LSH_PLANES,
+    n_tables: int = LSH_TABLES,
+) -> DataFrame:
+    """(vec_id, table, bucket) for every vector — the bucket
+    computation restructured as ONE posexplode + T·P conditional sums
+    in a single aggregation (the SimHash plan from operators/text.py,
+    which Catalyst turns into map-side partial aggregates).
+
+    Why not T·P higher-order folds per row (``_lsh_bucket_expr``):
+    every ``aggregate(zip_with(...))`` materializes an intermediate
+    struct array, so 128 folds × 64 elements allocate ~8k short-lived
+    objects per row — measured 7-8 s warm for 64k vectors. Here each
+    exploded element is touched once per plane with shift-and-mask
+    sign extraction (bitmask literals, no hash calls), the partial
+    agg reduces to one 128-column row per vector per task, and the
+    shuffle carries |vectors|×T·P doubles — signature-sized, exactly
+    like the MinHash/SimHash signatures."""
+    ex = e.select("vec_id", F.posexplode("vec").alias("j", "x"))
+    dots = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            m0, m1, m2, m3 = _plane_masks(t, p)
+            word = (
+                f"CASE (pmod(j, {_LSH_SIGN_PERIOD}) div 64) "
+                f"WHEN 0 THEN {m0}L WHEN 1 THEN {m1}L "
+                f"WHEN 2 THEN {m2}L ELSE {m3}L END"
+            )
+            signed = F.expr(
+                f"CASE WHEN (shiftright({word}, pmod(j, 64)) & 1) = 0 "
+                "THEN x ELSE -x END"
+            )
+            dots.append(F.sum(signed).alias(f"d_{t}_{p}"))
+    sums = ex.groupBy("vec_id").agg(*dots)
+    buckets = F.array(
+        *[
+            sum(
+                (
+                    F.when(F.col(f"d_{t}_{p}") >= 0, F.lit(1 << p)).otherwise(
+                        F.lit(0)
+                    )
+                    for p in range(n_planes)
+                ),
+                F.lit(0),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return sums.select(
+        "vec_id", F.posexplode(buckets).alias("table", "bucket")
+    )
+
+
 @query("ann_lsh_cosine")  # rows-only: xxhash64-derived planes aren't SQL-portable
 def ann_lsh_cosine(spark, sf_dir):
     """Multi-table sign-LSH ANN (OR-construction): every vector gets
@@ -236,10 +333,7 @@ def ann_lsh_cosine(spark, sf_dir):
     asserted in tests and surfaced by ``ann_recall_report``."""
     t = load_tables(spark, sf_dir)
     e = with_unit_vectors(t["embeddings"])
-    tb = e.select(
-        "vec_id",
-        F.posexplode(_lsh_table_buckets("vec")).alias("table", "bucket"),
-    )
+    tb = lsh_bucket_table(e)
     q_ids = tb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "table", "bucket"
     )
@@ -262,9 +356,12 @@ def ann_lsh_cosine(spark, sf_dir):
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
+    # rerank: the candidate list is tiny (≤ queries × tables ×
+    # bucket-occupancy pairs) — BROADCAST IT against the corpus
+    # vectors so the corpus side never shuffles its array column;
+    # the join is map-side over the same scan that computed buckets.
     scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
+        cv.join(F.broadcast(cand.join(F.broadcast(qv), "query_id")), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
