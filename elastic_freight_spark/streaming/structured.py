@@ -483,9 +483,12 @@ def stream_admission_gate(
     into executor state every restart).
 
     foreachBatch is what makes the index JOIN-able per batch (a
-    stateful streaming agg cannot join against its own prior output);
-    batch replay after failure re-appends the same spans, which the
-    gate tolerates because the index is consulted as a DISTINCT set.
+    stateful streaming agg cannot join against its own prior output).
+    foreachBatch delivery is at-least-once, so the gate is made
+    idempotent the standard way: a ``_batch_<id>.done`` marker in the
+    accepted dir — a replayed batch whose marker exists is skipped
+    entirely, so neither the accepted output nor the span index ever
+    double-counts a batch.
     """
     from pyspark.sql import functions as F
 
@@ -494,6 +497,9 @@ def stream_admission_gate(
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
+            return
+        marker = os.path.join(accepted_path, f"_batch_{batch_id}.done")
+        if os.path.exists(marker):  # replay of a committed batch
             return
         spans = doc_spans(batch_df).persist()
         try:
@@ -522,6 +528,12 @@ def stream_admission_gate(
             verdict.filter(F.col("accept")).select("doc_id"), "doc_id", "semi"
         ).select("span_text").write.mode("append").parquet(span_index_path)
         spans.unpersist()
+        # marker LAST: a crash before this point replays the batch
+        # (both writes re-run; the accepted dir may then hold dup rows
+        # from the partial attempt, which readers drop by the
+        # (_batch_id, doc_id) key); after it, replay is a no-op
+        with open(marker, "w") as f:
+            f.write("done")
 
     writer = stream_docs.writeStream.foreachBatch(_gate).option(
         "checkpointLocation", checkpoint_dir

@@ -513,3 +513,35 @@ def test_stream_admission_gate_matches_batch_gate(spark, tmp_path_factory):
         .collect()
     }
     assert got_accepted == want
+
+
+def test_admission_gate_batch_replay_is_idempotent(spark, tmp_path_factory):
+    """foreachBatch is at-least-once: replaying a committed batch id
+    must change nothing (marker-file idempotency), and a distinct
+    batch id must still process."""
+    from elastic_freight_spark.session import load_tables
+    from elastic_freight_spark.streaming.structured import stream_admission_gate
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_tables(spark, sf_dir)["documents"].limit(50)
+    base = tmp_path_factory.mktemp("replay")
+    src, span_idx, accepted, ckpt = (
+        str(base / d) for d in ("src", "span_idx", "accepted", "ckpt")
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    # run once (batch 0 commits, marker written)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_admission_gate(stream, span_idx, accepted, ckpt, available_now=True)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(accepted).count()
+    assert n1 == 50
+
+    # simulate a replay of batch 0 with a FRESH checkpoint (the
+    # stream re-delivers the same files as batch 0): marker skips it
+    ckpt2 = str(base / "ckpt2")
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_admission_gate(stream, span_idx, accepted, ckpt2, available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(accepted).count() == n1
