@@ -1604,3 +1604,104 @@ def text_entropy_score(spark, sf_dir):
             "entropy",
         )
     )
+
+
+NGRAM_DF_CAP = 50  # shingles in more docs than this generate no candidates
+
+
+@query(
+    "neardup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    rare AS (
+      SELECT shingle FROM shingles GROUP BY shingle
+      HAVING COUNT(*) <= {50}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_rare
+      FROM shingles a
+      JOIN rare USING (shingle)
+      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT p.doc_a, p.doc_b,
+             (SELECT COUNT(*) FROM shingles x JOIN shingles y
+               ON x.shingle = y.shingle
+              WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b) AS inter
+      FROM pairs p
+    )
+    SELECT doc_a, doc_b,
+           inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+    FROM exact
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.35
+    """,
+)
+def neardup_ngram_jaccard_capped(spark, sf_dir):
+    """Exact-Jaccard near-dup with a document-frequency cap on
+    CANDIDATE GENERATION: shingles appearing in more than
+    ``NGRAM_DF_CAP`` documents propose no pairs (they are
+    non-discriminative — the stop-shingle analogue of stop-word
+    removal), but once a pair is proposed by any rare shingle its
+    Jaccard is computed over ALL shingles, so reported scores are
+    exact. The 10× replication experiment (PERF.md) measured the
+    uncapped pair generator at Σ df² ≈ 78× growth for 10× docs; the
+    cap bounds per-shingle work at df·cap, which is what makes an
+    exact-verify tier affordable between LSH candidates and final
+    scores at 100 TB.
+
+    Semantics note (documented, deliberate): a pair sharing ONLY
+    ultra-common shingles is not proposed. Such pairs have large
+    unions of common vocabulary and (in every measured corpus here)
+    sit far below the 0.35 threshold; exact full-corpus parity is
+    pinned by the test comparing against the uncapped path."""
+    sets = shingle_sets(spark, sf_dir)
+    shingles = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sets.select("doc_id", "n")
+    rare = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .select("shingle")
+    )
+    rare_shingles = shingles.join(rare, "shingle")
+    a = rare_shingles.alias("a")
+    b = shingles.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact rerank: intersection over ALL shingles of the proposed pairs
+    xa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    xb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(xa, "doc_a")
+        .join(xb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.35)
+    )

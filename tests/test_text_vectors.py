@@ -377,3 +377,19 @@ def test_doc_spans_matches_python_twin(spark):
                 span = " ".join(toks[s * SPAN_TOKENS : (s + 1) * SPAN_TOKENS])
                 want.add((doc_id, span))
     assert got == want
+
+
+def test_capped_jaccard_matches_uncapped(spark, q):
+    """The df-capped candidate generator must reproduce the uncapped
+    exact-Jaccard result set on the fixture corpus (the cap only
+    prunes candidates whose every shared shingle is ultra-common —
+    none of which clear the 0.35 threshold here)."""
+    got = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in q["neardup_ngram_jaccard_capped"](spark, SF_DIR_ORACLE).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in q["neardup_ngram_jaccard"](spark, SF_DIR_ORACLE).collect()
+    }
+    assert got == want
