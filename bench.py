@@ -79,6 +79,7 @@ def main() -> None:
         "dedup_incremental_gate",
         "t_mad_outliers",
         "sample_quality_weighted",
+        "neardup_ngram_jaccard_capped",
     ]
 
     # warm up JVM + file listing once (excluded from timings)
