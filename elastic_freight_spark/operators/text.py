@@ -1705,3 +1705,71 @@ def neardup_ngram_jaccard_capped(spark, sf_dir):
         )
         .filter(F.col("jaccard") >= 0.35)
     )
+
+
+@query(
+    "text_source_drift_kl",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), src_tf AS (
+      SELECT source, token, COUNT(*) AS n
+      FROM toks WHERE token <> '' GROUP BY 1, 2
+    ), src_tot AS (
+      SELECT source, SUM(n) AS total FROM src_tf GROUP BY 1
+    ), glob_tf AS (
+      SELECT token, SUM(n) AS gn FROM src_tf GROUP BY 1
+    ), glob_tot AS (SELECT SUM(gn) AS gtotal FROM glob_tf)
+    SELECT s.source,
+           CAST(st.total AS BIGINT) AS n_tokens,
+           ROUND(SUM((s.n / CAST(st.total AS DOUBLE))
+                     * ln((s.n / CAST(st.total AS DOUBLE))
+                          / (g.gn / CAST(gt.gtotal AS DOUBLE)))), 9)
+             AS kl_vs_corpus
+    FROM src_tf s
+    JOIN src_tot st USING (source)
+    JOIN glob_tf g USING (token)
+    CROSS JOIN glob_tot gt
+    GROUP BY s.source, st.total
+    ORDER BY s.source
+    """,
+)
+def text_source_drift_kl(spark, sf_dir):
+    """Per-source distribution drift: KL(source token distribution ‖
+    corpus distribution) — the monitoring metric a continuously-fed
+    pipeline alarms on when a crawl source changes character
+    (boilerplate injection, language shift, template rot). KL is
+    finite here by construction: every source token is in the corpus
+    distribution (the source is part of the corpus).
+
+    Plan: ONE corpus scan builds (source, token) counts; source
+    totals, global token counts, and the global total all derive
+    from that aggregate (token-sized, not corpus-sized); the global
+    total rides as a broadcast 1-row crossJoin. At 100 TB the same
+    query runs with the new batch as the foreground and the span/
+    postings index as the background — the shape is identical to
+    ``search_significant_terms``."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    src_tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    src_tot = src_tf.groupBy("source").agg(F.sum("n").alias("total"))
+    glob_tf = src_tf.groupBy("token").agg(F.sum("n").alias("gn"))
+    glob_tot = glob_tf.agg(F.sum("gn").cast("double").alias("gtotal"))
+    p = F.col("n") / F.col("total").cast("double")
+    q = F.col("gn") / F.col("gtotal")
+    return (
+        src_tf.join(src_tot, "source")
+        .join(glob_tf, "token")
+        .crossJoin(F.broadcast(glob_tot))
+        .groupBy("source", "total")
+        .agg(F.round(F.sum(p * F.log(p / q)), 9).alias("kl_vs_corpus"))
+        .select(
+            "source",
+            F.col("total").cast("bigint").alias("n_tokens"),
+            "kl_vs_corpus",
+        )
+        .orderBy("source")
+    )
