@@ -962,3 +962,90 @@ def embedding_dimension_stats(spark, sf_dir):
         .select(F.col("dim").cast("int").alias("dim"), "n", "sum_x", "min_x", "max_x")
         .orderBy("dim")
     )
+
+
+def power_iteration_top_component(
+    e: DataFrame, n_iter: int = 12
+) -> tuple[list, float]:
+    """Top principal component of the (mean-centered) embedding cloud
+    by distributed power iteration. Per iteration: ONE pass over the
+    data — score s = ⟨x−μ, v⟩ per row (a fold against the broadcast
+    literal v), then per-dimension weighted sums Σ s·(x−μ) via
+    posexplode + aggregate (map-side partials carry d values per
+    task). Only the d-vector ever reaches the driver, so iteration
+    cost is constant in corpus size — the same discipline as the
+    sampled IVF fit, but exact: power iteration converges
+    geometrically in λ₁/λ₂ regardless of n.
+
+    The deterministic all-ones start vector makes runs reproducible;
+    if it were orthogonal to the top component (measure-zero),
+    convergence would stall — n_iter is generous for the tested
+    clouds and the parity test asserts alignment with numpy."""
+    import math
+
+    mu_row = (
+        e.select(F.posexplode("vec").alias("j", "x"))
+        .groupBy("j")
+        .agg(F.avg("x").alias("m"))
+        .orderBy("j")
+        .collect()
+    )
+    mu = [r["m"] for r in mu_row]
+    d = len(mu)
+    v = [1.0 / math.sqrt(d)] * d
+    mu_lit = "array(" + ", ".join(f"{m!r}D" for m in mu) + ")"
+    eig = 0.0
+    for _ in range(n_iter):
+        v_lit = "array(" + ", ".join(f"{c!r}D" for c in v) + ")"
+        centered = e.withColumn(
+            "cvec", F.expr(f"zip_with(vec, {mu_lit}, (x, m) -> x - m)")
+        )
+        scored = centered.withColumn(
+            "s",
+            F.expr(
+                f"aggregate(zip_with(cvec, {v_lit}, (x, c) -> x * c), "
+                "cast(0.0 as double), (acc, t) -> acc + t)"
+            ),
+        )
+        w_rows = (
+            scored.select("s", F.posexplode("cvec").alias("j", "x"))
+            .groupBy("j")
+            .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
+            .orderBy("j")
+            .collect()
+        )
+        w = [r["w"] for r in w_rows]
+        norm = math.sqrt(sum(c * c for c in w))
+        eig = norm / max(scored.count(), 1)
+        v = [c / norm for c in w]
+        if v[0] < 0:  # fix sign for determinism (eigenvectors are ±)
+            v = [-c for c in v]
+    return v, eig
+
+
+@query("embedding_top_component")  # rows-only: iterative float fixpoint
+def embedding_top_component(spark, sf_dir):
+    """Top principal component of the embedding table as a query:
+    (dim, component, mean) — the direction a curator inspects for
+    dataset-level anisotropy (an embedding model whose outputs
+    collapse toward one direction embeds near-duplicates everywhere)
+    and the whitening direction ANN index builders remove first.
+    Iterative (power method), so no SQL oracle — pinned against
+    numpy's exact eigendecomposition in tests."""
+    e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
+    v, eig = power_iteration_top_component(e)
+    mu = (
+        e.select(F.posexplode("vec").alias("j", "x"))
+        .groupBy("j")
+        .agg(F.avg("x").alias("m"))
+    )
+    comp = F.array(*[F.lit(c) for c in v])
+    return (
+        mu.select(
+            F.col("j").cast("int").alias("dim"),
+            F.element_at(comp, F.col("j") + 1).alias("component"),
+            F.round("m", 9).alias("mean"),
+            F.lit(round(eig, 9)).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
