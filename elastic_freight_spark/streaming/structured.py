@@ -541,3 +541,90 @@ def stream_admission_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_drift_alarm(
+    stream_docs: DataFrame,
+    ref_tf_path: str,
+    alarm_path: str,
+    checkpoint_dir: str,
+    kl_threshold: float = 0.5,
+    available_now: bool = False,
+):
+    """Streaming distribution-shift monitor: the per-batch face of
+    ``operators.text.text_source_drift_kl``. Each micro-batch's token
+    distribution is scored with KL(batch ‖ reference) against a
+    persisted reference term-frequency table (built once from the
+    trusted corpus — ``build_reference_tf``); one alarm row per
+    (batch, source) lands in ``alarm_path`` with the KL and a
+    breached flag. Unseen tokens are smoothed into the reference
+    (add-one on the batch side of the join) so KL stays finite when
+    a source drifts vocabulary — which is exactly when you need the
+    alarm to fire, not divide by zero.
+
+    Like the admission gate, the state is a plain parquet artifact a
+    batch job can rebuild, not a streaming state store; the alarm
+    stream is idempotent per batch via the same marker discipline."""
+    from pyspark.sql import functions as F
+
+    def _alarm(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        marker = os.path.join(alarm_path, f"_batch_{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        ref = spark.read.parquet(ref_tf_path)
+        ref_tot = ref.agg(F.sum("n").cast("double").alias("gtotal"))
+        toks = batch_df.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        ).filter(F.col("token") != "")
+        src_tf = toks.groupBy("source", "token").agg(
+            F.count(F.lit(1)).alias("bn")
+        )
+        src_tot = src_tf.groupBy("source").agg(F.sum("bn").alias("btotal"))
+        joined = (
+            src_tf.join(ref.withColumnRenamed("n", "rn"), "token", "left")
+            .join(src_tot, "source")
+            .crossJoin(F.broadcast(ref_tot))
+        )
+        p = F.col("bn") / F.col("btotal").cast("double")
+        q = (F.coalesce(F.col("rn"), F.lit(0)) + 1) / (
+            F.col("gtotal") + F.lit(1.0)
+        )
+        report = (
+            joined.groupBy("source", "btotal")
+            .agg(F.round(F.sum(p * F.log(p / q)), 9).alias("kl"))
+            .select(
+                F.lit(batch_id).alias("batch_id"),
+                "source",
+                F.col("btotal").cast("bigint").alias("n_tokens"),
+                "kl",
+                (F.col("kl") > kl_threshold).alias("breached"),
+            )
+        )
+        report.write.mode("append").parquet(alarm_path)
+        with open(marker, "w") as f:
+            f.write("done")
+
+    writer = stream_docs.writeStream.foreachBatch(_alarm).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def build_reference_tf(docs: DataFrame, ref_tf_path: str) -> None:
+    """Materialize the trusted-corpus token frequencies the drift
+    alarm scores against (token, n)."""
+    from pyspark.sql import functions as F
+
+    (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(ref_tf_path)
+    )

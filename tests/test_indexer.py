@@ -694,3 +694,23 @@ def test_engine_facade_upsert_and_time_travel(spark, tmp_path_factory):
     assert man1["version"] == 1
     assert eng.restore_latest(man["path"]).count() == n0 - 5
     assert eng.restore_asof(man["path"], 0).count() == n0
+
+
+def test_reshard_index_roundtrip(spark, events, tmp_path_factory):
+    from elastic_freight_spark.indexer import read_shard, reshard_index
+
+    out = str(tmp_path_factory.mktemp("reshard"))
+    man = build_index(
+        events, IndexConfig("rs_idx", "user_id", 4, out, routing="lcg")
+    )
+    n = sum(man["shards"].values())
+
+    man2 = reshard_index(spark, man["path"], 8)
+    assert man2["num_shards"] == 8 and man2["resharded_from"] == 4
+    assert sum(man2["shards"].values()) == n          # no rows lost
+    assert 0 < man2["moved_fraction"] <= 1
+    assert man2["counters"]["TIME_SPENT_RESHARDING_MS"] > 0
+
+    # shard-pruned lookups still work against the new layout
+    uid = events.select("user_id").first()["user_id"]
+    assert read_shard(spark, man["path"], uid).count() >= 1

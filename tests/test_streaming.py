@@ -545,3 +545,41 @@ def test_admission_gate_batch_replay_is_idempotent(spark, tmp_path_factory):
     q = stream_admission_gate(stream, span_idx, accepted, ckpt2, available_now=True)
     q.awaitTermination(120)
     assert spark.read.parquet(accepted).count() == n1
+
+
+def test_stream_drift_alarm_flags_shifted_source(spark, tmp_path_factory):
+    """A batch containing the reference-like sources plus one
+    vocabulary-shifted source must alarm on the shifted source only
+    (its KL against the reference tf is far above the others)."""
+    from elastic_freight_spark.session import load_tables
+    from elastic_freight_spark.streaming.structured import (
+        build_reference_tf,
+        stream_drift_alarm,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = tmp_path_factory.mktemp("drift")
+    src, ref_tf, alarms, ckpt = (
+        str(base / d) for d in ("src", "ref_tf", "alarms", "ckpt")
+    )
+    build_reference_tf(docs, ref_tf)
+
+    shifted = docs.limit(20).withColumn(
+        "text",
+        F.concat_ws(
+            " ", *[F.lit("zzqx") for _ in range(60)]
+        ),
+    ).withColumn("source", F.lit("src_drifted"))
+    docs.unionByName(shifted).coalesce(1).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_drift_alarm(stream, ref_tf, alarms, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    rows = {r["source"]: r for r in spark.read.parquet(alarms).collect()}
+    assert rows["src_drifted"]["breached"] is True
+    normal = [r for s, r in rows.items() if s != "src_drifted"]
+    assert normal and all(not r["breached"] for r in normal)
+    assert all(rows["src_drifted"]["kl"] > r["kl"] for r in normal)
