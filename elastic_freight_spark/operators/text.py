@@ -1773,3 +1773,100 @@ def text_source_drift_kl(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_bigram_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, i,
+             tok[i] AS w1, tok[i+1] AS w2
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
+            FROM documents WHERE LENGTH(string_split(lower(text), ' ')) >= 2),
+           LATERAL (SELECT unnest(range(1, LENGTH(tok))) AS i)
+      WHERE tok[i] <> '' AND tok[i+1] <> ''
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS n12 FROM toks GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT w, SUM(c) AS n1 FROM (
+        SELECT w1 AS w, COUNT(*) AS c FROM toks GROUP BY 1
+        UNION ALL
+        SELECT w2 AS w, COUNT(*) AS c FROM toks GROUP BY 1
+      ) GROUP BY w
+    ),
+    tot AS (SELECT SUM(n12) AS nb FROM big)
+    SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
+           ROUND(ln((n12 / CAST(nb AS DOUBLE))
+                    / ((u1.n1 / CAST(2 * nb AS DOUBLE))
+                       * (u2.n1 / CAST(2 * nb AS DOUBLE)))), 9) AS pmi
+    FROM big
+    JOIN uni u1 ON u1.w = w1
+    JOIN uni u2 ON u2.w = w2
+    CROSS JOIN tot
+    WHERE n12 >= 25
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_bigram_pmi(spark, sf_dir):
+    """Collocation mining: top bigrams by pointwise mutual
+    information — the measure behind phrase detection in tokenizer /
+    vocab construction (merge "new york" into one unit when
+    P(w1,w2) ≫ P(w1)P(w2)). One pass builds adjacent pairs with a
+    slide-by-one zip (JVM higher-order functions, no pre-shuffle
+    token explode); bigram and unigram counts are token-sized
+    aggregates; the grand total rides as a broadcast 1-row crossJoin;
+    a min-count floor (25) keeps the PMI estimator out of its
+    low-count noise regime. Same marginals convention both sides
+    (positional occurrences, ×2 total)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = (
+        docs.select(F.split(F.lower("text"), " ").alias("tok"))
+        .filter(F.size("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(zip_with(slice(tok, 1, size(tok) - 1), "
+                    "slice(tok, 2, size(tok) - 1), "
+                    "(a, b) -> struct(a AS w1, b AS w2)), "
+                    "p -> p.w1 <> '' AND p.w2 <> '')"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    uni = (
+        pairs.select(F.col("w1").alias("w"))
+        .unionAll(pairs.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    tot = big.agg(F.sum("n12").cast("double").alias("nb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n1").alias("m1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n1").alias("m2"))
+    return (
+        big.filter(F.col("n12") >= 25)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("bigint").alias("n12"),
+            F.round(
+                F.log(
+                    (F.col("n12") / F.col("nb"))
+                    / (
+                        (F.col("m1") / (2 * F.col("nb")))
+                        * (F.col("m2") / (2 * F.col("nb")))
+                    )
+                ),
+                9,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
