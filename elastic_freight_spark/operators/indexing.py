@@ -415,3 +415,48 @@ def udtf_text_segments(spark, sf_dir):
         FROM documents d, LATERAL text_segments(d.text) s
         """
     )
+
+
+@query(
+    "shard_balance_report",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT {lcg_shard_sql('o_custkey', 16)} AS shard FROM orders
+    ), counts AS (
+      SELECT shard, COUNT(*) AS n FROM sharded GROUP BY shard
+    ), tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(MIN(n) AS BIGINT) AS min_docs,
+           CAST(MAX(n) AS BIGINT) AS max_docs,
+           ROUND(MAX(n) / CAST(MIN(n) AS DOUBLE), 9) AS balance_ratio,
+           ROUND(SUM((n - total / 16.0) * (n - total / 16.0))
+                 / (MAX(total) / 16.0), 9) AS chi_square
+    FROM counts CROSS JOIN tot
+    """,
+)
+def shard_balance_report(spark, sf_dir):
+    """Shard-balance audit as a query — the reference's
+    ``testOrgDistribution`` (ElasticsearchRoutingStrategyV5Test.java
+    :130-141: fixed orgs must spread across all shards) promoted from
+    a 15-row unit test to the production health check an operator
+    runs after every build: docs per shard, max/min balance ratio,
+    and the chi-square statistic against uniform routing. For 16
+    shards (15 dof, alpha=0.001) chi-square above ~37.7 means the
+    routing is NOT behaving uniformly — the number that predicts a
+    straggler reducer BEFORE a 100 TB shuffle runs, not after."""
+    t = load_tables(spark, sf_dir)
+    sharded = t["orders"].select(
+        lcg_shard_col("o_custkey", N_SHARDS).alias("shard")
+    )
+    counts = sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("total"))
+    exp = F.col("total") / N_SHARDS
+    return counts.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.min("n").cast("bigint").alias("min_docs"),
+        F.max("n").cast("bigint").alias("max_docs"),
+        F.round(F.max("n") / F.min("n").cast("double"), 9).alias("balance_ratio"),
+        F.round(
+            F.sum((F.col("n") - exp) * (F.col("n") - exp)) / F.first(exp), 9
+        ).alias("chi_square"),
+    )

@@ -709,3 +709,110 @@ def events_markov_transitions(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "events_hourly_seasonality",
+    oracle="""
+    SELECT CAST(EXTRACT(dow FROM CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+           CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly_seasonality(spark, sf_dir):
+    """Seasonality fingerprint: event volume and value by
+    (day-of-week, hour-of-day) — the profile capacity planning and
+    anomaly baselines are built from (an observed count far from its
+    (dow, hour) cell is the alarm). One aggregate over derived
+    calendar keys; 168 output cells regardless of corpus size, so
+    map-side partials do nearly all the work. Spark ``dayofweek`` is
+    1-7 Sunday-first vs DuckDB ``EXTRACT(dow)`` 0-6 Sunday-first —
+    aligned by subtracting 1."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+@query(
+    "orders_backlog_over_time",
+    oracle="""
+    WITH placed AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_placed
+      FROM orders GROUP BY 1
+    ), received AS (
+      SELECT CAST(MAX(l_shipdate) AS DATE) AS d, COUNT(*) AS n_done
+      FROM lineitem GROUP BY l_orderkey
+    ), done AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_done FROM received GROUP BY d
+    ), flows AS (
+      SELECT COALESCE(p.d, dn.d) AS day,
+             COALESCE(n_placed, 0) AS n_placed,
+             COALESCE(n_done, 0) AS n_done
+      FROM placed p FULL OUTER JOIN done dn ON p.d = dn.d
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_placed AS BIGINT) AS n_placed,
+           CAST(n_done AS BIGINT) AS n_done,
+           CAST(SUM(n_placed - n_done)
+                OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_backlog
+    FROM flows
+    ORDER BY day
+    """,
+)
+def orders_backlog_over_time(spark, sf_dir):
+    """Open-order backlog time series: +1 on order placement, -1 on
+    the day an order's LAST lineitem ships (this fixture carries no
+    receipt date), cumulative-summed
+    over days — the interval-stabbing pattern (how many intervals
+    cover each day) reduced to two day-keyed aggregates and one
+    window cumsum over the (day-count-sized) flow table. The fact
+    tables are touched once each; the running sum never sees a fact
+    row. The same shape answers concurrent-sessions/active-users at
+    any scale."""
+    t = load_tables(spark, sf_dir)
+    placed = (
+        t["orders"]
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_placed"))
+    )
+    done = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.to_date(F.max("l_shipdate")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_done"))
+    )
+    flows = (
+        placed.join(done, "day", "full")
+        .select(
+            "day",
+            F.coalesce("n_placed", F.lit(0)).alias("n_placed"),
+            F.coalesce("n_done", F.lit(0)).alias("n_done"),
+        )
+    )
+    cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return flows.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_placed").cast("bigint").alias("n_placed"),
+        F.col("n_done").cast("bigint").alias("n_done"),
+        F.sum(F.col("n_placed") - F.col("n_done"))
+        .over(cum)
+        .cast("bigint")
+        .alias("open_backlog"),
+    ).orderBy("day")
