@@ -1358,3 +1358,59 @@ def customer_rfm_segments(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "customer_value_gini",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS v
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT v,
+             ROW_NUMBER() OVER (ORDER BY v, o_custkey) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(v) OVER () AS total
+      FROM cust
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MAX(total) AS DOUBLE) AS total_value,
+           ROUND(CAST(SUM((2 * i - n - 1) * v) AS DOUBLE)
+                 / (MAX(n) * CAST(MAX(total) AS DOUBLE)), 9) AS gini
+    FROM ranked
+    """,
+)
+def customer_value_gini(spark, sf_dir):
+    """Gini coefficient of customer order value — the concentration
+    number behind "top X% of customers drive Y% of revenue" (and, in
+    a data pipeline, of tokens-per-source concentration). Uses the
+    rank formula G = Σ(2i−n−1)·v / (n·Σv) over values sorted
+    ascending with a deterministic tie-break: one aggregate to
+    per-customer values, one global-sort window over the (customer-
+    sized, already reduced) table, one final aggregate. DECIMAL sums
+    end-to-end; the n·total denominators come from window maxima so
+    no second scan."""
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("v")
+    )
+    w_all = W.orderBy("v", "o_custkey").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = cust.select(
+        "v",
+        F.row_number().over(W.orderBy("v", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("v").over(w_all).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.max("total").cast("double").alias("total_value"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("v")).cast("double")
+            / (F.max("n") * F.max("total").cast("double")),
+            9,
+        ).alias("gini"),
+    )

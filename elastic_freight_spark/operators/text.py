@@ -1870,3 +1870,54 @@ def text_bigram_pmi(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "text_vocab_growth_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT token, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)
+      WHERE token <> ''
+      GROUP BY token
+    ), milestones AS (
+      SELECT CAST(m AS BIGINT) AS docs_seen
+      FROM UNNEST([50, 100, 200, 300, 400, 500]) AS t(m)
+    )
+    SELECT docs_seen,
+           CAST(COUNT(f.token) AS BIGINT) AS vocab_size
+    FROM milestones m LEFT JOIN firsts f ON f.first_doc < m.docs_seen
+    GROUP BY docs_seen
+    ORDER BY docs_seen
+    """,
+)
+def text_vocab_growth_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth: distinct-token count after the
+    first N documents, at fixed milestones — the curve that tells a
+    tokenizer builder whether vocabulary is saturating (curve
+    flattens: closed domain) or still growing in a power law (open
+    vocab: budget for byte-level fallback). Each token reduces to its
+    FIRST document (one token-keyed aggregate — no running-distinct
+    state); the milestone join then counts tokens whose first
+    appearance precedes each cut. The theta join is
+    milestones×vocab — bounded by the tiny milestone list."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    firsts = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    milestones = load_tables(spark, sf_dir)["documents"].sparkSession.createDataFrame(
+        [(m,) for m in (50, 100, 200, 300, 400, 500)], "docs_seen long"
+    )
+    return (
+        F.broadcast(milestones)
+        .join(firsts, F.col("first_doc") < F.col("docs_seen"), "left")
+        .groupBy("docs_seen")
+        .agg(F.count("token").cast("bigint").alias("vocab_size"))
+        .orderBy("docs_seen")
+    )
