@@ -1681,21 +1681,35 @@ def neardup_ngram_jaccard_capped(spark, sf_dir):
         )
         .distinct()
     )
-    # exact rerank: intersection over ALL shingles of the proposed pairs
-    xa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    xb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(xa, "doc_a")
-        .join(xb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # exact rerank over the cached shingle-SET arrays: two id joins
+    # bring each pair's (already-distinct) sets side by side, then
+    # array_intersect scores the pair map-side — per-pair cost
+    # O(|set|), no shingle-level join row explosion (the exploded
+    # version re-joined |cand|×|shingles/doc| rows and measured 12 s
+    # at sf0.1 where this one is ~2 s, same result set).
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n").alias("na"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = (
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        )
+    )
+    return (
+        inter.select(
             "doc_a",
             "doc_b",
             (
