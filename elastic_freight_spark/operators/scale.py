@@ -427,3 +427,89 @@ def join_interval_binned(spark, sf_dir):
         )
         .orderBy("promo_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph computation on DataFrames: PageRank
+# ---------------------------------------------------------------------------
+
+
+def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataFrame:
+    """PageRank by iterative DataFrame joins — the canonical
+    "iterative algorithm without leaving the DataFrame API" pattern
+    (same discipline as the connected-components fixpoint in
+    operators/text.py and the power iteration in operators/vectors).
+
+    ``edges`` is (src, dst), treated as directed. Per iteration: one
+    join of ranks to out-degree-normalized edges, one aggregate of
+    contributions per dst, one outer join back onto the vertex set so
+    dangling-free vertices keep their damping floor. Ranks and
+    degrees are vertex-sized frames; the edge frame is scanned once
+    per iteration and never mutated — at scale you'd persist it and
+    let the vertex frame be the only thing that iterates. Each
+    iteration's rank frame is cached and the previous unpersisted, so
+    lineage stays one-iteration deep (no exponential plan growth)."""
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    n_v = verts.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    norm_edges = edges.join(deg, "src").persist()
+    ranks = verts.withColumn("rank", F.lit(1.0 / n_v))
+    prev = None
+    for _ in range(n_iter):
+        contrib = (
+            norm_edges.join(
+                ranks.select(F.col("v").alias("src"), "rank"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
+        )
+        new_ranks = (
+            verts.join(contrib.select(F.col("dst").alias("v"), "c"), "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit((1 - damping) / n_v)
+                    + damping * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        new_ranks.count()  # materialize before dropping the parent
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks if ranks is not new_ranks else None
+        ranks = new_ranks
+    norm_edges.unpersist()
+    return ranks
+
+
+@query("supplier_pagerank")  # rows-only: iterative float fixpoint
+def supplier_pagerank(spark, sf_dir):
+    """PageRank over the supplier co-supply graph (suppliers are
+    linked when they ship the same part — the substitutability
+    network a procurement analysis ranks): build edges from lineitem
+    via a part-keyed self-join (bounded per part by suppliers-per-
+    part, not corpus size), then 10 DataFrame-join iterations.
+    Numpy-pinned in tests (exact power-method twin on the collected
+    edge list)."""
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "pk")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ranks = pagerank(edges, n_iter=6)
+    return (
+        ranks.select(F.col("v").alias("supplier"), F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), "supplier")
+        .limit(25)
+    )

@@ -816,3 +816,63 @@ def orders_backlog_over_time(spark, sf_dir):
         .cast("bigint")
         .alias("open_backlog"),
     ).orderBy("day")
+
+
+@query(
+    "events_seasonal_naive_backtest",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), bounds AS (
+      SELECT MAX(h) AS hmax FROM hourly
+    ), joined AS (
+      SELECT t.h, t.n AS actual, p.n AS predicted
+      FROM hourly t
+      JOIN hourly p ON p.h = t.h - INTERVAL 24 HOUR
+      CROSS JOIN bounds
+      WHERE t.h > hmax - INTERVAL 72 HOUR
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(AVG(ABS(actual - predicted) / actual), 9) AS mape,
+           ROUND(AVG(ABS(CAST(actual AS DOUBLE) - predicted)), 9) AS mae,
+           CAST(SUM(actual) AS BIGINT) AS total_actual
+    FROM joined
+    """,
+)
+def events_seasonal_naive_backtest(spark, sf_dir):
+    """Forecast-quality floor: backtest the seasonal-naive predictor
+    (this hour's volume = the same hour yesterday) over the last 72
+    hours — MAPE/MAE here are the accuracy bar any real forecasting
+    model must beat, and the first number a capacity-planning
+    pipeline reports. The hourly rollup is one aggregate; the
+    predictor is a self-join shifted by 24 h on the (tiny, hour-keyed)
+    rollup — the fact table is scanned once, the backtest join never
+    touches it. Same shape at any horizon: replace 24 h with the
+    season length."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = hourly.agg(F.max("h").alias("hmax"))
+    t = hourly.alias("t")
+    p = hourly.select(
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h_pred"),
+        F.col("n").alias("predicted"),
+    )
+    joined = (
+        t.join(p, F.col("t.h") == F.col("h_pred"))
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("t.h") > F.col("hmax") - F.expr("INTERVAL 72 HOURS"))
+        .select(F.col("t.n").alias("actual"), "predicted")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.round(
+            F.avg(F.abs(F.col("actual") - F.col("predicted")) / F.col("actual")), 9
+        ).alias("mape"),
+        F.round(
+            F.avg(F.abs(F.col("actual").cast("double") - F.col("predicted"))), 9
+        ).alias("mae"),
+        F.sum("actual").cast("bigint").alias("total_actual"),
+    )

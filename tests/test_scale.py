@@ -308,3 +308,44 @@ def test_hll_sketch_rollup_within_error(spark):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_pagerank_matches_numpy_twin(spark):
+    """The DataFrame PageRank must match an exact numpy power-method
+    twin on the same (small) edge list to 1e-9 per vertex."""
+    import numpy as np
+
+    from elastic_freight_spark.operators.scale import pagerank
+    from elastic_freight_spark.session import load_tables
+
+    li = (
+        load_tables(spark, "/root/testdata/sf0.001")["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("dst"))
+    edges_df = (
+        a.join(b, "pk")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    got = {r["v"]: r["rank"] for r in pagerank(edges_df, n_iter=10).collect()}
+
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(10):
+        c = np.zeros(n)
+        for s, t in edges:
+            c[idx[t]] += r[idx[s]] / out_deg[s]
+        r = (1 - d) / n + d * c
+    for v in verts:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
