@@ -1414,3 +1414,144 @@ def customer_value_gini(spark, sf_dir):
             9,
         ).alias("gini"),
     )
+
+
+@query(
+    "part_abc_classification",
+    oracle=f"""
+    WITH part_rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS rev
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             SUM(rev) OVER () AS total
+      FROM part_rev
+    ), classed AS (
+      SELECT CASE WHEN cum_rev / total <= 0.8 THEN 'A'
+                  WHEN cum_rev / total <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS class_revenue
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def part_abc_classification(spark, sf_dir):
+    """ABC (Pareto) inventory classification: parts sorted by revenue
+    descending, class A = the head covering 80% of cumulative
+    revenue, B to 95%, C the tail — the 80/20 cut every catalog/
+    inventory pipeline draws (and, for a training corpus, the
+    head/torso/tail split of sources by token contribution). The
+    global sort runs on the per-part reduced table; facts are
+    touched once; DECIMAL revenue end-to-end with a deterministic
+    tie-break so the cumulative boundary is engine-stable."""
+    from pyspark.sql import Window as W
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev")
+    )
+    w_cum = W.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_all = W.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    classed = part_rev.select(
+        "rev",
+        F.when(
+            F.sum("rev").over(w_cum) / F.sum("rev").over(w_all) <= 0.8, "A"
+        )
+        .when(F.sum("rev").over(w_cum) / F.sum("rev").over(w_all) <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@query(
+    "supplier_late_rate_wilson",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey,
+             COUNT(*) AS n,
+             SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_suppkey
+    )
+    SELECT l_suppkey,
+           CAST(n AS BIGINT) AS n_shipments,
+           CAST(late AS BIGINT) AS n_late,
+           ROUND((late / CAST(n AS DOUBLE) + 1.9208 / n
+                  - 1.96 * sqrt((late / CAST(n AS DOUBLE))
+                                * (1 - late / CAST(n AS DOUBLE)) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 9) AS late_rate_lower_bound
+    FROM s
+    WHERE n >= 20
+    ORDER BY late_rate_lower_bound DESC, l_suppkey
+    LIMIT 15
+    """,
+)
+def supplier_late_rate_wilson(spark, sf_dir):
+    """Supplier late-shipment ranking by the Wilson score LOWER bound
+    (95%) on the late rate — ranking by raw rate promotes small-n
+    suppliers with one bad shipment; the Wilson bound is the standard
+    rank-with-uncertainty fix (the same formula behind "sort by best"
+    comment ranking). One fact join + per-supplier aggregate; the
+    bound is closed-form arithmetic on (n, late) — no per-row work
+    after the reduce. Suppliers below 20 shipments are excluded from
+    ranking rather than shrunk."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).cast("int")
+        ).alias("late"),
+    )
+    p = F.col("late") / F.col("n").cast("double")
+    z2 = 1.96 * 1.96
+    bound = (
+        p
+        + F.lit(z2 / 2) / F.col("n")
+        - 1.96
+        * F.sqrt(p * (1 - p) / F.col("n") + F.lit(z2 / 4) / (F.col("n") * F.col("n")))
+    ) / (1 + F.lit(z2) / F.col("n"))
+    return (
+        s.filter(F.col("n") >= 20)
+        .select(
+            "l_suppkey",
+            F.col("n").cast("bigint").alias("n_shipments"),
+            F.col("late").cast("bigint").alias("n_late"),
+            F.round(bound, 9).alias("late_rate_lower_bound"),
+        )
+        .orderBy(F.col("late_rate_lower_bound").desc(), "l_suppkey")
+        .limit(15)
+    )
