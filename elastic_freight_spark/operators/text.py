@@ -725,7 +725,46 @@ def connected_components(edges, max_iter: int = 20):
     return labels
 
 
-@query("dedup_corpus_connected_components")  # rows-only: iterative fixpoint
+@query(
+    "dedup_corpus_connected_components",
+    # Promoted from rows-only in round 3: the iterative min-label
+    # fixpoint is deterministic (labels converge to the component
+    # minimum), so DuckDB's recursive CTE reachability reproduces it
+    # exactly — UNION-distinct recursion terminates, and
+    # MIN(reachable id) IS the component label.
+    oracle=f"""
+    WITH RECURSIVE shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    ipairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT doc_a, doc_b
+      FROM ipairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.35
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM jac
+    ), nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    reach(doc, comp) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.doc
+    ), labels AS (
+      SELECT doc, MIN(comp) AS component_id FROM reach GROUP BY doc
+    )
+    SELECT component_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           MIN(doc) AS keeper_doc_id
+    FROM labels
+    GROUP BY component_id
+    """,
+)
 def dedup_corpus_connected_components(spark, sf_dir):
     """Full-cluster near-dup dedup: connected components over the
     exact-Jaccard pair graph; the minimum doc_id of each component
