@@ -876,3 +876,63 @@ def events_seasonal_naive_backtest(spark, sf_dir):
         ).alias("mae"),
         F.sum("actual").cast("bigint").alias("total_actual"),
     )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT AVG(n) AS mu, COUNT(*) AS total FROM hourly
+    ), cusum AS (
+      SELECT h, n,
+             SUM(n - mu) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS s
+      FROM hourly CROSS JOIN stats
+    ), peak AS (
+      SELECT h, n, s,
+             ROW_NUMBER() OVER (ORDER BY ABS(s) DESC, h) AS rn
+      FROM cusum
+    )
+    SELECT strftime(p.h, '%Y-%m-%d %H:%M:%S') AS changepoint_hour,
+           ROUND(p.s, 6) AS cusum_peak,
+           ROUND(st.mu, 6) AS series_mean,
+           CAST(st.total AS BIGINT) AS n_hours
+    FROM peak p CROSS JOIN stats st
+    WHERE p.rn = 1
+    """,
+)
+def events_changepoint_cusum(spark, sf_dir):
+    """CUSUM changepoint detection on the hourly volume series: the
+    hour where the cumulative deviation from the series mean peaks is
+    the maximum-likelihood single level-shift location — the "when
+    did the crawl rate change" monitoring primitive that complements
+    the seasonality fingerprint (expected shape) and the KL drift
+    alarm (content shift). The running sum and the argmax both run
+    on the hour-keyed rollup (facts scanned once); the mean rides as
+    a broadcast 1-row aggregate."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    stats = hourly.agg(
+        F.avg("n").alias("mu"), F.count(F.lit(1)).alias("total")
+    )
+    cum = W.orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    cusum = hourly.crossJoin(F.broadcast(stats)).select(
+        "h",
+        "mu",
+        "total",
+        F.sum(F.col("n") - F.col("mu")).over(cum).alias("s"),
+    )
+    peak = cusum.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.abs("s").desc(), "h"))
+    ).filter(F.col("rn") == 1)
+    return peak.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("changepoint_hour"),
+        F.round("s", 6).alias("cusum_peak"),
+        F.round("mu", 6).alias("series_mean"),
+        F.col("total").cast("bigint").alias("n_hours"),
+    )
