@@ -1974,3 +1974,94 @@ def text_vocab_growth_curve(spark, sf_dir):
         .agg(F.count("token").cast("bigint").alias("vocab_size"))
         .orderBy("docs_seen")
     )
+
+
+@query(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    ipairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT doc_a, doc_b,
+             inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS j
+      FROM ipairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ), grid AS (
+      SELECT CAST(t AS DOUBLE) / 100 AS threshold
+      FROM UNNEST([25, 35, 45, 55, 65, 75]) AS g(t)
+    ), corpus AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT threshold,
+           CAST(COUNT(j.doc_a) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT j.doc_b) AS BIGINT) AS n_dropped,
+           CAST(MAX(c.n_docs) - COUNT(DISTINCT j.doc_b) AS BIGINT) AS n_kept
+    FROM grid
+    LEFT JOIN jac j ON j.j >= threshold
+    CROSS JOIN corpus c
+    GROUP BY threshold
+    ORDER BY threshold
+    """,
+)
+def dedup_threshold_sensitivity(spark, sf_dir):
+    """Dedup knob tuning: corpus yield as a function of the Jaccard
+    threshold, on one grid pass — pairs are scored ONCE (the same
+    inverted-index plan as the exact near-dup query), then a tiny
+    broadcast threshold grid classifies them; n_dropped uses the
+    simple higher-doc-loses policy so the curve is deterministic.
+    This is the query a pipeline owner runs before committing a
+    threshold: the cliff between "dedup removes copies" and "dedup
+    eats paraphrases" is visible as the kept-count knee."""
+    sets = shingle_sets(spark, sf_dir)
+    shingles = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sets.select("doc_id", "n")
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    ipairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        ipairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("j"),
+        )
+    )
+    spark_sess = sets.sparkSession
+    grid = spark_sess.createDataFrame(
+        [(t / 100.0,) for t in (25, 35, 45, 55, 65, 75)], "threshold double"
+    )
+    n_docs = load_tables(spark, sf_dir)["documents"].agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        F.broadcast(grid)
+        .join(jac, F.col("j") >= F.col("threshold"), "left")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("threshold")
+        .agg(
+            F.count("doc_a").cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc_b").cast("bigint").alias("n_dropped"),
+            (F.max("n_docs") - F.countDistinct("doc_b"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("threshold")
+    )
