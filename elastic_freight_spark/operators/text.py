@@ -2065,3 +2065,62 @@ def dedup_threshold_sensitivity(spark, sf_dir):
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "langid_confusion_report",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN LENGTH(' ' || lower(text) || ' ')
+                       - LENGTH(REPLACE(' ' || lower(text) || ' ', ' the ', ''))
+                       >= 5 THEN 'en'
+                  WHEN LENGTH(' ' || lower(text) || ' ')
+                       - LENGTH(REPLACE(' ' || lower(text) || ' ', ' a ', ''))
+                       >= 3 THEN 'en'
+                  ELSE 'unknown' END AS predicted
+      FROM documents
+    )
+    SELECT lang, predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang)
+                                 AS DOUBLE), 9) AS frac_of_lang
+    FROM scored
+    GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+)
+def langid_confusion_report(spark, sf_dir):
+    """Self-evaluation of the language-ID heuristic: confusion matrix
+    of predicted vs labeled language with per-label fractions — the
+    audit query that belongs NEXT TO every classifier-shaped operator
+    (same pattern as ``ann_recall_report`` for the ANN family). A
+    (label, predicted) cell drifting round-over-round means the
+    heuristic or the corpus moved; either way you want the number in
+    data, not just a CI threshold. Cells are |langs|² regardless of
+    corpus size; one scan, map-side partials."""
+    t = load_tables(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    en_sig = F.length(padded) - F.length(F.regexp_replace(padded, " the ", ""))
+    a_sig = F.length(padded) - F.length(F.regexp_replace(padded, " a ", ""))
+    scored = t["documents"].select(
+        "lang",
+        F.when(en_sig >= 5, "en")
+        .when(a_sig >= 3, "en")
+        .otherwise("unknown")
+        .alias("predicted"),
+    )
+    from pyspark.sql import Window as W
+
+    counts = scored.groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    return counts.select(
+        "lang",
+        "predicted",
+        F.col("n_raw").cast("bigint").alias("n_docs"),
+        F.round(
+            F.col("n_raw") / F.sum("n_raw").over(W.partitionBy("lang")).cast("double"),
+            9,
+        ).alias("frac_of_lang"),
+    ).orderBy("lang", "predicted")
