@@ -874,3 +874,61 @@ def reshard_index(
     os.rename(tmp, index_path)
     shutil.rmtree(old)
     return manifest
+
+
+def diff_indexes(
+    spark: SparkSession,
+    path_a: str,
+    path_b: str,
+    compare_cols: list[str] | None = None,
+) -> dict:
+    """Doc-level diff of two built indexes (snapshot comparison): ids
+    added in B, removed from B, and — when ``compare_cols`` is given —
+    changed in place. The operational answer to "what did this
+    rebuild actually change", which the reference cannot ask of its
+    opaque Lucene snapshots at all.
+
+    Plan shape: two shard-partitioned scans, one full-outer join on
+    the doc id (both sides hash-partition on the same key), column
+    comparison inside the join row — no collect, counts via one
+    aggregate. Returns counts plus up-to-20 sample ids per class."""
+    man_a = read_manifest(path_a)
+    idc = man_a["doc_id_col"]
+    a = spark.read.parquet(path_a).drop("shard").alias("a")
+    b = spark.read.parquet(path_b).drop("shard").alias("b")
+    joined = a.join(b, F.col(f"a.{idc}") == F.col(f"b.{idc}"), "full")
+    added = F.col(f"a.{idc}").isNull()
+    removed = F.col(f"b.{idc}").isNull()
+    if compare_cols:
+        changed = ~added & ~removed & ~F.struct(
+            *[F.col(f"a.{c}") for c in compare_cols]
+        ).eqNullSafe(F.struct(*[F.col(f"b.{c}") for c in compare_cols]))
+    else:
+        changed = F.lit(False)
+    counts = joined.agg(
+        F.sum(added.cast("long")).alias("n_added"),
+        F.sum(removed.cast("long")).alias("n_removed"),
+        F.sum(changed.cast("long")).alias("n_changed"),
+        F.sum((~added & ~removed & ~changed).cast("long")).alias("n_unchanged"),
+    ).first()
+
+    def _sample(cond, side):
+        return [
+            r[0]
+            for r in joined.filter(cond)
+            .select(F.col(f"{side}.{idc}"))
+            .orderBy(F.col(f"{side}.{idc}"))
+            .limit(20)
+            .collect()
+        ]
+
+    return {
+        "doc_id_col": idc,
+        "n_added": int(counts["n_added"] or 0),
+        "n_removed": int(counts["n_removed"] or 0),
+        "n_changed": int(counts["n_changed"] or 0),
+        "n_unchanged": int(counts["n_unchanged"] or 0),
+        "sample_added": _sample(added, "b"),
+        "sample_removed": _sample(removed, "a"),
+        "sample_changed": _sample(changed, "a") if compare_cols else [],
+    }

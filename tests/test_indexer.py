@@ -714,3 +714,34 @@ def test_reshard_index_roundtrip(spark, events, tmp_path_factory):
     # shard-pruned lookups still work against the new layout
     uid = events.select("user_id").first()["user_id"]
     assert read_shard(spark, man["path"], uid).count() >= 1
+
+
+def test_diff_indexes_added_removed_changed(spark, events, tmp_path_factory):
+    from elastic_freight_spark.indexer import diff_indexes
+
+    out_a = str(tmp_path_factory.mktemp("diff_a"))
+    out_b = str(tmp_path_factory.mktemp("diff_b"))
+    base = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+    man_a = build_index(
+        base.filter(F.col("user_id") % 7 != 0),  # A misses the 7-multiples
+        IndexConfig("d_idx", "user_id", 4, out_a, routing="lcg"),
+    )
+    mutated = base.filter(F.col("user_id") % 5 != 1).withColumn(
+        "n",
+        F.when(F.col("user_id") % 3 == 0, F.col("n") + 1000).otherwise(F.col("n")),
+    )  # B misses the 5k+1 ids, mutates the 3-multiples
+    man_b = build_index(
+        mutated, IndexConfig("d_idx", "user_id", 4, out_b, routing="lcg")
+    )
+
+    d = diff_indexes(spark, man_a["path"], man_b["path"], compare_cols=["n"])
+    ids = {r["user_id"] for r in base.collect()}
+    in_a = {u for u in ids if u % 7 != 0}
+    in_b = {u for u in ids if u % 5 != 1}
+    assert d["n_added"] == len(in_b - in_a)
+    assert d["n_removed"] == len(in_a - in_b)
+    both = in_a & in_b
+    assert d["n_changed"] == len({u for u in both if u % 3 == 0})
+    assert d["n_unchanged"] == len({u for u in both if u % 3 != 0})
+    assert d["sample_added"] == sorted(in_b - in_a)[:20]
