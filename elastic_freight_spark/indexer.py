@@ -844,7 +844,13 @@ def reshard_index(
         output_path=os.path.dirname(index_path.rstrip("/")),
         routing=manifest.get("routing", "spark"),
     )
-    df = spark.read.parquet(index_path)
+    # mergeSchema: upsert deltas (upsert_index) are appended files whose
+    # _version/_op columns only surface under schema merge — a plain read
+    # would silently strip the version stamps and the rewrite would
+    # resurrect tombstones / duplicate superseded rows on the next
+    # read_index_latest. Base rows read back with null _version, which
+    # the merge-on-read resolvers already treat as version 0.
+    df = spark.read.option("mergeSchema", "true").parquet(index_path)
     old_n = manifest["num_shards"]
     resharded = df.withColumn("old_shard", F.col("shard")).withColumn(
         "shard", shard_expr(cfg)
@@ -891,11 +897,25 @@ def diff_indexes(
     Plan shape: two shard-partitioned scans, one full-outer join on
     the doc id (both sides hash-partition on the same key), column
     comparison inside the join row — no collect, counts via one
-    aggregate. Returns counts plus up-to-20 sample ids per class."""
+    aggregate. Returns counts plus up-to-20 sample ids per class.
+
+    Each side is read through ``read_index_latest`` (merge-on-read
+    resolution), not raw parquet: on an index with pending upserts a
+    raw scan yields one row per version — including tombstones — so
+    the full-outer join would multiply rows and inflate every count.
+    For a never-upserted index the resolved view IS the raw view
+    (no _version column → passthrough), so this costs nothing."""
     man_a = read_manifest(path_a)
     idc = man_a["doc_id_col"]
-    a = spark.read.parquet(path_a).drop("shard").alias("a")
-    b = spark.read.parquet(path_b).drop("shard").alias("b")
+
+    def _resolved(path: str) -> DataFrame:
+        d = read_index_latest(spark, path)
+        return d.drop(
+            *[c for c in ("shard", UPSERT_VERSION_COL, UPSERT_OP_COL) if c in d.columns]
+        )
+
+    a = _resolved(path_a).alias("a")
+    b = _resolved(path_b).alias("b")
     joined = a.join(b, F.col(f"a.{idc}") == F.col(f"b.{idc}"), "full")
     added = F.col(f"a.{idc}").isNull()
     removed = F.col(f"b.{idc}").isNull()

@@ -493,7 +493,7 @@ def supplier_pagerank(spark, sf_dir):
     linked when they ship the same part — the substitutability
     network a procurement analysis ranks): build edges from lineitem
     via a part-keyed self-join (bounded per part by suppliers-per-
-    part, not corpus size), then 10 DataFrame-join iterations.
+    part, not corpus size), then 6 DataFrame-join iterations.
     Numpy-pinned in tests (exact power-method twin on the collected
     edge list)."""
     li = load_tables(spark, sf_dir)["lineitem"].select(

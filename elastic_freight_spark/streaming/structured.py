@@ -502,30 +502,42 @@ def stream_admission_gate(
         if os.path.exists(marker):  # replay of a committed batch
             return
         spans = doc_spans(batch_df).persist()
-        try:
+        # Probe for the index explicitly: a missing directory is the
+        # only legitimate "first batch, no state yet" case. A genuine
+        # read failure (corrupt files, permissions, transient FS error)
+        # must propagate — swallowing it would admit the entire batch
+        # unchecked and poison the span index.
+        has_index = os.path.isdir(span_index_path) and any(
+            not name.startswith((".", "_")) for name in os.listdir(span_index_path)
+        )
+        if has_index:
             idx = spark.read.parquet(span_index_path).select(
                 "span_text"
             ).distinct()
             seen = spans.join(
                 idx.withColumn("_seen", F.lit(1)), "span_text", "left"
             ).select("doc_id", F.coalesce("_seen", F.lit(0)).alias("seen"))
-        except Exception:  # first batch: no index yet
+        else:
             seen = spans.select(
                 "doc_id", F.lit(0).alias("seen")
             )
         verdict = seen.groupBy("doc_id").agg(
             (
-                F.sum("seen") / F.count(F.lit(1)).cast("double") < threshold
-            ).alias("accept")
+                F.sum("seen") / F.count(F.lit(1)).cast("double") >= threshold
+            ).alias("reject")
         )
-        accepted = batch_df.join(
-            verdict.filter(F.col("accept")).select("doc_id"), "doc_id", "semi"
-        )
+        rejected = verdict.filter(F.col("reject")).select("doc_id")
+        # Anti-join against REJECTED ids, not semi-join against accepted
+        # ones: a document shorter than one span emits zero span rows,
+        # hence no verdict row at all — it must default to ACCEPT. A
+        # semi-join on accepted ids silently drops such docs from both
+        # the output and the index.
+        accepted = batch_df.join(rejected, "doc_id", "anti")
         accepted.withColumn("_batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(accepted_path)
         spans.join(
-            verdict.filter(F.col("accept")).select("doc_id"), "doc_id", "semi"
+            rejected, "doc_id", "anti"
         ).select("span_text").write.mode("append").parquet(span_index_path)
         spans.unpersist()
         # marker LAST: a crash before this point replays the batch

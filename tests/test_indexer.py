@@ -668,9 +668,18 @@ def test_read_index_asof_time_travel(spark, events, tmp_path_factory):
     assert v2 == latest
     assert set(base_rows) - set(v2) == {u for u in base_rows if u % 5 == 1}
 
-    # the version fence must prune delta rows before the resolve window
+    # the version fence must prune delta rows before the resolve window:
+    # the _version predicate has to reach the parquet scan's pushed
+    # filters (plan strings print top-down, so the scan — and its
+    # PushedFilters — appears after the Window operator).
+    import re
+
     plan = read_index_asof(spark, man["path"], 1)._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters" in plan or "Filter" in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("_version" in p for p in pushed), plan
+    assert "Window" in plan and plan.index("Window") < max(
+        plan.index("PushedFilters: [" + p) for p in pushed if "_version" in p
+    ), plan
 
 
 def test_engine_facade_upsert_and_time_travel(spark, tmp_path_factory):
@@ -745,3 +754,73 @@ def test_diff_indexes_added_removed_changed(spark, events, tmp_path_factory):
     assert d["n_changed"] == len({u for u in both if u % 3 == 0})
     assert d["n_unchanged"] == len({u for u in both if u % 3 != 0})
     assert d["sample_added"] == sorted(in_b - in_a)[:20]
+
+
+def test_reshard_preserves_upsert_log(spark, events, tmp_path_factory):
+    """Regression: reshard_index must read with mergeSchema so pending
+    upsert deltas keep their _version/_op stamps through the reshuffle
+    — a plain read strips them, resurrecting tombstoned docs and
+    duplicating superseded versions on the next merge-on-read."""
+    from elastic_freight_spark.indexer import (
+        read_index_asof,
+        read_index_latest,
+        reshard_index,
+        upsert_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("reshard_up"))
+    base = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    man = build_index(base, IndexConfig("ru_idx", "user_id", 4, out, routing="lcg"))
+
+    upd = base.filter(F.col("user_id") % 3 == 0).withColumn("n", F.col("n") + 1000)
+    upsert_index(upd, man["path"])                                   # v1
+    dele = base.filter(F.col("user_id") % 5 == 1).select("user_id")
+    upsert_index(dele, man["path"], delete=True)                     # v2
+
+    want = {
+        r["user_id"]: r["n"] for r in read_index_latest(spark, man["path"]).collect()
+    }
+    reshard_index(spark, man["path"], 8)
+
+    got = {
+        r["user_id"]: r["n"] for r in read_index_latest(spark, man["path"]).collect()
+    }
+    assert got == want  # tombstones stay dead, updates stay applied, no dups
+    # time travel still resolves through the resharded layout
+    base_rows = {r["user_id"]: r["n"] for r in base.collect()}
+    v1 = {
+        r["user_id"]: r["n"]
+        for r in read_index_asof(spark, man["path"], 1).collect()
+    }
+    assert v1 == {u: n + 1000 if u % 3 == 0 else n for u, n in base_rows.items()}
+
+
+def test_diff_indexes_resolves_pending_upserts(spark, events, tmp_path_factory):
+    """Regression: diff_indexes must diff the RESOLVED views — on an
+    index with pending upserts a raw scan yields one row per version
+    (including tombstones), multiplying join rows and inflating every
+    count."""
+    from elastic_freight_spark.indexer import diff_indexes, upsert_index
+
+    out_a = str(tmp_path_factory.mktemp("diffu_a"))
+    out_b = str(tmp_path_factory.mktemp("diffu_b"))
+    base = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+    man_a = build_index(base, IndexConfig("du_idx", "user_id", 4, out_a, routing="lcg"))
+    man_b = build_index(base, IndexConfig("du_idx", "user_id", 4, out_b, routing="lcg"))
+    # B accrues an upsert log: mutate the 3-multiples (v1), tombstone
+    # the 5k+1 ids (v2) — diff must see the resolved state, once each.
+    upd = base.filter(F.col("user_id") % 3 == 0).withColumn("n", F.col("n") + 1000)
+    upsert_index(upd, man_b["path"])
+    dele = base.filter(F.col("user_id") % 5 == 1).select("user_id")
+    upsert_index(dele, man_b["path"], delete=True)
+
+    d = diff_indexes(spark, man_a["path"], man_b["path"], compare_cols=["n"])
+    ids = {r["user_id"] for r in base.collect()}
+    gone = {u for u in ids if u % 5 == 1}
+    changed = {u for u in ids - gone if u % 3 == 0}
+    assert d["n_added"] == 0
+    assert d["n_removed"] == len(gone)
+    assert d["n_changed"] == len(changed)
+    assert d["n_unchanged"] == len(ids - gone - changed)
+    assert d["sample_removed"] == sorted(gone)[:20]

@@ -583,3 +583,42 @@ def test_stream_drift_alarm_flags_shifted_source(spark, tmp_path_factory):
     normal = [r for s, r in rows.items() if s != "src_drifted"]
     assert normal and all(not r["breached"] for r in normal)
     assert all(rows["src_drifted"]["kl"] > r["kl"] for r in normal)
+
+
+def test_stream_admission_gate_short_doc_default_accept(spark, tmp_path_factory):
+    """Regression: a document shorter than one 10-token span emits no
+    span rows and hence no gate verdict — it must default to ACCEPT
+    (land in the output), not vanish from both accepted and rejected."""
+    from elastic_freight_spark.streaming.structured import stream_admission_gate
+
+    base = tmp_path_factory.mktemp("admission_short")
+    src, span_idx, accepted, ckpt = (
+        str(base / d) for d in ("src", "span_idx", "accepted", "ckpt")
+    )
+    long_text = " ".join(f"tok{i}" for i in range(30))
+    b1 = spark.createDataFrame(
+        [(1, long_text, "srcA")], "doc_id long, text string, source string"
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = stream_admission_gate(
+        spark.readStream.schema(schema).parquet(src),
+        span_idx, accepted, ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    # batch 2: an exact copy (must be rejected) + a 3-token doc (must
+    # be accepted by default — it has no spans to gate on)
+    b2 = spark.createDataFrame(
+        [(2, long_text, "srcB"), (3, "tiny short doc", "srcB")],
+        "doc_id long, text string, source string",
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q = stream_admission_gate(
+        spark.readStream.schema(schema).parquet(src),
+        span_idx, accepted, ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    assert got == {1, 3}  # dup rejected, short doc admitted
