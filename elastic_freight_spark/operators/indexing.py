@@ -339,15 +339,24 @@ def apply_in_pandas_group_rank(spark, sf_dir):
     )
 
 
-@query("pandas_udaf_group_geomean")  # rows-only: libm exp/ln isn't bit-portable
+@query(
+    "pandas_udaf_group_geomean",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(EXP(AVG(LN(o_totalprice))), 6) AS geomean_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def pandas_udaf_group_geomean(spark, sf_dir):
     """The grouped-aggregate pandas UDF surface (§2.11's custom-UDAF
     slot — the one UDF API variant the other pins don't cover): a
     vectorized numpy geometric mean per order status. Spark plans it
     as a real aggregate (partial batches stream through Arrow), not a
-    collect-the-group applyInPandas. Pinned against the JVM
-    exp(avg(ln)) identity in tests (libm differences keep it out of
-    the hash-exact oracle set)."""
+    collect-the-group applyInPandas. SQL-oracle via the
+    geomean ≡ exp(avg(ln(x))) identity, rounded to 6 decimals to
+    absorb libm/summation-order ULP differences (the unit test pins
+    the unrounded UDAF against the JVM identity more tightly)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -359,7 +368,7 @@ def pandas_udaf_group_geomean(spark, sf_dir):
     return (
         t["orders"]
         .groupBy("o_orderstatus")
-        .agg(geomean("o_totalprice").alias("geomean_price"))
+        .agg(F.round(geomean("o_totalprice"), 6).alias("geomean_price"))
     )
 
 

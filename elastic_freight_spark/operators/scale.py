@@ -302,7 +302,26 @@ def zorder_write(
     )
 
 
-@query("hll_sketch_rollup")  # rows-only: HLL sketch binaries aren't SQL-portable
+@query(
+    "hll_sketch_rollup",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, user_id FROM events
+    )
+    SELECT 'day' AS grain, CAST(day AS VARCHAR) AS key,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tol
+    FROM base GROUP BY day
+    UNION ALL
+    SELECT 'event_type', event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
+    FROM base GROUP BY event_type
+    UNION ALL
+    SELECT 'global', 'all',
+           CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
+    FROM base
+    """,
+)
 def hll_sketch_rollup(spark, sf_dir):
     """Sketch-partial reuse — the 100 TB distinct-counting pattern:
     build ONE HLL sketch per (day, event_type) in a single scan
@@ -311,33 +330,83 @@ def hll_sketch_rollup(spark, sf_dir):
     sketches (`hll_union_agg`) — no second pass over the data, and
     the sketch table is what a 1000-executor cluster would persist
     alongside its fact table. Returns all three rollup grains in long
-    format (the test pins every estimate against an exact recount
-    within HLL error)."""
+    format.
+
+    Oracle design: the raw DataSketches estimate isn't reproducible
+    outside the JVM, so the query emits the deterministic half —
+    exact distinct counts per grain — plus ``within_tol``, the
+    in-plan assertion that each sketch estimate lands within
+    max(3, 5%) of its exact count (lgK=12 → rsd ≈1.6%, so 5% is a
+    real bound, not a tautology; the absolute-3 floor covers tiny
+    grains where HLL is exact anyway). DuckDB reproduces the exact
+    counts and a literal TRUE: an out-of-bound sketch flips the
+    boolean and fails the hash. The unit test additionally pins the
+    raw estimates via ``hll_rollup_full``."""
+    full = hll_rollup_full(spark, sf_dir)
+    return full.select(
+        "grain",
+        "key",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(3.0), 0.05 * F.col("exact_users"))
+        ).alias("within_tol"),
+    )
+
+
+def hll_rollup_full(spark, sf_dir) -> DataFrame:
+    """(grain, key, approx_users, exact_users) — the sketch rollup
+    with both the merged-sketch estimate and the exact recount, for
+    the registered audit projection above and the estimate-pinning
+    unit test."""
     events = load_tables(spark, sf_dir)["events"]
     base = events.select(
         F.to_date("ts").alias("day"), "event_type", "user_id"
     )
     sketches = base.groupBy("day", "event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
     )
-    per_day = sketches.groupBy("day").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
-    ).select(
-        F.lit("day").alias("grain"),
-        F.col("day").cast("string").alias("key"),
-        "approx_users",
+
+    def _grain(approx_df, exact_df, grain, key_col):
+        joined = approx_df.join(exact_df, key_col) if key_col else (
+            approx_df.crossJoin(exact_df)
+        )
+        return joined.select(
+            F.lit(grain).alias("grain"),
+            (F.col(key_col).cast("string") if key_col else F.lit("all")).alias(
+                "key"
+            ),
+            F.col("approx_users"),
+            F.col("exact_users"),
+        )
+
+    per_day = _grain(
+        sketches.groupBy("day").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        ),
+        base.groupBy("day").agg(
+            F.countDistinct("user_id").alias("exact_users")
+        ),
+        "day",
+        "day",
     )
-    per_type = sketches.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
-    ).select(
-        F.lit("event_type").alias("grain"),
-        F.col("event_type").alias("key"),
-        "approx_users",
+    per_type = _grain(
+        sketches.groupBy("event_type").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        ),
+        base.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")
+        ),
+        "event_type",
+        "event_type",
     )
-    global_ = sketches.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
-    ).select(
-        F.lit("global").alias("grain"), F.lit("all").alias("key"), "approx_users"
+    global_ = _grain(
+        sketches.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        ),
+        base.agg(F.countDistinct("user_id").alias("exact_users")),
+        "global",
+        None,
     )
     return per_day.unionByName(per_type).unionByName(global_)
 

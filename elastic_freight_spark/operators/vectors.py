@@ -883,34 +883,65 @@ def pq_quantization_error(spark, sf_dir):
     )
 
 
-@query("ann_recall_report")  # rows-only: compares two internal ANN paths
+# Per-method recall floors for the oracle-checked audit. Measured
+# recall_vs_exact5: LSH 0.47 (sf0.001) / 0.60 (sf0.01); IVF and IVF-PQ
+# 0.77 / 0.67. Floors sit well under the measured band so the check
+# catches real index regressions (a broken bucketing collapses recall
+# toward 0), not sampling jitter; the unit tests pin tighter.
+_ANN_RECALL_FLOORS = (
+    ("lsh_cosine", 0.3),
+    ("ivf_cosine", 0.5),
+    ("ivfpq_cosine", 0.5),
+)
+
+
+@query(
+    "ann_recall_report",
+    oracle="""
+    SELECT 'lsh_cosine' AS method, CAST(3 AS INTEGER) AS k,
+           CAST(0.3 AS DOUBLE) AS recall_floor, TRUE AS recall_ok
+    UNION ALL
+    SELECT 'ivf_cosine', CAST(3 AS INTEGER), CAST(0.5 AS DOUBLE), TRUE
+    UNION ALL
+    SELECT 'ivfpq_cosine', CAST(3 AS INTEGER), CAST(0.5 AS DOUBLE), TRUE
+    """,
+)
 def ann_recall_report(spark, sf_dir):
     """Self-auditing recall report: every approximate index family
     (sign-LSH buckets, IVF probe cells, IVF-PQ compressed rerank)
     joined against the brute-force cosine anchor, recall@k computed
     in-plan. This is the query an operator of a 100 TB vector store
-    runs after every index rebuild — the unit tests pin thresholds,
-    this surfaces the actual numbers (one row per method) so recall
-    regressions are visible in data, not just in CI."""
+    runs after every index rebuild.
+
+    Oracle design: the raw recall numbers depend on the internal
+    index layout and aren't reproducible outside this engine, so the
+    query emits the deterministic half — per-method recall FLOORS and
+    the in-plan verdict that measured recall clears them. DuckDB
+    reproduces the floors and a literal TRUE; a recall collapse flips
+    ``recall_ok`` and fails the hash. The unit tests pin the actual
+    recall values more tightly
+    (test_text_vectors.py::test_ann_ivf_recall_vs_bruteforce etc.)."""
     exact = knn_bruteforce_cosine(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
+    impls = {
+        "lsh_cosine": ann_lsh_cosine,
+        "ivf_cosine": ann_ivf_cosine,
+        "ivfpq_cosine": ann_ivfpq_cosine,
+    }
     reports = []
-    for method, fn in (
-        ("lsh_cosine", ann_lsh_cosine),
-        ("ivf_cosine", ann_ivf_cosine),
-        ("ivfpq_cosine", ann_ivfpq_cosine),
-    ):
-        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+    for method, floor in _ANN_RECALL_FLOORS:
+        approx = impls[method](spark, sf_dir).select("query_id", "neighbor_id")
         k = 3  # every ANN query returns top-3; anchor holds top-5
         hits = approx.join(exact, ["query_id", "neighbor_id"], "semi")
         reports.append(
             hits.agg(
                 F.lit(method).alias("method"),
                 F.lit(k).cast("int").alias("k"),
-                F.countDistinct("query_id").cast("bigint").alias("n_queries"),
-                F.count(F.lit(1)).cast("bigint").alias("n_hits"),
-                (F.count(F.lit(1)) / F.lit(30.0)).alias("recall_vs_exact5"),
+                F.lit(float(floor)).alias("recall_floor"),
+                ((F.count(F.lit(1)) / F.lit(30.0)) >= F.lit(float(floor))).alias(
+                    "recall_ok"
+                ),
             )
         )
     out = reports[0]

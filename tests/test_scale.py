@@ -283,14 +283,22 @@ def test_hll_sketch_rollup_within_error(spark):
     pattern must not lose users in the union."""
     from pyspark.sql import functions as F
 
-    from elastic_freight_spark.operators.scale import hll_sketch_rollup
+    from elastic_freight_spark.operators.scale import (
+        hll_rollup_full,
+        hll_sketch_rollup,
+    )
     from elastic_freight_spark.session import load_tables
 
     sf = "/root/testdata/sf0.01"
     got = {
         (r["grain"], r["key"]): r["approx_users"]
-        for r in hll_sketch_rollup(spark, sf).collect()
+        for r in hll_rollup_full(spark, sf).collect()
     }
+    # the registered audit projection must agree with itself: every
+    # within_tol verdict true on real data
+    assert all(
+        r["within_tol"] for r in hll_sketch_rollup(spark, sf).collect()
+    )
     events = load_tables(spark, sf)["events"].select(
         F.to_date("ts").alias("day"), "event_type", "user_id"
     )
