@@ -79,7 +79,7 @@ def main() -> None:
         "dedup_incremental_gate",
         "t_mad_outliers",
         "sample_quality_weighted",
-        "neardup_ngram_jaccard_capped",
+        "neardup_ngram_jaccard_uncapped_audit",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

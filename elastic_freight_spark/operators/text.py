@@ -323,9 +323,125 @@ def shingle_sets(spark, sf_dir):
     return sets
 
 
-@query(
-    "neardup_ngram_jaccard",
-    oracle=f"""
+NGRAM_DF_CAP = 50  # default df cap: shingles in more docs propose no pairs
+
+
+def exact_jaccard_pairs(
+    spark,
+    sf_dir,
+    df_cap: int | None = NGRAM_DF_CAP,
+    threshold: float = 0.35,
+):
+    """(doc_a, doc_b, jaccard) — exact 3-gram Jaccard near-dup pairs
+    through an inverted shingle index.
+
+    Candidate generation is DF-CAPPED by default: shingles appearing
+    in more than ``df_cap`` documents propose no pairs (they are
+    non-discriminative — the stop-shingle analogue of stop-word
+    removal), which bounds per-shingle join work at df·cap instead of
+    df². Once a pair is proposed by any rare shingle its Jaccard is
+    computed over ALL shingles via an array_intersect rerank on the
+    cached shingle sets, so reported scores are always exact.
+
+    ``df_cap=None`` re-enables the uncapped Σ df² pair generator —
+    measured at 78× cost growth for 10× docs (PERF.md), it is an
+    OPT-IN micro-audit for small corpora, never the default: at
+    corpus scale use the default cap or the LSH candidate path
+    (``dedup_corpus_lsh``)."""
+    sets = shingle_sets(spark, sf_dir)
+    shingles = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    gen = shingles
+    if df_cap is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= int(df_cap))
+            .select("shingle")
+        )
+        gen = shingles.join(rare, "shingle")
+    a = gen.alias("a")
+    b = shingles.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact rerank over the cached shingle-SET arrays: two id joins
+    # bring each pair's (already-distinct) sets side by side, then
+    # array_intersect scores the pair map-side — per-pair cost
+    # O(|set|), no shingle-level join row explosion (the exploded
+    # version re-joined |cand|×|shingles/doc| rows and measured 12 s
+    # at sf0.1 where this one is ~2 s, same result set).
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        )
+    )
+    return (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= float(threshold))
+    )
+
+
+_PAIRS_CAPPED_ORACLE = f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    rare AS (
+      SELECT shingle FROM shingles GROUP BY shingle
+      HAVING COUNT(*) <= {NGRAM_DF_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_rare
+      FROM shingles a
+      JOIN rare USING (shingle)
+      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT p.doc_a, p.doc_b,
+             (SELECT COUNT(*) FROM shingles x JOIN shingles y
+               ON x.shingle = y.shingle
+              WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b) AS inter
+      FROM pairs p
+    )
+    SELECT doc_a, doc_b,
+           inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+    FROM exact
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.35
+"""
+
+_PAIRS_UNCAPPED_ORACLE = f"""
     WITH shingles AS ({_SHINGLE_SQL}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     pairs AS (
@@ -340,42 +456,36 @@ def shingle_sets(spark, sf_dir):
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.35
-    """,
-)
-def neardup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.35) through
-    an inverted shingle index: explode shingles → self-join on the
-    shingle → pair intersection counts → Jaccard from set sizes.
-    Cost is driven by shingle-bucket collisions, not n² — the same
-    plan LSH approximates when even this is too wide."""
-    sets = shingle_sets(spark, sf_dir)
-    # 3-gram shingles from the per-session cached sets (already distinct)
-    shingles = sets.select("doc_id", F.explode("sh").alias("shingle"))
-    sizes = sets.select("doc_id", "n")
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-             ).alias("jaccard"),
-        )
-    )
-    return jac.filter(F.col("jaccard") >= 0.35)
+"""
+
+
+@query("neardup_ngram_jaccard", oracle=_PAIRS_CAPPED_ORACLE)
+def neardup_ngram_jaccard(spark, sf_dir, df_cap: int | None = NGRAM_DF_CAP):
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.35) — the
+    DEFAULT plan is df-capped candidate generation + exact rerank
+    (see ``exact_jaccard_pairs``): scores are exact, cost is bounded
+    at df·cap per shingle, measured 15.8× cheaper than the uncapped
+    generator at 10× corpus size with identical results. Pass
+    ``df_cap=None`` explicitly for the uncapped Σ df² micro-audit
+    (registered separately as ``neardup_ngram_jaccard_uncapped_audit``).
+
+    Semantics note (documented, deliberate): a pair sharing ONLY
+    ultra-common shingles is not proposed. Such pairs have large
+    unions of common vocabulary and (in every measured corpus here)
+    sit far below the 0.35 threshold; parity with the uncapped path
+    is pinned by test_capped_jaccard_parity."""
+    return exact_jaccard_pairs(spark, sf_dir, df_cap=df_cap)
+
+
+@query("neardup_ngram_jaccard_uncapped_audit", oracle=_PAIRS_UNCAPPED_ORACLE)
+def neardup_ngram_jaccard_uncapped_audit(spark, sf_dir):
+    """The uncapped Σ df² exact pair generator — OPT-IN micro-audit
+    of the capped default and the LSH candidate path on small
+    corpora. By construction its cost grows with the sum of squared
+    shingle document frequencies (measured 78× for 10× docs,
+    PERF.md); it exists to certify the scale paths' results, not to
+    run at scale."""
+    return exact_jaccard_pairs(spark, sf_dir, df_cap=None)
 
 
 # ---------------------------------------------------------------------------
@@ -1642,121 +1752,6 @@ def text_entropy_score(spark, sf_dir):
             F.col("total").cast("bigint").alias("n_tokens"),
             "entropy",
         )
-    )
-
-
-NGRAM_DF_CAP = 50  # shingles in more docs than this generate no candidates
-
-
-@query(
-    "neardup_ngram_jaccard_capped",
-    oracle=f"""
-    WITH shingles AS ({_SHINGLE_SQL}),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-    rare AS (
-      SELECT shingle FROM shingles GROUP BY shingle
-      HAVING COUNT(*) <= {50}
-    ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_rare
-      FROM shingles a
-      JOIN rare USING (shingle)
-      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    exact AS (
-      SELECT p.doc_a, p.doc_b,
-             (SELECT COUNT(*) FROM shingles x JOIN shingles y
-               ON x.shingle = y.shingle
-              WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b) AS inter
-      FROM pairs p
-    )
-    SELECT doc_a, doc_b,
-           inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
-    FROM exact
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.35
-    """,
-)
-def neardup_ngram_jaccard_capped(spark, sf_dir):
-    """Exact-Jaccard near-dup with a document-frequency cap on
-    CANDIDATE GENERATION: shingles appearing in more than
-    ``NGRAM_DF_CAP`` documents propose no pairs (they are
-    non-discriminative — the stop-shingle analogue of stop-word
-    removal), but once a pair is proposed by any rare shingle its
-    Jaccard is computed over ALL shingles, so reported scores are
-    exact. The 10× replication experiment (PERF.md) measured the
-    uncapped pair generator at Σ df² ≈ 78× growth for 10× docs; the
-    cap bounds per-shingle work at df·cap, which is what makes an
-    exact-verify tier affordable between LSH candidates and final
-    scores at 100 TB.
-
-    Semantics note (documented, deliberate): a pair sharing ONLY
-    ultra-common shingles is not proposed. Such pairs have large
-    unions of common vocabulary and (in every measured corpus here)
-    sit far below the 0.35 threshold; exact full-corpus parity is
-    pinned by the test comparing against the uncapped path."""
-    sets = shingle_sets(spark, sf_dir)
-    shingles = sets.select("doc_id", F.explode("sh").alias("shingle"))
-    sizes = sets.select("doc_id", "n")
-    rare = (
-        shingles.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= NGRAM_DF_CAP)
-        .select("shingle")
-    )
-    rare_shingles = shingles.join(rare, "shingle")
-    a = rare_shingles.alias("a")
-    b = shingles.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    # exact rerank over the cached shingle-SET arrays: two id joins
-    # bring each pair's (already-distinct) sets side by side, then
-    # array_intersect scores the pair map-side — per-pair cost
-    # O(|set|), no shingle-level join row explosion (the exploded
-    # version re-joined |cand|×|shingles/doc| rows and measured 12 s
-    # at sf0.1 where this one is ~2 s, same result set).
-    sa = sets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-        F.col("n").alias("na"),
-    )
-    sb = sets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-        F.col("n").alias("nb"),
-    )
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "na",
-            "nb",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
-        )
-    )
-    return (
-        inter.select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.35)
     )
 
 

@@ -386,11 +386,11 @@ def test_capped_jaccard_matches_uncapped(spark, q):
     none of which clear the 0.35 threshold here)."""
     got = {
         (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
-        for r in q["neardup_ngram_jaccard_capped"](spark, SF_DIR_ORACLE).collect()
+        for r in q["neardup_ngram_jaccard"](spark, SF_DIR_ORACLE).collect()
     }
     want = {
         (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
-        for r in q["neardup_ngram_jaccard"](spark, SF_DIR_ORACLE).collect()
+        for r in q["neardup_ngram_jaccard_uncapped_audit"](spark, SF_DIR_ORACLE).collect()
     }
     assert got == want
 
