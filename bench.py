@@ -28,7 +28,13 @@ def main() -> None:
 
     from elastic_freight_spark.session import get_spark, load_tables
 
-    spark = get_spark(app_name="efs_bench")
+    # console-progress bars interleave with stdout and tail-truncated
+    # the round-3 JSON line (BENCH_r03 recorded "parsed": null) — keep
+    # the bench session's stdout strictly ours
+    spark = get_spark(
+        app_name="efs_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     import __spark_entry__ as entry_mod
 
@@ -151,7 +157,21 @@ def main() -> None:
     if prev_ratio:
         out["prev"] = prev_name
         out["prev_ratio"] = prev_ratio
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # in-repo copy first: even if the driver's stdout capture garbles
+    # the console, the structured record survives
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    # stop the session BEFORE printing so no executor/JVM output can
+    # land after (or interleave with) the JSON line; then emit it as
+    # the very last thing on stdout
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 def _prev_bench(repo_dir: str):
