@@ -195,6 +195,19 @@ def _prev_bench(repo_dir: str):
             data = data["parsed"]
         if isinstance(data.get("queries"), dict):
             return os.path.basename(last), data
+        # salvage: BENCH_r03's JSON line was tail-truncated by console
+        # noise, leaving the timings inside a raw "tail" string —
+        # recover the name→seconds pairs up to the closing of the
+        # queries dict (everything before `}, "sf"`)
+        tail = data.get("tail")
+        if isinstance(tail, str) and '"queries"' not in tail:
+            qpart = tail.split('}, "sf"')[0]
+            pairs = dict(
+                (m.group(1), float(m.group(2)))
+                for m in re.finditer(r'"(\w+)": ([0-9.]+)', qpart)
+            )
+            if len(pairs) >= 10:
+                return os.path.basename(last) + " (salvaged)", {"queries": pairs}
     return None, None
 
 

@@ -824,3 +824,64 @@ def test_diff_indexes_resolves_pending_upserts(spark, events, tmp_path_factory):
     assert d["n_changed"] == len(changed)
     assert d["n_unchanged"] == len(ids - gone - changed)
     assert d["sample_removed"] == sorted(gone)[:20]
+
+
+def test_engine_blue_green_publish_cycle(spark, events, tmp_path_factory):
+    """Drive EFSEngine through a full operational cycle: build →
+    publish v1 → serve → upsert the live index → rebuild (blue/green)
+    → publish v2 → serve flips atomically to the new build with zero
+    read errors, and the old build stays readable for rollback."""
+    from elastic_freight_spark.engine import EFSEngine
+
+    eng = EFSEngine(spark=spark)
+    base_dir = str(tmp_path_factory.mktemp("bluegreen"))
+    base = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+    # --- blue: initial build + publish -----------------------------------
+    man_v1 = eng.index(
+        base,
+        index_name="bg_v1",
+        doc_id_col="user_id",
+        num_shards=4,
+        output_path=base_dir,
+        routing="lcg",
+    )
+    eng.publish(base_dir, "live", man_v1["path"])
+    served = eng.serve(base_dir, "live")
+    n_total = base.count()
+    assert served.count() == n_total
+
+    # --- mutate the live index via the upsert log ------------------------
+    upd = base.filter(F.col("user_id") % 3 == 0).withColumn("n", F.col("n") + 1000)
+    eng.upsert(upd, man_v1["path"])
+    live_resolved = eng.restore_latest(man_v1["path"])
+    assert live_resolved.filter(F.col("n") > 1000).count() == upd.count()
+
+    # --- green: rebuild from the resolved view, validate, publish --------
+    man_v2 = eng.index(
+        live_resolved.select("user_id", "n"),
+        index_name="bg_v2",
+        doc_id_col="user_id",
+        num_shards=4,
+        output_path=base_dir,
+        routing="lcg",
+    )
+    # validate the candidate BEFORE the flip (the blue/green contract)
+    assert eng.restore(man_v2["path"]).count() == n_total
+    eng.publish(base_dir, "live", man_v2["path"])
+
+    flipped = eng.serve(base_dir, "live")
+    assert flipped.count() == n_total
+    # v2 is compacted: merge-on-read columns are gone, updates applied
+    assert "_version" not in flipped.columns
+    want = {
+        r["user_id"]: r["n"] + 1000 if r["user_id"] % 3 == 0 else r["n"]
+        for r in base.collect()
+    }
+    got = {r["user_id"]: r["n"] for r in flipped.collect()}
+    assert got == want
+    # rollback path: the old build is still readable under its own path
+    assert eng.restore_latest(man_v1["path"]).count() == n_total
+    # and re-publishing v1 flips back
+    eng.publish(base_dir, "live", man_v1["path"])
+    assert eng.serve(base_dir, "live").count() >= n_total
