@@ -506,3 +506,126 @@ def sample_quality_weighted(spark, sf_dir):
             .alias("n_kept"),
         )
     )
+
+
+@query(
+    "dataset_split_assignment",
+    oracle="""
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN md5(concat('split:', CAST(doc_id AS VARCHAR))) < 'e'
+                  THEN 'train'
+                  WHEN md5(concat('split:', CAST(doc_id AS VARCHAR))) < 'f'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def dataset_split_assignment(spark, sf_dir):
+    """Deterministic train/val/test split (87.5 / 6.25 / 6.25 via
+    md5 hex-prefix ranges — same portable-hash discipline as
+    ``sample_det_hash_fraction``): a document's split is a pure
+    function of its id, so the assignment is stable under
+    repartitioning, reruns, engine swaps, and corpus growth — no
+    document ever migrates between train and eval when new data
+    lands, which is the property that keeps eval sets uncontaminated
+    across dataset versions. Returns the per-source split panel; the
+    split itself is the same CASE without the aggregate. One hash
+    per row, one uniform-key aggregate — flat at any scale."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    split = (
+        F.when(h < "e", "train").when(h < "f", "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "source_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, n_chars,
+             CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    lang_counts AS (
+      SELECT source, lang, COUNT(*) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY COUNT(*) DESC, lang
+             ) AS rn
+      FROM base GROUP BY source, lang
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+           ROUND(AVG(n_tokens), 6) AS avg_tokens,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 6)
+             AS median_chars,
+           CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs,
+           MIN(lc.lang) AS top_lang
+    FROM base b
+    JOIN lang_counts lc ON lc.source = b.source AND lc.rn = 1
+    GROUP BY b.source
+    ORDER BY b.source
+    """,
+)
+def source_dataset_card(spark, sf_dir):
+    """Per-source "dataset card" panel — the one-screen summary a
+    training-data release ships per subset (docs, token mass, length
+    profile, language makeup, dominant language). One scan builds
+    the per-doc base; a source×lang aggregate (tiny) finds the
+    dominant language via deterministic rank (count desc, lang asc);
+    the final source-grain aggregate joins it back. All shuffles are
+    source- or source×lang-sized."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    from pyspark.sql import Window as W
+
+    lang_counts = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+            ),
+        )
+    )
+    top_lang = lang_counts.filter(F.col("rn") == 1).select(
+        "source", F.col("lang").alias("top_lang")
+    )
+    card = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return (
+        card.join(F.broadcast(top_lang), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens_total",
+            "avg_tokens",
+            "median_chars",
+            "n_langs",
+            "top_lang",
+        )
+        .orderBy("source")
+    )

@@ -582,3 +582,69 @@ def supplier_pagerank(spark, sf_dir):
         .orderBy(F.col("rank").desc(), "supplier")
         .limit(25)
     )
+
+
+@query(
+    "incremental_rollup_merge",
+    oracle=f"""
+    WITH split AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             l_extendedprice * (1 - l_discount) AS rev,
+             CASE WHEN CAST(l_shipdate AS DATE) >=
+                       (SELECT MAX(CAST(l_shipdate AS DATE)) - 30 FROM lineitem)
+                  THEN 'delta' ELSE 'base' END AS part
+      FROM lineitem
+    ),
+    partials AS (
+      SELECT part, day,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             SUM(CAST(rev AS DECIMAL(18,4))) AS rev_partial
+      FROM split GROUP BY part, day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(SUM(n_items) AS BIGINT) AS n_items,
+           CAST(SUM(rev_partial) AS DOUBLE) AS revenue
+    FROM partials
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def incremental_rollup_merge(spark, sf_dir):
+    """Incremental materialized-rollup maintenance: the day-grain
+    revenue rollup is computed as BASE partials (history, in
+    production read back from the stored rollup — never rescanned)
+    merged with DELTA partials (the newly-landed last 30 days), and
+    the merge re-aggregates PARTIAL rows, not raw facts. This is the
+    pattern that keeps a 100 TB fact table's rollup current by
+    scanning only the new partition: commutative partials (counts +
+    DECIMAL sums — order- and split-independent) make
+    merge(base, delta) ≡ full recompute, which is exactly what the
+    oracle asserts by computing the same answer through the split.
+    Two day-keyed aggregates; the second runs over day-grain rows
+    only."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    day = F.to_date("l_shipdate").alias("day")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    fence = li.agg(
+        F.date_sub(F.max(F.to_date("l_shipdate")), 30).alias("cutoff")
+    )
+    facts = li.select(day, rev.alias("rev")).crossJoin(F.broadcast(fence))
+
+    def partials(df):
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("rev").cast("decimal(18,4)")).alias("rev_partial"),
+        )
+
+    base = partials(facts.filter(F.col("day") < F.col("cutoff")))
+    delta = partials(facts.filter(F.col("day") >= F.col("cutoff")))
+    merged = base.unionByName(delta)
+    return (
+        merged.groupBy("day")
+        .agg(
+            F.sum("n_items").cast("bigint").alias("n_items"),
+            F.sum("rev_partial").cast("double").alias("revenue"),
+        )
+        .select(F.col("day").cast("string").alias("day"), "n_items", "revenue")
+        .orderBy("day")
+    )

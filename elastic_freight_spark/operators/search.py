@@ -431,3 +431,114 @@ def search_keywords_per_doc(spark, sf_dir):
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@query(
+    "search_snippet_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(strpos(lower(text), 'merge') AS INTEGER) AS match_pos,
+           substring(text, GREATEST(1, strpos(lower(text), 'merge') - 30), 80)
+             AS snippet
+    FROM documents
+    WHERE strpos(lower(text), 'merge') > 0
+    ORDER BY doc_id
+    """,
+)
+def search_snippet_extract(spark, sf_dir):
+    """Hit highlighting: for every document matching the term
+    'merge', the first match position and an 80-char context window
+    around it — the result-page snippet ES renders from stored
+    fields. Pure per-row JVM string expressions (locate + substring)
+    after a pushable LIKE-shaped filter: no shuffle at all except the
+    output sort; at 100 TB this is a map-only pass over matching
+    docs."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pos = F.locate("merge", F.lower("text"))
+    return (
+        docs.filter(pos > 0)
+        .select(
+            "doc_id",
+            pos.cast("int").alias("match_pos"),
+            F.substring(
+                "text", F.greatest(F.lit(1), pos - 30), F.lit(80)
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "search_query_expansion",
+    oracle="""
+    WITH doc_tokens AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    seed_docs AS (SELECT doc_id FROM doc_tokens WHERE token = 'data'),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs
+          FROM doc_tokens),
+    df AS (SELECT token, COUNT(*) AS df FROM doc_tokens
+           WHERE token <> '' GROUP BY token),
+    co AS (
+      SELECT t.token, COUNT(*) AS co_df
+      FROM doc_tokens t JOIN seed_docs s ON t.doc_id = s.doc_id
+      WHERE t.token <> '' AND t.token <> 'data'
+      GROUP BY t.token
+    )
+    SELECT co.token,
+           CAST(co.co_df AS BIGINT) AS co_df,
+           CAST(df.df AS BIGINT) AS df,
+           ROUND(ln(co.co_df * n.n_docs
+                    / (CAST(df.df AS DOUBLE)
+                       * (SELECT COUNT(*) FROM seed_docs))), 9) AS pmi
+    FROM co JOIN df ON df.token = co.token CROSS JOIN n
+    WHERE co.co_df >= 5
+    ORDER BY pmi DESC, co.token
+    LIMIT 15
+    """,
+)
+def search_query_expansion(spark, sf_dir):
+    """Co-occurrence query expansion for the seed term 'data': terms
+    whose documents overlap the seed's documents far above chance
+    (document-level PMI), the classic pseudo-relevance-feedback
+    expansion list. Reads the per-session postings cache (zero corpus
+    re-scan): seed doc set → semi-ish join to co-occurring tokens →
+    PMI against document frequencies, with the global doc count and
+    seed df riding the plan as 1-row crossJoins. Top-15 lands in
+    TakeOrderedAndProject."""
+    postings, _ = indexed_postings(spark, sf_dir)
+    doc_tokens = postings.select("doc_id", "token")
+    seed_docs = doc_tokens.filter(F.col("token") == "data").select("doc_id")
+    n_docs = doc_tokens.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    n_seed = seed_docs.agg(F.count(F.lit(1)).alias("n_seed"))
+    df = doc_tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    co = (
+        doc_tokens.join(seed_docs, "doc_id")
+        .filter(F.col("token") != "data")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("co_df"))
+        .filter(F.col("co_df") >= 5)
+    )
+    return (
+        co.join(df, "token")
+        .crossJoin(n_docs)
+        .crossJoin(n_seed)
+        .select(
+            "token",
+            F.col("co_df").cast("bigint").alias("co_df"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(
+                F.log(
+                    F.col("co_df")
+                    * F.col("n_docs")
+                    / (F.col("df").cast("double") * F.col("n_seed"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "token")
+        .limit(15)
+    )

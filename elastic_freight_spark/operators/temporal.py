@@ -936,3 +936,57 @@ def events_changepoint_cusum(spark, sf_dir):
         F.round("mu", 6).alias("series_mean"),
         F.col("total").cast("bigint").alias("n_hours"),
     )
+
+
+@query(
+    "orders_interarrival_median",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_days), 6)
+             AS median_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    HAVING COUNT(gap_days) >= 5
+    ORDER BY o_custkey
+    """,
+)
+def orders_interarrival_median(spark, sf_dir):
+    """Customer order-interarrival profile: per customer, the median
+    and max days between consecutive orders (the inputs to a
+    churn-risk / reorder-cadence model), customers with ≥5 gaps.
+    One window shuffle on the customer key (lag over orderdate with
+    orderkey tie-break so re-ordered input can't flip equal-date
+    gaps), one aggregate on the same key — the second shuffle
+    collapses under AQE since partitioning is unchanged."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias(
+                "median_gap_days"
+            ),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+        .orderBy("o_custkey")
+    )

@@ -776,3 +776,99 @@ def q20_dominant_part_suppliers(spark, sf_dir):
         .join(qualifying, F.col("s_suppkey") == F.col("sp_supp"), "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+@query(
+    "part_market_basket",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    part_supp AS (
+      SELECT l_partkey, COUNT(*) AS n_orders_with FROM items GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS co_count
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(co_count AS BIGINT) AS co_count,
+           ROUND(co_count * n.n
+                 / (CAST(pa.n_orders_with AS DOUBLE) * pb.n_orders_with),
+                 9) AS lift
+    FROM pairs
+    JOIN part_supp pa ON pa.l_partkey = part_a
+    JOIN part_supp pb ON pb.l_partkey = part_b
+    CROSS JOIN n_orders n
+    WHERE co_count >= 2
+    ORDER BY co_count DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def part_market_basket(spark, sf_dir):
+    """Market-basket pair mining over order contents: which part
+    pairs co-occur in the same order more than chance (lift =
+    P(a,b) / P(a)P(b))? Top-20 by co-occurrence count.
+
+    Scale shape: pair generation is the same bucket-expand plan as
+    the capped exact-Jaccard candidate stage — collect the DISTINCT
+    part set per order (bounded by items-per-order, single digits in
+    this schema) and expand i<j pairs with a JVM higher-order
+    expression. ONE shuffle on the order key, pair volume bounded at
+    Σ items² per order — never Σ df² over parts, which is what a
+    part-keyed self-join would cost when a popular part appears in
+    millions of orders. Per-part totals join back as a broadcast
+    (part-grain is dimension-sized); the global order count rides
+    the plan as a 1-row crossJoin. Top-20 lands in
+    TakeOrderedAndProject."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        items.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .select(F.array_sort("parts").alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "  transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "            y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count(F.lit(1)).alias("co_count"))
+        .filter(F.col("co_count") >= 2)
+    )
+    part_supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_orders_with")
+    )
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    pa = part_supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders_with").alias("na")
+    )
+    pb = part_supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders_with").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(n_orders)
+        .select(
+            "part_a",
+            "part_b",
+            F.col("co_count").cast("bigint").alias("co_count"),
+            F.round(
+                F.col("co_count") * F.col("n")
+                / (F.col("na").cast("double") * F.col("nb")),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("co_count").desc(), "part_a", "part_b")
+        .limit(20)
+    )

@@ -1080,3 +1080,65 @@ def embedding_top_component(spark, sf_dir):
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "vector_norm_outliers",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(x * x AS DECIMAL(24,12))) AS DOUBLE))
+               AS l2_norm
+      FROM (
+        SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+      )
+      GROUP BY vec_id
+    ),
+    stats AS (
+      SELECT AVG(l2_norm) AS mu, STDDEV_SAMP(l2_norm) AS sigma FROM norms
+    )
+    SELECT vec_id,
+           ROUND(l2_norm, 6) AS l2_norm,
+           ROUND((l2_norm - mu) / sigma, 4) AS z
+    FROM norms CROSS JOIN stats
+    WHERE ABS((l2_norm - mu) / sigma) > 2
+    ORDER BY vec_id
+    """,
+)
+def vector_norm_outliers(spark, sf_dir):
+    """Embedding-norm outlier report — the vector-QA pass a store
+    runs before indexing (norm outliers are typically failed
+    encodes, truncated inputs, or un-normalized batches; they poison
+    cosine buckets and PQ codebooks). Per-vector L2 norms via a
+    posexplode + DECIMAL-exact sum of squares (order-independent →
+    engine-portable), corpus mean/σ as a 1-row crossJoin riding the
+    plan, |z| > 2 rows reported. One dimension-explode shuffle, one
+    scalar aggregate — no driver pulls."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    sq = e.select(
+        "vec_id",
+        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))"))
+        .alias("dim", "x"),
+    )
+    norms = sq.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum((F.col("x") * F.col("x")).cast("decimal(24,12)")).cast(
+                "double"
+            )
+        ).alias("l2_norm")
+    )
+    stats = norms.agg(
+        F.avg("l2_norm").alias("mu"), F.stddev_samp("l2_norm").alias("sigma")
+    )
+    z = (F.col("l2_norm") - F.col("mu")) / F.col("sigma")
+    return (
+        norms.crossJoin(stats)
+        .filter(F.abs(z) > 2)
+        .select(
+            "vec_id",
+            F.round("l2_norm", 6).alias("l2_norm"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("vec_id")
+    )

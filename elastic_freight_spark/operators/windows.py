@@ -499,3 +499,57 @@ def w_running_revenue_skewed(spark, sf_dir):
         bucket_on=F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")),
         n_buckets=8,
     ).select("o_custkey", "o_orderkey", "running_total", "order_seq")
+
+
+@query(
+    "w_sliding_distinct_users",
+    oracle="""
+    WITH day_users AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    contrib AS (
+      SELECT day + CAST(i AS INTEGER) AS target_day, user_id
+      FROM day_users, UNNEST(range(0, 7)) AS r(i)
+    ),
+    days AS (SELECT DISTINCT day FROM day_users)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS users_7d
+    FROM days d JOIN contrib c ON c.target_day = d.day
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+)
+def w_sliding_distinct_users(spark, sf_dir):
+    """Trailing-7-day distinct users per day — the DAU/WAU-style
+    rolling metric SQL windows cannot express (COUNT(DISTINCT) OVER a
+    RANGE frame is unsupported in both engines, and collecting raw
+    events per frame would be quadratic).
+
+    Scale plan: collapse events to the (day, user) grain FIRST (one
+    distinct shuffle — the only pass over raw events), then each
+    (day, user) row CONTRIBUTES itself to the 7 target days it can
+    serve via a JVM sequence-explode (7× a day-grain frame, not 7×
+    the event stream), and a final distinct-count per target day.
+    Restricting targets to observed days keeps the output grid
+    data-defined. At 100 TB the day-grain frame is ~|users|×|days|,
+    orders of magnitude under the event count — the explode factor
+    rides on the REDUCED frame, which is what makes this shape
+    affordable where a range self-join on raw events is not."""
+    events = load_tables(spark, sf_dir)["events"]
+    day_users = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = day_users.select(
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> date_add(day, i))")
+        ).alias("target_day"),
+        "user_id",
+    )
+    days = day_users.select("day").distinct()
+    return (
+        days.join(contrib, days["day"] == contrib["target_day"])
+        .groupBy(days["day"])
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.col("day").cast("string").alias("day"), "users_7d")
+        .orderBy("day")
+    )

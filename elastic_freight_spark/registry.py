@@ -79,6 +79,17 @@ _PRIORITY = (
     "hll_sketch_rollup",
     "ann_recall_report",
     # -- new round-4 queries (appended as they land) -----------------
+    "supplier_triangle_count",
+    "graph_degree_histogram",
+    "dataset_split_assignment",
+    "source_dataset_card",
+    "part_market_basket",
+    "orders_interarrival_median",
+    "w_sliding_distinct_users",
+    "vector_norm_outliers",
+    "search_snippet_extract",
+    "search_query_expansion",
+    "incremental_rollup_merge",
 )
 
 
@@ -101,6 +112,7 @@ def load_all() -> None:
         indexing,
         sampling,
         multimodal,
+        graph,
     )
 
     ordered = [n for n in _PRIORITY if n in QUERIES]

@@ -1,0 +1,185 @@
+"""Round-4 tier: graph metrics, curation, basket mining, sliding
+distinct, vector QA, incremental rollup — semantic pins beyond the
+DuckDB oracles (brute-force twins on collected small-SF data, plan
+assertions for the scale claims)."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from elastic_freight_spark import registry
+from elastic_freight_spark.session import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    registry.load_all()
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from elastic_freight_spark.operators.graph import cosupply_edges
+
+    edges = {
+        (r["u"], r["v"]) for r in cosupply_edges(spark, SF_DIR).collect()
+    }
+    nodes = sorted({x for e in edges for x in e})
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    row = registry.QUERIES["supplier_triangle_count"](spark, SF_DIR).first()
+    assert row["n_triangles"] == tri
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(nodes)
+
+
+def test_degree_histogram_mass_conservation(spark):
+    """Σ degree·count = 2·|edges| (handshake lemma) — the histogram
+    must account for every edge endpoint exactly once."""
+    from elastic_freight_spark.operators.graph import cosupply_edges
+
+    hist = registry.QUERIES["graph_degree_histogram"](spark, SF_DIR).collect()
+    n_edges = cosupply_edges(spark, SF_DIR).count()
+    assert sum(r["degree"] * r["n_suppliers"] for r in hist) == 2 * n_edges
+
+
+def test_split_assignment_stable_under_corpus_subset(spark):
+    """A document's split must be a pure function of its id: the
+    assignment computed on a half-corpus equals the full-corpus
+    assignment for every shared doc (no migration when data lands)."""
+    docs = load_tables(spark, SF_DIR)["documents"]
+    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    split = F.when(h < "e", "train").when(h < "f", "val").otherwise("test")
+    full = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", split.alias("s")).collect()
+    }
+    half = {
+        r["doc_id"]: r["s"]
+        for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert half and all(full[k] == v for k, v in half.items())
+    # and the registered panel's split fractions are in the right band
+    panel = registry.QUERIES["dataset_split_assignment"](spark, SF_DIR).collect()
+    by_split = {}
+    for r in panel:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    total = sum(by_split.values())
+    assert 0.8 < by_split["train"] / total < 0.95
+    assert 0.02 < by_split["val"] / total < 0.12
+    assert 0.02 < by_split["test"] / total < 0.12
+
+
+def test_sliding_distinct_users_bruteforce(spark):
+    events = load_tables(spark, SF_DIR)["events"]
+    rows = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    got = {
+        r["day"]: r["users_7d"]
+        for r in registry.QUERIES["w_sliding_distinct_users"](
+            spark, SF_DIR
+        ).collect()
+    }
+    import datetime
+
+    for day, want_users in (
+        (d, set().union(*[by_day.get(d - datetime.timedelta(days=k), set())
+                          for k in range(7)]))
+        for d in by_day
+    ):
+        assert got[str(day)] == len(want_users), day
+
+
+def test_market_basket_counts_bruteforce(spark):
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    co = {}
+    for parts in baskets.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            co[(a, b)] = co.get((a, b), 0) + 1
+    got = registry.QUERIES["part_market_basket"](spark, SF_DIR).collect()
+    for r in got:
+        assert co[(r["part_a"], r["part_b"])] == r["co_count"]
+    # top-20 by co_count: nothing outside the result beats the floor
+    floor = min(r["co_count"] for r in got)
+    better = sum(1 for v in co.values() if v > floor)
+    assert better <= 20
+
+
+def test_incremental_rollup_merge_equals_full(spark):
+    """merge(base partials, delta partials) must equal the direct
+    full-scan aggregate — the property that makes incremental
+    maintenance sound."""
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    full = {
+        (r["day"], r["n_items"], round(r["revenue"], 4))
+        for r in li.groupBy(F.to_date("l_shipdate").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    }
+    merged = {
+        (r["day"], r["n_items"], round(r["revenue"], 4))
+        for r in registry.QUERIES["incremental_rollup_merge"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert merged == full
+
+
+def test_vector_norm_outliers_numpy_twin(spark):
+    import numpy as np
+
+    e = load_tables(spark, SF_DIR)["embeddings"].collect()
+    norms = {
+        r["vec_id"]: float(np.linalg.norm(np.array(r["embedding"], dtype="float64")))
+        for r in e
+    }
+    vals = np.array(list(norms.values()))
+    mu, sigma = vals.mean(), vals.std(ddof=1)
+    want = {vid for vid, n in norms.items() if abs((n - mu) / sigma) > 2}
+    got = {
+        r["vec_id"]
+        for r in registry.QUERIES["vector_norm_outliers"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_new_tier_plan_shapes(spark):
+    """Scale claims pinned in plans: the basket per-part joins are
+    broadcasts (dimension-sized side), and the snippet query is a
+    map-only pass (no aggregate/window exchange before the sort)."""
+    plan = (
+        registry.QUERIES["part_market_basket"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    snip = (
+        registry.QUERIES["search_snippet_extract"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" not in snip and "Window" not in snip
