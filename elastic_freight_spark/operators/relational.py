@@ -1555,3 +1555,110 @@ def supplier_late_rate_wilson(spark, sf_dir):
         .orderBy(F.col("late_rate_lower_bound").desc(), "l_suppkey")
         .limit(15)
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_extendedprice AS v, SUM(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, v, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM g
+    )
+    SELECT l_returnflag, MIN(v) AS weighted_median
+    FROM cum WHERE cw * 2 >= tot GROUP BY 1
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact weighted median (A8 extension): the smallest
+    l_extendedprice v per return flag such that the cumulative
+    l_quantity weight at v reaches half the group's total — the
+    robust "typical price weighted by volume" statistic
+    percentile_approx cannot answer exactly.
+
+    Plan shape: pre-aggregate to (group, value) — the frame the
+    window pass runs on is value-distinct, so ROWS and RANGE frames
+    coincide and the cumulative sum is deterministic; one value-
+    ordered window per group plus a total via the same partition.
+    DECIMAL weights end-to-end: the half-total comparison is exact
+    integer-scaled arithmetic (cw*2 >= tot), immune to float
+    boundaries in both engines. Shuffles: one on (flag, value), one
+    on flag — both tiny after the pre-aggregation."""
+    from pyspark.sql import Window as W
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    g = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    ).agg(F.sum("l_quantity").alias("w"))
+    cum = g.select(
+        "l_returnflag",
+        "v",
+        F.sum("w")
+        .over(W.partitionBy("l_returnflag").orderBy("v"))
+        .alias("cw"),
+        F.sum("w").over(W.partitionBy("l_returnflag")).alias("tot"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("weighted_median"))
+    )
+
+
+@query(
+    "er_part_name_match",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1
+    ),
+    p AS (
+      SELECT p_name, n_parts, string_split(p_name, ' ')[1] AS blk
+      FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev_distance,
+           CAST(a.n_parts AS BIGINT) AS n_parts_a,
+           CAST(b.n_parts AS BIGINT) AS n_parts_b
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
+    """,
+)
+def er_part_name_match(spark, sf_dir):
+    """Record linkage / entity resolution: near-identical part names
+    via blocking + edit distance — the dedupe-across-catalogs shape
+    (same product, typo'd listing). Canonicalize first (DISTINCT
+    name + cluster size), block on the leading token so the
+    quadratic comparison runs per block over the REDUCED name table
+    (64 names here, not 2000 part rows; at 100 TB the block join is
+    |distinct names per block|², never |rows|²), then score
+    survivors with exact Levenshtein (integer, engine-portable).
+    lev 0 (exact duplicates) is excluded — that is ``dedup_exact``'s
+    job; 1..4 is the fuzzy-variant band."""
+    part = load_tables(spark, sf_dir)["part"]
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    p = names.select(
+        "p_name", "n_parts", F.split("p_name", " ").getItem(0).alias("blk")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(lev.between(1, 4))
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.cast("int").alias("lev_distance"),
+            F.col("a.n_parts").cast("bigint").alias("n_parts_a"),
+            F.col("b.n_parts").cast("bigint").alias("n_parts_b"),
+        )
+    )

@@ -648,3 +648,111 @@ def incremental_rollup_merge(spark, sf_dir):
         .select(F.col("day").cast("string").alias("day"), "n_items", "revenue")
         .orderBy("day")
     )
+
+
+@query(
+    "skew_heavy_hitters",
+    oracle="""
+    WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+    s AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c)
+    SELECT o_custkey, CAST(n AS BIGINT) AS n_orders,
+           ROUND(n / CAST(total AS DOUBLE), 9) AS share,
+           ROUND(n * n_keys / CAST(total AS DOUBLE), 9) AS x_over_avg
+    FROM c CROSS JOIN s
+    ORDER BY n DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def skew_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter / skew audit for a join-or-shuffle key: top-10
+    keys by row count with their share of the table and their
+    multiple of the average key size — the report you run BEFORE
+    choosing broadcast/salt/AQE-skew strategies for a 100 TB join
+    (R5's diagnostic face). One key-sized aggregate, the (total,
+    n_keys) scalars ride as a broadcast 1-row crossJoin, top-10 via
+    TakeOrderedAndProject with a deterministic (count desc, key)
+    tie-break."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    c = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    s = c.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            "o_custkey",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(F.col("n") / F.col("total").cast("double"), 9).alias(
+                "share"
+            ),
+            F.round(
+                F.col("n") * F.col("n_keys") / F.col("total").cast("double"), 9
+            ).alias("x_over_avg"),
+        )
+        .orderBy(F.col("n_orders").desc(), "o_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "compaction_bin_packing",
+    oracle="""
+    WITH parts AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS part_key,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_rows) AS total FROM parts),
+    plan AS (
+      SELECT part_key, n_rows, (total + 7) // 8 AS target,
+             SUM(n_rows) OVER (ORDER BY n_rows DESC, part_key) AS cum
+      FROM parts CROSS JOIN tot
+    )
+    SELECT CAST((cum - n_rows) // target AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           ROUND(SUM(n_rows) / CAST(MIN(target) AS DOUBLE), 9) AS fill_ratio
+    FROM plan GROUP BY 1
+    """,
+)
+def compaction_bin_packing(spark, sf_dir):
+    """Compaction planner: pack per-partition sizes (here: ship-month
+    row counts as the size proxy) into ~8 equal target bins by a
+    deterministic size-descending linear scan — the OPTIMIZE /
+    small-file-compaction planning pass every long-lived 100 TB
+    table needs. The plan itself is metadata-sized: the window
+    cumsum runs over |partitions| rows (thousands, not billions),
+    so a single-partition window is correct here — the fact scan is
+    the only data-sized stage and it is one aggregate. Emits per-bin
+    part counts, row totals, and fill ratio vs target (greedy scan
+    packs within ~1 part of target; bins are stable across engines
+    because ties break on the partition key)."""
+    from pyspark.sql import Window as W
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    parts = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("part_key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = parts.agg(F.sum("n_rows").alias("total"))
+    plan = parts.crossJoin(F.broadcast(tot)).select(
+        "part_key",
+        "n_rows",
+        F.floor((F.col("total") + 7) / 8).alias("target"),
+        F.sum("n_rows")
+        .over(W.orderBy(F.col("n_rows").desc(), "part_key"))
+        .alias("cum"),
+    )
+    return (
+        plan.groupBy(
+            F.floor((F.col("cum") - F.col("n_rows")) / F.col("target"))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("n_rows").cast("bigint").alias("rows_total"),
+            F.round(
+                F.sum("n_rows") / F.min("target").cast("double"), 9
+            ).alias("fill_ratio"),
+        )
+    )

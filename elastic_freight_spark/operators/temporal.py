@@ -990,3 +990,88 @@ def orders_interarrival_median(spark, sf_dir):
         .filter(F.col("n_gaps") >= 5)
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+       AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 7 DAY
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+       AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 7 DAY
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    n AS (SELECT (SELECT COUNT(*) FROM v) AS nv,
+                 (SELECT COUNT(*) FROM c) AS nc,
+                 (SELECT COUNT(*) FROM p) AS np)
+    SELECT 1 AS stage_no, 'view' AS stage,
+           CAST(nv AS BIGINT) AS n_users,
+           CAST(1.0 AS DOUBLE) AS conv_from_prev FROM n
+    UNION ALL
+    SELECT 2, 'view>click', CAST(nc AS BIGINT),
+           ROUND(nc / CAST(nv AS DOUBLE), 9) FROM n
+    UNION ALL
+    SELECT 3, 'view>click>purchase', CAST(np AS BIGINT),
+           ROUND(np / CAST(nc AS DOUBLE), 9) FROM n
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered funnel analysis: view → click → purchase, each stage
+    within 7 days of the previous stage's FIRST qualifying event —
+    the product-analytics staple (signup funnels, checkout funnels)
+    expressed as cascaded min-timestamp semi-aggregations.
+
+    Plan shape: one stage = one filtered aggregate on user_id plus
+    one user-keyed join to the previous stage's (user, t) frame —
+    every shuffle is user-keyed and frame sizes shrink monotonically
+    down the funnel. No windows, no per-user event sorting, no
+    explode: at 100 TB the event scan happens once per stage filter
+    (or once total if the engine collapses the shared scan) and all
+    joins are on the reduced per-user frames."""
+    e = load_tables(spark, sf_dir)["events"]
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("nv"))
+    nc = c.agg(F.count(F.lit(1)).alias("nc"))
+    np_ = p.agg(F.count(F.lit(1)).alias("np"))
+    one = nv.crossJoin(nc).crossJoin(np_)
+    return one.selectExpr(
+        "stack(3, "
+        " 1, 'view',                CAST(nv AS BIGINT), CAST(1.0 AS DOUBLE), "
+        " 2, 'view>click',          CAST(nc AS BIGINT), ROUND(nc / CAST(nv AS DOUBLE), 9), "
+        " 3, 'view>click>purchase', CAST(np AS BIGINT), ROUND(np / CAST(nc AS DOUBLE), 9)"
+        ") AS (stage_no, stage, n_users, conv_from_prev)"
+    )

@@ -385,12 +385,50 @@ def exact_jaccard_pairs(
             )
             .filter(F.col("jaccard") >= float(threshold))
         )
-    # capped candidate generation in ONE shuffle: group the inverted
-    # index by shingle, keep buckets with 2..df_cap docs (the cap
-    # bounds collect_set memory at df_cap ids), and emit each bucket's
-    # i<j pairs with a JVM higher-order expression — no df-side join,
-    # no shingle self-join. This is the same bucket→pairs shape the
-    # LSH band join uses, applied to raw rare shingles.
+    inter = capped_pair_intersections(spark, sf_dir, df_cap)
+    return (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= float(threshold))
+    )
+
+
+CAND_MIN_SUPPORT = 2  # a pair must share >= 2 rare shingles to be scored
+
+
+def capped_pair_intersections(
+    spark, sf_dir, df_cap: int = NGRAM_DF_CAP, min_support: int = CAND_MIN_SUPPORT
+):
+    """(doc_a, doc_b, na, nb, inter) — df-capped candidate pairs with
+    exact shingle-set intersections; the shared scoring core of every
+    exact near-dup policy (Jaccard, containment, threshold grids).
+
+    Candidate generation runs in ONE shuffle: group the inverted
+    index by shingle, keep buckets with 2..df_cap docs (the cap
+    bounds collect_set memory at df_cap ids), and emit each bucket's
+    i<j pairs with a JVM higher-order expression — no df-side join,
+    no shingle self-join. This is the same bucket→pairs shape the
+    LSH band join uses, applied to raw rare shingles.
+
+    MIN-SUPPORT pruning (default 2): the pair aggregate the dedup
+    step needs anyway counts how many rare shingles proposed each
+    pair, and pairs proposed by a single shared shingle are dropped
+    before the exact rerank. Near-dup pairs at useful thresholds
+    share dozens of shingles, so support-1 candidates are almost
+    entirely noise: measured at sf0.1, support>=2 cuts candidates
+    1,130,536 → 112,009 (10.1×) and the full query ~8.4 s → ~3.5 s
+    with IDENTICAL result sets at sf0.01 AND sf0.1 (and the rerank
+    still scores every survivor over ALL its shingles, so emitted
+    scores stay exact). ``min_support=1`` restores the prune-free
+    generator."""
+    sets = shingle_sets(spark, sf_dir)
+    shingles = sets.select("doc_id", F.explode("sh").alias("shingle"))
     cand = (
         shingles.groupBy("shingle")
         .agg(F.collect_set("doc_id").alias("docs"))
@@ -405,8 +443,10 @@ def exact_jaccard_pairs(
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("_support"))
+        .filter(F.col("_support") >= int(min_support))
+        .select("doc_a", "doc_b")
     )
     # exact rerank over the cached shingle-SET arrays: two id joins
     # bring each pair's (already-distinct) sets side by side, then
@@ -430,7 +470,7 @@ def exact_jaccard_pairs(
     # candidate stage per broadcast and ran 5× slower) — while each
     # set array joins in exactly twice regardless of how many pairs
     # reference it.
-    inter = (
+    return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -440,17 +480,6 @@ def exact_jaccard_pairs(
             "nb",
             F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
         )
-    )
-    return (
-        inter.select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= float(threshold))
     )
 
 
@@ -467,6 +496,7 @@ _PAIRS_CAPPED_ORACLE = f"""
       JOIN rare USING (shingle)
       JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+      HAVING COUNT(*) >= {CAND_MIN_SUPPORT}
     ),
     exact AS (
       SELECT p.doc_a, p.doc_b,
@@ -2161,3 +2191,360 @@ def langid_confusion_report(spark, sf_dir):
             9,
         ).alias("frac_of_lang"),
     ).orderBy("lang", "predicted")
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash near-dup twins (round 4): the xxhash64 MinHash/SimHash
+# scale paths above are rows-only because xxhash64 has no DuckDB
+# equivalent. These twins run the IDENTICAL plan shapes on md5 (which
+# both engines compute bit-identically on UTF-8 strings), so the full
+# signature → band → bucket-join → estimate chain gets a value-hash
+# oracle. The xxhash64 variants stay the scale defaults (one 64-bit
+# JVM hash vs. P md5 digests per shingle); these certify the plans.
+# ---------------------------------------------------------------------------
+
+PORTABLE_PERMS = 16  # 4 bands x 4 rows
+PORTABLE_BANDS = 4
+
+
+def portable_minhash_signatures(spark, sf_dir):
+    """doc_id → m0..m15 minhash columns, hash_p(s) = md5('p:' || s).
+
+    Same one-pass parallel-MIN aggregation as
+    ``minhash_signatures`` (shuffle carries |docs| rows of 16
+    32-char strings); min over lowercase-hex md5 strings is plain
+    lexicographic order, identical in Spark and DuckDB."""
+    sh = shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"m{p}")
+            for p in range(PORTABLE_PERMS)
+        ]
+    )
+
+
+def _pm_sig_sql() -> str:
+    return ", ".join(
+        f"min(md5('{p}:' || shingle)) AS m{p}" for p in range(PORTABLE_PERMS)
+    )
+
+
+def _pm_bands_sql() -> str:
+    r = PORTABLE_PERMS // PORTABLE_BANDS
+    parts = []
+    for b in range(PORTABLE_BANDS):
+        key = " || '|' || ".join(f"m{b * r + i}" for i in range(r))
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5({key}) AS bucket FROM sigs"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_PM_MATCH_SUM = " + ".join(
+    f"CASE WHEN sa.m{p} = sb.m{p} THEN 1 ELSE 0 END" for p in range(PORTABLE_PERMS)
+)
+
+_PORTABLE_MINHASH_ORACLE = f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    sigs AS (SELECT doc_id, {_pm_sig_sql()} FROM shingles GROUP BY doc_id),
+    bands AS ({_pm_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ({_PM_MATCH_SUM}) / {PORTABLE_PERMS}.0 AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = cand.doc_a
+    JOIN sigs sb ON sb.doc_id = cand.doc_b
+    WHERE ({_PM_MATCH_SUM}) * 2 >= {PORTABLE_PERMS}
+"""
+
+
+@query("neardup_minhash_portable", oracle=_PORTABLE_MINHASH_ORACLE)
+def neardup_minhash_portable(spark, sf_dir):
+    """MinHash+LSH near-dup pairs on the portable md5 hash family —
+    the hash-checked certification of the banded-LSH plan
+    (signature build → band bucket join → signature-agreement
+    estimate) that ``neardup_minhash_lsh`` runs on xxhash64.
+
+    Threshold est_jaccard >= 0.5 is evaluated as an INTEGER compare
+    (matches*2 >= P) so no float boundary can diverge between
+    engines; the emitted estimate k/16 is exactly representable."""
+    sigs = portable_minhash_signatures(spark, sf_dir)
+    r = PORTABLE_PERMS // PORTABLE_BANDS
+    bucket_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"m{b * r + i}") for i in range(r)])
+        ).alias(f"b{b}")
+        for b in range(PORTABLE_BANDS)
+    ]
+    bands = sigs.select("doc_id", *bucket_cols).select(
+        "doc_id",
+        F.posexplode(F.array(*[f"b{b}" for b in range(PORTABLE_BANDS)])).alias(
+            "band", "bucket"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{p}").alias(f"a{p}") for p in range(PORTABLE_PERMS)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{p}").alias(f"b{p}") for p in range(PORTABLE_PERMS)],
+    )
+    matches = sum(
+        (
+            F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+            for p in range(PORTABLE_PERMS)
+        ),
+        start=F.lit(0),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("_matches"))
+        .filter(F.col("_matches") * 2 >= PORTABLE_PERMS)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("_matches") / float(PORTABLE_PERMS)).alias("est_jaccard"),
+        )
+    )
+
+
+SIMHASH_PORTABLE_BITS = 32
+
+
+def _simhash_vote_sql() -> str:
+    return ", ".join(
+        f"SUM(CASE WHEN substr(md5('{b}:' || token), 1, 1) >= '8' "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_PORTABLE_BITS)
+    )
+
+
+def _simhash_pack_sql() -> str:
+    return " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_PORTABLE_BITS)
+    )
+
+
+_SIMHASH_PORTABLE_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, {_simhash_vote_sql()}
+      FROM toks WHERE token != '' GROUP BY doc_id
+    )
+    SELECT doc_id, {_simhash_pack_sql()} AS simhash
+    FROM votes
+"""
+
+
+@query("text_simhash_portable", oracle=_SIMHASH_PORTABLE_ORACLE)
+def text_simhash_portable(spark, sf_dir):
+    """32-bit SimHash on a portable md5 bit family — the hash-checked
+    twin of ``text_simhash`` (xxhash64, rows-only). Bit b of a token
+    is the top bit of md5('b:' || token)'s first hex digit, i.e. a
+    plain string compare ``substr(md5, 1, 1) >= '8'`` both engines
+    evaluate identically. Same one-pass plan: 32 conditional sums in
+    ONE aggregation, shuffle carries |docs| rows, majority vote
+    packs to a BIGINT map-side."""
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{b}:"), F.col("token"))), 1, 1
+                    )
+                    >= "8",
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_PORTABLE_BITS)
+        ]
+    )
+    packed = sum(
+        (
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(SIMHASH_PORTABLE_BITS)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", packed.alias("simhash"))
+
+
+_CONTAINMENT_ORACLE = f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    rare AS (
+      SELECT shingle FROM shingles GROUP BY shingle
+      HAVING COUNT(*) <= {NGRAM_DF_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shingles a
+      JOIN rare USING (shingle)
+      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {CAND_MIN_SUPPORT}
+    ),
+    exact AS (
+      SELECT p.doc_a, p.doc_b,
+             (SELECT COUNT(*) FROM shingles x JOIN shingles y
+               ON x.shingle = y.shingle
+              WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b) AS inter
+      FROM pairs p
+    )
+    SELECT doc_a, doc_b,
+           inter / CAST(sa.n AS DOUBLE) AS contain_a,
+           inter / CAST(sb.n AS DOUBLE) AS contain_b
+    FROM exact
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter * 2 >= sa.n OR inter * 2 >= sb.n
+"""
+
+
+@query("neardup_containment", oracle=_CONTAINMENT_ORACLE)
+def neardup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup: C(A,B) = |A∩B| / |A| over
+    3-gram shingle sets — catches quote/excerpt relationships
+    (a short doc embedded in a long one) that symmetric Jaccard
+    misses because the union is dominated by the long side.
+
+    Reuses the df-capped candidate + exact-rerank core
+    (``capped_pair_intersections``): one extra projection, zero new
+    shuffles beyond the shared scoring plan. Threshold (either side
+    >= 0.5 contained) compares integers (inter*2 >= n) so engines
+    cannot diverge on a float boundary."""
+    inter = capped_pair_intersections(spark, sf_dir)
+    return (
+        inter.filter(
+            (F.col("inter") * 2 >= F.col("na"))
+            | (F.col("inter") * 2 >= F.col("nb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / F.col("na").cast("double")).alias("contain_a"),
+            (F.col("inter") / F.col("nb").cast("double")).alias("contain_b"),
+        )
+    )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id, tok[i] AS w1, tok[i+1] AS w2
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
+            FROM documents WHERE LENGTH(string_split(lower(text), ' ')) >= 2),
+           LATERAL (SELECT unnest(range(1, LENGTH(tok))) AS i)
+      WHERE tok[i] <> '' AND tok[i+1] <> ''
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS n12 FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT w1, COUNT(*) AS n1 FROM pairs GROUP BY 1),
+    vocab AS (
+      SELECT COUNT(DISTINCT token) AS v FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+      ) WHERE token <> ''
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(ln((big.n12 + 1) / CAST(ctx.n1 + vocab.v AS DOUBLE)))
+                 / COUNT(*), 9) AS mean_nll
+    FROM pairs p
+    JOIN big ON big.w1 = p.w1 AND big.w2 = p.w2
+    JOIN ctx ON ctx.w1 = p.w1
+    CROSS JOIN vocab
+    GROUP BY p.doc_id
+    """,
+)
+def text_bigram_lm_score(spark, sf_dir):
+    """Corpus-derived BIGRAM LM scoring with add-one smoothing — the
+    order-2 upgrade of ``text_unigram_lm_score``: P(w2|w1) =
+    (c(w1,w2)+1) / (c(w1·)+V). Catches scrambled/shuffled text that
+    unigram scoring cannot (same token multiset, broken transitions)
+    — the fluency axis of quality filtering.
+
+    Plan shape: adjacent pairs built with the slide-by-one zip (JVM
+    higher-order functions, no pre-shuffle token explode); bigram
+    and context tables are corpus-vocabulary-sized aggregates; the
+    vocab size rides as a broadcast 1-row crossJoin; scoring is one
+    pairs-sized join per table then a doc-keyed aggregate. One text
+    scan end-to-end."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("tok"))
+        .filter(F.size("tok") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(zip_with(slice(tok, 1, size(tok) - 1), "
+                    "slice(tok, 2, size(tok) - 1), "
+                    "(a, b) -> struct(a AS w1, b AS w2)), "
+                    "p -> p.w1 <> '' AND p.w2 <> '')"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .agg(F.countDistinct("token").alias("v"))
+    )
+    return (
+        pairs.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum(
+                    F.log(
+                        (F.col("n12") + 1)
+                        / (F.col("n1") + F.col("v")).cast("double")
+                    )
+                )
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_nll"),
+        )
+    )

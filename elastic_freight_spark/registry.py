@@ -90,6 +90,18 @@ _PRIORITY = (
     "search_snippet_extract",
     "search_query_expansion",
     "incremental_rollup_merge",
+    # -- round-4 wave 2: portable-hash near-dup twins (the md5
+    # certification of the xxhash64 MinHash/SimHash scale paths) and
+    # the analytics/pipeline additions — all SQL-oracle hash checks
+    "neardup_minhash_portable",
+    "text_simhash_portable",
+    "neardup_containment",
+    "events_funnel_conversion",
+    "agg_weighted_median",
+    "er_part_name_match",
+    "text_bigram_lm_score",
+    "skew_heavy_hitters",
+    "compaction_bin_packing",
 )
 
 

@@ -1,0 +1,156 @@
+"""Unit tests for the round-4 wave-2 operators: funnel, weighted
+median, heavy-hitter skew audit, compaction planner, part-name ER,
+bigram LM scoring. Each also has a SQL oracle (test_oracle_parity
+covers exact cross-engine values); these tests pin SEMANTICS against
+independent twins (pandas/python brute force) and invariants."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR_ORACLE
+
+
+@pytest.fixture(scope="module")
+def q():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_funnel_monotone_and_bounded(spark, q):
+    rows = {
+        r["stage_no"]: r
+        for r in q["events_funnel_conversion"](spark, SF_DIR_ORACLE).collect()
+    }
+    assert [rows[i]["stage"] for i in (1, 2, 3)] == [
+        "view",
+        "view>click",
+        "view>click>purchase",
+    ]
+    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
+    assert rows[1]["conv_from_prev"] == 1.0
+    for i in (2, 3):
+        assert 0.0 <= rows[i]["conv_from_prev"] <= 1.0
+
+
+def test_funnel_respects_event_order(spark, q):
+    """A user whose purchase precedes every click must not reach
+    stage 3 (funnel is ordered, not mere set-membership)."""
+    from elastic_freight_spark.operators.temporal import events_funnel_conversion
+
+    df = spark.createDataFrame(
+        [
+            # user 1: view -> click -> purchase (converts)
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 11:00:00", 1, "click", 1.0, "{}"),
+            (3, "2024-01-01 12:00:00", 1, "purchase", 1.0, "{}"),
+            # user 2: purchase BEFORE click -> stops at stage 2
+            (4, "2024-01-01 10:00:00", 2, "view", 1.0, "{}"),
+            (5, "2024-01-01 10:30:00", 2, "purchase", 1.0, "{}"),
+            (6, "2024-01-01 11:00:00", 2, "click", 1.0, "{}"),
+            # user 3: click 8 days after view -> outside window
+            (7, "2024-01-01 10:00:00", 3, "view", 1.0, "{}"),
+            (8, "2024-01-09 11:00:00", 3, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["stage_no"]: r["n_users"]
+            for r in events_funnel_conversion(spark, d).collect()
+        }
+    assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_weighted_median_matches_pandas_twin(spark, q, tables):
+    got = {
+        r["l_returnflag"]: float(r["weighted_median"])
+        for r in q["agg_weighted_median"](spark, SF_DIR_ORACLE).collect()
+    }
+    from elastic_freight_spark.session import load_tables
+
+    li = (
+        load_tables(spark, SF_DIR_ORACLE)["lineitem"]
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .toPandas()
+    )
+    li["l_extendedprice"] = li["l_extendedprice"].astype(float)
+    li["l_quantity"] = li["l_quantity"].astype(float)
+    for flag, g in li.groupby("l_returnflag"):
+        g = g.groupby("l_extendedprice", as_index=False)["l_quantity"].sum()
+        g = g.sort_values("l_extendedprice")
+        cum = g["l_quantity"].cumsum()
+        tot = g["l_quantity"].sum()
+        want = float(g.loc[cum * 2 >= tot, "l_extendedprice"].iloc[0])
+        assert got[flag] == want, flag
+
+
+def test_heavy_hitters_matches_pandas(spark, q):
+    from elastic_freight_spark.session import load_tables
+
+    got = q["skew_heavy_hitters"](spark, SF_DIR_ORACLE).collect()
+    orders = load_tables(spark, SF_DIR_ORACLE)["orders"].select("o_custkey").toPandas()
+    vc = orders["o_custkey"].value_counts()
+    top = sorted(
+        vc.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    assert [(r["o_custkey"], r["n_orders"]) for r in got] == top
+    total, keys = len(orders), vc.size
+    for r in got:
+        assert r["share"] == round(r["n_orders"] / total, 9)
+        assert r["x_over_avg"] == round(r["n_orders"] * keys / total, 9)
+
+
+def test_compaction_bins_balanced(spark, q):
+    rows = q["compaction_bin_packing"](spark, SF_DIR_ORACLE).collect()
+    bins = sorted(r["bin"] for r in rows)
+    assert bins == list(range(len(bins)))
+    total = sum(r["rows_total"] for r in rows)
+    # greedy size-desc linear scan: every bin except possibly the
+    # last lands within one largest-part of the target
+    fills = [r["fill_ratio"] for r in rows]
+    assert all(f <= 2.0 for f in fills)
+    assert sum(r["n_parts"] for r in rows) >= len(bins)
+    assert total > 0
+
+
+def test_er_pairs_invariants(spark, q):
+    rows = q["er_part_name_match"](spark, SF_DIR_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["lev_distance"] <= 4
+        assert r["name_a"] < r["name_b"]
+        assert r["name_a"].split(" ")[0] == r["name_b"].split(" ")[0]
+        assert r["n_parts_a"] >= 1 and r["n_parts_b"] >= 1
+
+
+def test_bigram_lm_flags_shuffled_text(spark):
+    """Same token multiset, broken transitions: a scrambled doc must
+    score a strictly higher mean bigram NLL than the fluent docs it
+    was scrambled from — the property unigram LM scoring cannot see."""
+    import tempfile
+
+    from elastic_freight_spark.operators.text import text_bigram_lm_score
+
+    sent = "the quick brown fox jumps over the lazy dog again and again"
+    toks = sent.split()
+    scrambled = " ".join(toks[::2] + toks[1::2][::-1])
+    docs = [(i, sent, "en", "web", len(sent)) for i in range(20)]
+    docs.append((99, scrambled, "en", "web", len(scrambled)))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r["mean_nll"]
+            for r in text_bigram_lm_score(spark, d).collect()
+        }
+    fluent = out[0]
+    assert out[99] > fluent, (out[99], fluent)

@@ -435,3 +435,91 @@ def test_embedding_top_component_query_smoke(spark, q):
     assert len(v) == 64
     assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-6
     assert 0 < out[0]["eigenvalue"] < 1
+
+
+def test_portable_minhash_tracks_exact_jaccard(spark, q):
+    """The md5-portable LSH twin must find the same strong pairs the
+    exact path scores >= 0.6 (16 perms -> sigma ~0.12, so the 0.5
+    estimate gate keeps nearly all of them)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q["neardup_ngram_jaccard"](spark, SF_DIR_ORACLE).collect()
+    }
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in q["neardup_minhash_portable"](spark, SF_DIR_ORACLE).collect()
+    }
+    strong = {p: j for p, j in exact.items() if j >= 0.6}
+    missed = [p for p in strong if p not in est]
+    assert len(missed) <= max(1, len(strong) // 5), f"portable LSH missed {missed}"
+    for p in est:
+        assert 0.5 <= est[p] <= 1.0
+
+
+def test_portable_simhash_matches_python_twin(spark):
+    """Bit-for-bit check of the 32-bit md5 SimHash against a plain
+    Python recomputation on a sample of docs."""
+    import hashlib
+
+    from elastic_freight_spark.operators.text import (
+        SIMHASH_PORTABLE_BITS,
+        text_simhash_portable,
+    )
+    from elastic_freight_spark.session import load_tables
+
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in text_simhash_portable(spark, SF_DIR_ORACLE).collect()
+    }
+    docs = (
+        load_tables(spark, SF_DIR_ORACLE)["documents"]
+        .select("doc_id", "text")
+        .limit(20)
+        .collect()
+    )
+    for row in docs:
+        votes = [0] * SIMHASH_PORTABLE_BITS
+        for tok in row["text"].lower().split(" "):
+            if tok == "":
+                continue
+            for b in range(SIMHASH_PORTABLE_BITS):
+                h = hashlib.md5(f"{b}:{tok}".encode()).hexdigest()
+                votes[b] += 1 if h[0] >= "8" else -1
+        want = sum(1 << b for b in range(SIMHASH_PORTABLE_BITS) if votes[b] > 0)
+        assert got[row["doc_id"]] == want, row["doc_id"]
+
+
+def test_containment_catches_embedded_doc(spark, tmp_path):
+    """A short doc fully embedded in a long one must surface with
+    contain ~1.0 on the short side even when symmetric Jaccard is
+    far below threshold."""
+    import shutil, os
+
+    from elastic_freight_spark.operators import text as T
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    base = " ".join(f"w{i}" for i in range(200))
+    quote = " ".join(f"w{i}" for i in range(40, 60))
+    spark.createDataFrame(
+        [
+            (1, base, "en", "web", len(base)),
+            (2, quote, "en", "web", len(quote)),
+            (3, "completely different text " + " ".join(f"z{i}" for i in range(30)), "en", "web", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {
+        (r["doc_a"], r["doc_b"]): (r["contain_a"], r["contain_b"])
+        for r in T.neardup_containment(spark, sf).collect()
+    }
+    assert (1, 2) in out
+    ca, cb = out[(1, 2)]
+    # doc 2's shingles are a subset of doc 1's: containment on the
+    # b side is exactly 1.0, while Jaccard is ~18/198 < 0.1
+    assert cb == 1.0 and ca < 0.2
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in T.exact_jaccard_pairs(spark, sf).collect()
+    }
+    assert (1, 2) not in jac
