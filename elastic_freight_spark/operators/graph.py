@@ -6,20 +6,30 @@ how clustered is the supplier substitutability network, what does
 its degree distribution look like — so the engine owns them as
 first-class, oracle-checked queries.
 
-Graph = suppliers as nodes; an undirected edge (u, v), u < v, when
-two suppliers ship at least one common part (same edge set as
-``scale.supplier_pagerank``, reference parity note there).
+Graph = suppliers as nodes; undirected edges are each supplier's
+TOP-5 STRONGEST co-supply partners (edge weight = number of distinct
+common parts shipped, deterministic tie-break on partner id), then
+symmetrized to u < v. The naive "share at least one part" relation is
+degenerate on warehouse data — on this corpus it yields the COMPLETE
+graph at every scale factor (median pair shares 17+ parts at sf0.1:
+499,500 edges over 1,000 suppliers, 166,167,000 triangles, measured
+~55 s), which is both meaningless as a network and quadratic in
+suppliers. The k-NN-by-weight graph is the standard similarity-graph
+construction (same shape as embedding k-NN graphs): |E| ≤ k·|V| BY
+CONSTRUCTION, so every downstream pass is node-linear at 100 TB.
 
 Scale shapes:
 
-* Edge construction is a part-keyed self-join — bounded per part by
-  suppliers-per-part (a dimension-ish fan-out), never all-pairs of
-  suppliers.
-* Triangle counting is the standard wedge-close plan: one join to
-  enumerate wedges u<v<w (the u<v ordering on BOTH edge endpoints is
-  the degree-orientation trick that keeps each triangle counted
-  exactly once and caps wedge fan-out), one semi-join to close them.
-  Two shuffles on edge keys, no driver-side state.
+* Pair weighting is a part-keyed self-join + one (u,v) aggregate —
+  bounded per part by suppliers-per-part, never all-pairs global.
+* Top-k selection is one row_number window over the directed weight
+  list (node-keyed shuffle).
+* Triangle counting on the sparse edge set is the standard
+  wedge-close plan: one join to enumerate wedges a<b<c, one
+  equi-join to close them; the vertex total order counts each
+  triangle exactly once. Wedge fan-out is capped by the k-bounded
+  degree. Edges are cached per (session, corpus) — five query
+  branches read one materialization.
 * The degree histogram is two hash aggregates (node degree → degree
   frequency) — shuffles are node- then degree-sized.
 """
@@ -31,16 +41,49 @@ from pyspark.sql import functions as F
 from elastic_freight_spark.registry import query
 from elastic_freight_spark.session import load_tables
 
-_EDGES_SQL = """
-      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
-      JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
-        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+TOPK_PARTNERS = 5
+
+# spliced as the body of `WITH edges AS (...)` in both oracles; the
+# directed weight list appears twice (u→v, v→u) because a CTE body
+# cannot open its own WITH in that position.
+_WEIGHTS_SQL = """
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+          ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
 """
 
+_EDGES_SQL = f"""
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rk
+        FROM (
+          SELECT u AS src, v AS dst, w FROM ({_WEIGHTS_SQL})
+          UNION ALL
+          SELECT v AS src, u AS dst, w FROM ({_WEIGHTS_SQL})
+        )
+      ) WHERE rk <= {TOPK_PARTNERS}
+"""
 
-def cosupply_edges(spark, sf_dir):
-    """Distinct undirected (u < v) supplier co-supply edges."""
+# edges cached per (session, corpus): triangle census + degree
+# histogram each read the edge list from several branches — one
+# materialization serves them all (the _SHINGLE_CACHE discipline).
+_EDGE_CACHE: dict = {}
+
+
+def cosupply_edges(spark, sf_dir, top_k: int = TOPK_PARTNERS):
+    """Undirected (u < v) top-k strongest co-supply edges."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), top_k)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark.sql import Window as W
+
     ps = (
         load_tables(spark, sf_dir)["lineitem"]
         .select("l_partkey", "l_suppkey")
@@ -48,12 +91,32 @@ def cosupply_edges(spark, sf_dir):
     )
     a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u"))
     b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
-    return (
+    weights = (
         a.join(b, "pk")
         .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
     )
+    directed = weights.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionAll(
+        weights.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    top = directed.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+        ),
+    ).filter(F.col("rk") <= int(top_k))
+    edges = (
+        top.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    _EDGE_CACHE[key] = edges
+    return edges
 
 
 @query(
