@@ -86,6 +86,21 @@ def main() -> None:
         "t_mad_outliers",
         "sample_quality_weighted",
         "neardup_ngram_jaccard_uncapped_audit",
+        # round-4 additions
+        "supplier_triangle_count",
+        "graph_degree_histogram",
+        "part_market_basket",
+        "w_sliding_distinct_users",
+        "events_funnel_conversion",
+        "agg_weighted_median",
+        "skew_heavy_hitters",
+        "compaction_bin_packing",
+        "er_part_name_match",
+        "text_bigram_lm_score",
+        "neardup_minhash_portable",
+        "neardup_containment",
+        "dsir_importance_weights",
+        "orders_churn_labels",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -629,3 +629,135 @@ def source_dataset_card(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sample_stratified_det",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN md5(concat('strat:', CAST(doc_id AS VARCHAR)))
+                              < (CASE WHEN lang = 'en' THEN '4' ELSE 'c' END)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN md5(concat('strat:', CAST(doc_id AS VARCHAR)))
+                               < (CASE WHEN lang = 'en' THEN '4' ELSE 'c' END)
+                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9)
+             AS kept_frac
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def sample_stratified_det(spark, sf_dir):
+    """Deterministic stratified sampling — the hash-checkable twin of
+    ``sample_stratified_by_lang`` (which pins Spark's native
+    ``sampleBy`` and stays rows-only because its Bernoulli draws are
+    engine-private). Per-stratum rates ride the SAME md5-threshold
+    membership as ``sample_det_hash_fraction``: keep 25% of the
+    dominant 'en' stratum and 75% of every other lang (hex-prefix
+    thresholds '4' and 'c'), each row's fate a pure function of its
+    id — stable under repartitioning, engine swaps, reruns, corpus
+    growth. One scan, one lang-keyed aggregate."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    kept = h < F.when(F.col("lang") == "en", "4").otherwise("c")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(kept.cast("int")) / F.count(F.lit(1)).cast("double"), 9
+        ).alias("kept_frac"),
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    toks2 AS (
+      SELECT doc_id, lang, substr(md5(token), 1, 2) AS bucket
+      FROM toks WHERE token <> ''
+    ),
+    tgt AS (
+      SELECT bucket, COUNT(*) AS nt FROM toks2 WHERE lang = 'en' GROUP BY 1
+    ),
+    raw AS (SELECT bucket, COUNT(*) AS nr FROM toks2 GROUP BY 1),
+    tot AS (
+      SELECT (SELECT SUM(nt) FROM tgt) AS st,
+             (SELECT SUM(nr) FROM raw) AS sr
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(ln(((COALESCE(g.nt, 0) + 1) / CAST(st + 256 AS DOUBLE))
+                        / ((r.nr + 1) / CAST(sr + 256 AS DOUBLE))))
+                 / COUNT(*), 9) AS log_importance
+    FROM toks2 t
+    JOIN raw r USING (bucket)
+    LEFT JOIN tgt g USING (bucket)
+    CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR-style importance weights for data selection (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    public arXiv 2302.03169): score every raw document by how much
+    its hashed-n-gram feature distribution looks like the TARGET
+    domain (here: the 'en' stratum) versus the raw corpus —
+    log w(x) = mean over tokens of ln(p_target(b)/p_raw(b)) with
+    add-one smoothing over 256 md5-prefix buckets. Downstream, keep
+    probabilities proportional to exp(log w) resample the corpus
+    toward the target (``sample_quality_weighted`` is the kept-side
+    mechanism).
+
+    Plan shape: the bucket is a 2-hex-char md5 prefix (portable,
+    vocabulary-free, bounded at 256 rows per distribution — the
+    hashed-feature trick from the paper that makes the estimator
+    corpus-size-independent); both distributions come from ONE token
+    scan, ride back as 256-row broadcast joins, and scoring is one
+    doc-keyed aggregate. At 100 TB: one text pass, two tiny
+    broadcasts, no vocabulary blow-up."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id", "lang", F.substring(F.md5("token"), 1, 2).alias("bucket")
+        )
+    )
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("nr"))
+    tot = tgt.agg(F.sum("nt").alias("st")).crossJoin(
+        raw.agg(F.sum("nr").alias("sr"))
+    )
+    return (
+        toks.join(F.broadcast(raw), "bucket")
+        .join(F.broadcast(tgt), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.log(
+                        ((F.coalesce(F.col("nt"), F.lit(0)) + 1)
+                         / (F.col("st") + 256).cast("double"))
+                        / ((F.col("nr") + 1) / (F.col("sr") + 256).cast("double"))
+                    )
+                )
+                / F.count(F.lit(1)),
+                9,
+            ).alias("log_importance"),
+        )
+    )

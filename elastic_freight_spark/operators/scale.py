@@ -522,6 +522,7 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataF
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
         .distinct()
+        .persist()  # read by every iteration's outer join — one build
     )
     n_v = verts.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
@@ -553,29 +554,29 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataF
         prev = ranks if ranks is not new_ranks else None
         ranks = new_ranks
     norm_edges.unpersist()
+    verts.unpersist()
     return ranks
 
 
 @query("supplier_pagerank")  # rows-only: iterative float fixpoint
 def supplier_pagerank(spark, sf_dir):
-    """PageRank over the supplier co-supply graph (suppliers are
-    linked when they ship the same part — the substitutability
-    network a procurement analysis ranks): build edges from lineitem
-    via a part-keyed self-join (bounded per part by suppliers-per-
-    part, not corpus size), then 6 DataFrame-join iterations.
-    Numpy-pinned in tests (exact power-method twin on the collected
-    edge list)."""
-    li = load_tables(spark, sf_dir)["lineitem"].select(
-        "l_partkey", "l_suppkey"
-    ).distinct()
-    a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("src"))
-    b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("dst"))
-    edges = (
-        a.join(b, "pk")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    """PageRank over the supplier co-supply graph — ranks run on the
+    TOP-5-strongest-partner edge set (``graph.cosupply_edges``,
+    symmetrized to a digraph), the same sparse construction the
+    triangle census uses: the naive share-a-part relation is the
+    COMPLETE graph on this corpus (PageRank degenerates to the
+    uniform vector, and 6 iterations over the ~1M-edge clique
+    measured 38 s at sf0.1); on the k-bounded graph each iteration
+    is a |E| ≤ 2·5·|V| join — node-linear at any scale — and the
+    ranking actually discriminates hub suppliers. 6 DataFrame-join
+    iterations, numpy-pinned in tests (exact power-method twin on a
+    collected edge list)."""
+    from elastic_freight_spark.operators.graph import cosupply_edges
+
+    und = cosupply_edges(spark, sf_dir)
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     ranks = pagerank(edges, n_iter=6)
     return (
         ranks.select(F.col("v").alias("supplier"), F.round("rank", 9).alias("rank"))

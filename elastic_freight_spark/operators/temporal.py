@@ -1075,3 +1075,51 @@ def events_funnel_conversion(spark, sf_dir):
         " 3, 'view>click>purchase', CAST(np AS BIGINT), ROUND(np / CAST(nc AS DOUBLE), 9)"
         ") AS (stage_no, stage, n_users, conv_from_prev)"
     )
+
+
+@query(
+    "orders_churn_labels",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    cust AS (
+      SELECT o_custkey, MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, last_order,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(CASE WHEN last_order < mxd - INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END AS INTEGER) AS churned
+    FROM cust CROSS JOIN mx
+    """,
+)
+def orders_churn_labels(spark, sf_dir):
+    """Supervised-label generation: per-customer churn labels
+    (churned = no order in the trailing 90 days of the observation
+    window) — the label-materialization step in front of any churn
+    model, expressed so the label table is reproducible from the
+    fact table alone. The window end is derived (MAX order date)
+    rather than wall-clock, so the query is deterministic and
+    backtestable at any as-of point.
+
+    Plan: one customer-keyed aggregate over orders; the global max
+    rides as a broadcast 1-row crossJoin; the label is a constant-
+    time expression. One shuffle total, label table is
+    customer-dimension-sized at any corpus scale."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    return cust.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        "last_order",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.when(
+            F.col("last_order") < F.col("mxd") - F.expr("INTERVAL 90 DAYS"), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("churned"),
+    )
