@@ -640,3 +640,63 @@ def build_reference_tf(docs: DataFrame, ref_tf_path: str) -> None:
         .write.mode("overwrite")
         .parquet(ref_tf_path)
     )
+
+
+def stream_topk_counts(
+    stream_df: DataFrame,
+    key_col: str,
+    counts_path: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Streaming heavy-hitter maintenance: the continuous face of
+    ``operators.scale.skew_heavy_hitters``. Each micro-batch reduces
+    to per-key PARTIAL counts (batch-keyed, so delivery is
+    idempotent: a replayed batch overwrites its own partition rather
+    than double-counting) appended to a plain-parquet count ledger;
+    ``serve_topk`` merges partials at read time — the same
+    partials-merge contract ``incremental_rollup_merge`` pins for
+    batch. State lives as readable, compactable parquet, not an
+    opaque streaming state store, and per-batch work is
+    |batch-distinct-keys|, never proportional to history."""
+
+    def _count(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_df.isEmpty():
+            return
+        marker = os.path.join(counts_path, f"_batch_{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        (
+            batch_df.groupBy(F.col(key_col).alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(counts_path)
+        )
+        with open(marker, "w") as f:
+            f.write("done")
+
+    writer = stream_df.writeStream.foreachBatch(_count).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def serve_topk(spark: SparkSession, counts_path: str, k: int = 10) -> DataFrame:
+    """Top-k keys from the streaming count ledger: merge the partial
+    counts (one key-sized aggregate over the ledger — facts are never
+    rescanned) with the deterministic (count desc, key) tie-break the
+    batch heavy-hitter query uses."""
+    from pyspark.sql import functions as F
+
+    partials = spark.read.parquet(counts_path)
+    return (
+        partials.groupBy("key")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "key")
+        .limit(k)
+    )

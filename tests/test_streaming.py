@@ -622,3 +622,55 @@ def test_stream_admission_gate_short_doc_default_accept(spark, tmp_path_factory)
 
     got = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
     assert got == {1, 3}  # dup rejected, short doc admitted
+
+
+def test_stream_topk_counts_matches_batch(spark, events_src, tmp_path_factory):
+    """Streaming partial-count ledger + serve-time merge must equal
+    the batch heavy-hitter answer on the same data, and replaying a
+    committed batch must not double-count."""
+    import os
+
+    from elastic_freight_spark.streaming.structured import (
+        read_parquet_stream,
+        serve_topk,
+        stream_topk_counts,
+    )
+
+    d, schema, batch = events_src
+    base = tmp_path_factory.mktemp("topk_stream")
+    counts_path = str(base / "counts")
+    os.makedirs(counts_path, exist_ok=True)
+    stream = read_parquet_stream(spark, d, schema, max_files_per_trigger=2)
+    q = stream_topk_counts(
+        stream,
+        "user_id",
+        counts_path,
+        str(base / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = [(r["key"], r["n"]) for r in serve_topk(spark, counts_path, k=10).collect()]
+    want = [
+        (r["user_id"], r["n"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
+    # ledger saw >1 micro-batch (partials really merged at serve time)
+    markers = [f for f in os.listdir(counts_path) if f.endswith(".done")]
+    assert len(markers) >= 2
+    # idempotency: re-running the committed batches changes nothing
+    q2 = stream_topk_counts(
+        read_parquet_stream(spark, d, schema, max_files_per_trigger=2),
+        "user_id",
+        counts_path,
+        str(base / "ckpt2"),  # fresh checkpoint => batches replay
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    got2 = [(r["key"], r["n"]) for r in serve_topk(spark, counts_path, k=10).collect()]
+    assert got2 == want
