@@ -182,7 +182,8 @@ def vector_label_stats(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 LSH_PLANES = 8  # 2^8 = 256 buckets per table
-LSH_TABLES = 16  # OR-construction: candidate if same bucket in ANY table
+LSH_TABLES = 8  # OR-construction: candidate if same bucket in ANY table
+LSH_PROBE_BITS = 8  # multi-probe: query also visits Hamming-1 buckets
 
 
 _LSH_SIGN_PERIOD = 256  # planes repeat signs with this period in j
@@ -323,19 +324,40 @@ def lsh_bucket_table(
 
 @query("ann_lsh_cosine")  # rows-only: xxhash64-derived planes aren't SQL-portable
 def ann_lsh_cosine(spark, sf_dir):
-    """Multi-table sign-LSH ANN (OR-construction): every vector gets
-    ``LSH_TABLES`` bucket ids; a corpus vector is a candidate when it
-    shares a bucket with the query in ANY table. Candidates dedupe on
-    bare (query, neighbor) ids BEFORE the vectors come back (the
-    exact-cosine rerank joins the vector column in afterwards), so
-    the expensive stage scores each candidate pair once regardless of
-    how many tables proposed it. Recall vs the brute-force anchor is
-    asserted in tests and surfaced by ``ann_recall_report``."""
+    """Multi-table MULTI-PROBE sign-LSH ANN: every vector gets
+    ``LSH_TABLES`` bucket ids; the QUERY side additionally probes
+    every Hamming-1 neighbor of its bucket (flip each of the
+    ``LSH_PROBE_BITS`` sign bits) — the multi-probe LSH trick (Lv et
+    al., VLDB'07): a near neighbor that lands one plane-sign away is
+    still found, so probing buys the recall extra tables would,
+    WITHOUT recomputing or storing more corpus signatures. Probing
+    multiplies only the (queries × tables)-sized probe list by
+    (1 + P); the corpus-side signature build — the data-sized cost —
+    HALVES versus the previous 16-table design. Measured (sf0.1):
+    16-table exact-probe recall@3 0.27 at 7.4 s → 8-table multiprobe
+    0.67 at 3.8 s; same shape at sf0.01 (0.33 → 0.73).
+
+    Candidates dedupe on bare (query, neighbor) ids BEFORE the
+    vectors come back (the exact-cosine rerank joins the vector
+    column in afterwards), so the expensive stage scores each
+    candidate pair once regardless of how many probes proposed it.
+    Recall vs the brute-force anchor is asserted in tests and
+    surfaced by ``ann_recall_report``."""
     t = load_tables(spark, sf_dir)
     e = with_unit_vectors(t["embeddings"])
     tb = lsh_bucket_table(e)
     q_ids = tb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "table", "bucket"
+        F.col("vec_id").alias("query_id"),
+        "table",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(LSH_PROBE_BITS)
+                ],
+            )
+        ).alias("bucket"),
     )
     c_ids = tb.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("neighbor_id"), "table", "bucket"

@@ -63,6 +63,13 @@ def test_ann_lsh_recall(spark, q):
     assert len(ann_pairs) == len(ann)
     # and ANN returns results for most queries
     assert len({r["query_id"] for r in ann}) >= 5
+    # multi-probe recall floor: ANN top-3 must recover a solid share
+    # of the true top-3 pairs (measured 0.73 with 8 tables x 1-bit
+    # probes vs 0.33 for 16 exact-probe tables; 0.4 leaves margin
+    # for data regen)
+    true_pairs = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    recall = len(ann_pairs & true_pairs) / max(len(true_pairs), 1)
+    assert recall >= 0.4, f"top-3 recall {recall:.2f}"
 
 
 def test_simhash_close_docs_have_close_hashes(spark, q):
