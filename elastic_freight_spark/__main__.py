@@ -1,0 +1,5 @@
+"""``python -m elastic_freight_spark`` → CLI dispatch (see cli.py)."""
+
+from elastic_freight_spark.cli import main
+
+raise SystemExit(main())
