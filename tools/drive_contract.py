@@ -1,0 +1,64 @@
+"""Vanilla-driver contract check: fresh SparkSession with ONLY the
+driver's configs, every registered query vs its DuckDB oracle."""
+import hashlib, os, sys, json
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+spark = (
+    SparkSession.builder.master("local[*]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.ui.showConsoleProgress", "false")
+    .getOrCreate()
+)
+import __spark_entry__ as e
+
+rows = e.entry(spark).collect()
+assert len(rows) == 8 and sum(r["n_docs"] for r in rows) > 0, "entry() contract"
+print("entry() ok:", len(rows), "shards")
+
+con = duckdb.connect()
+for t in TABLES:
+    p = os.path.join(SF, f"{t}.parquet")
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            try: df[c] = df[c].dt.tz_localize(None)
+            except TypeError: pass
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def vhash(df):
+    return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()
+
+q, o = e.queries(), e.oracle_sql()
+fails = []
+for i, name in enumerate(q):
+    try:
+        spdf = norm(q[name](spark, SF).toPandas())
+        if name in o:
+            ddf = norm(con.execute(o[name]).df())
+            ok = (list(spdf.columns) == list(ddf.columns)
+                  and len(spdf) == len(ddf) and vhash(spdf) == vhash(ddf))
+            status = "hash-ok" if ok else "MISMATCH"
+        else:
+            ok = len(spdf) > 0
+            status = "rows-ok" if ok else "EMPTY"
+    except Exception as ex:
+        ok, status = False, f"ERROR {type(ex).__name__}: {ex}"[:200]
+    if not ok:
+        fails.append((name, status))
+        print(f"[{i+1}/{len(q)}] {name}: {status}")
+print(json.dumps({"total": len(q), "oracled": len(o), "failed": fails}))
+spark.stop()
