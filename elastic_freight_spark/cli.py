@@ -99,7 +99,6 @@ def _cmd_es_index(args) -> int:
     from elastic_freight_spark.sources.formats import load_schema_file
     from elastic_freight_spark.sources.json_source import (
         infer_json_schema,
-        ingest_stats,
         read_json_lines,
         split_corrupt,
     )
@@ -113,7 +112,6 @@ def _cmd_es_index(args) -> int:
     good, bad = split_corrupt(raw)
     if args.quarantine:
         bad.write.mode("overwrite").parquet(args.quarantine)
-    stats = ingest_stats(raw)
     cfg = IndexConfig(
         index_name=args.index_name,
         doc_id_col=args.doc_id_field,
@@ -135,6 +133,18 @@ def _cmd_es_index(args) -> int:
     manifest["reference_advisory_params"] = {
         k: v for k, v in advisory.items() if v is not None
     }
+    # ingest stats WITHOUT a second scan of the (possibly 100 TB)
+    # input: build_index already observed created/failed counters on
+    # the write job; good parsed rows = created + null-id-failed.
+    # The corrupt count reads back the (malformed-rows-only, tiny)
+    # quarantine output when one was written.
+    counters = manifest.get("counters", {})
+    stats = {
+        "good": int(counters.get("index_doc_created", 0))
+        + int(counters.get("indexing_doc_fail", 0)),
+    }
+    if args.quarantine:
+        stats["corrupt"] = spark.read.parquet(args.quarantine).count()
     manifest["ingest_stats"] = stats
     from elastic_freight_spark.indexer import _write_manifest
 

@@ -746,20 +746,45 @@ def text_token_bpe(spark, sf_dir):
     )
 
 
+# The capped + min-support candidate CTE every downstream dedup
+# oracle must share with the engine default (neardup_ngram_jaccard):
+# rare shingles propose, pairs need >= CAND_MIN_SUPPORT proposers,
+# survivors are rescored exactly over ALL shingles. Consumers that
+# feed on the default pair set MUST use this fragment — a
+# plain uncapped pair enumeration silently diverges the moment a
+# corpus contains a pair the pruned generator (by design) skips.
+_CAPPED_PAIRS_FRAGMENT = f"""
+    rare AS (
+      SELECT shingle FROM shingles GROUP BY shingle
+      HAVING COUNT(*) <= {NGRAM_DF_CAP}
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shingles a
+      JOIN rare USING (shingle)
+      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {CAND_MIN_SUPPORT}
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             (SELECT COUNT(*) FROM shingles x JOIN shingles y
+               ON x.shingle = y.shingle
+              WHERE x.doc_id = c.doc_a AND y.doc_id = c.doc_b) AS inter
+      FROM cand c
+    )
+"""
+
 # Per-source kept/dropped counts under the greedy trim policy — the
 # oracle for BOTH the exact-pairs path and the LSH-fronted scale path
 # (LSH candidates + exact verification produce the same pair set when
 # banding recall covers the threshold, which the differential test
-# pins).
+# pins). Pair generation mirrors the engine's capped+min-support
+# default via _CAPPED_PAIRS_FRAGMENT.
 _DEDUP_COUNTS_SQL = f"""
     WITH shingles AS ({_SHINGLE_SQL}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM shingles a JOIN shingles b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+    {_CAPPED_PAIRS_FRAGMENT},
     dropped AS (
       SELECT DISTINCT doc_b AS doc_id
       FROM pairs
@@ -917,14 +942,9 @@ def connected_components(edges, max_iter: int = 20):
     oracle=f"""
     WITH RECURSIVE shingles AS ({_SHINGLE_SQL}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-    ipairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM shingles a JOIN shingles b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), jac AS (
+    {_CAPPED_PAIRS_FRAGMENT}, jac AS (
       SELECT doc_a, doc_b
-      FROM ipairs
+      FROM pairs
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.35
@@ -2448,7 +2468,14 @@ def neardup_containment(spark, sf_dir):
     (``capped_pair_intersections``): one extra projection, zero new
     shuffles beyond the shared scoring plan. Threshold (either side
     >= 0.5 contained) compares integers (inter*2 >= n) so engines
-    cannot diverge on a float boundary."""
+    cannot diverge on a float boundary.
+
+    Detection floor (deliberate, shared with the min-support-2
+    candidate rule): the contained side must span >= 2 shingles,
+    i.e. >= 4 tokens. A 3-token doc has exactly ONE trigram, and
+    "containment" of a single trigram is not an excerpt signal —
+    any document using that one phrase would match, so such pairs
+    are noise by construction, not recall."""
     inter = capped_pair_intersections(spark, sf_dir)
     return (
         inter.filter(

@@ -517,6 +517,9 @@ def ivf_probe_cells(spark, q: DataFrame, centroids: list, n_probe: int = 2) -> D
 # local-mode analogue.
 _IVF_CACHE: dict = {}
 
+# corpus row counts per (session, corpus) — consumed by adaptive cell sizing
+_N_CACHE: dict = {}
+
 
 def ivf_index(spark, sf_dir, n_cells: int = 16, seed: int = 42):
     import os as _os
@@ -626,8 +629,14 @@ def semdedup_ivf_cells(spark, sf_dir):
     scan, m=2 multi-assign covering cell boundaries) is unchanged.
     At 100 TB `assigned` is written bucketed by cell so the
     self-join is co-located (no shuffle)."""
+    import os as _os
+
     e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
-    n = e.count()  # column-pruned count: one bounded driver pull
+    nkey = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    n = _N_CACHE.get(nkey)
+    if n is None:  # column-pruned count, once per (session, corpus)
+        n = e.count()
+        _N_CACHE[nkey] = n
     n_cells = max(8, min(4096, (2 * n) // 512))
     centroids, _ = ivf_index(spark, sf_dir, n_cells=n_cells)  # cached fit
     assigned = ivf_multi_assign(e, centroids, m=2)

@@ -651,14 +651,16 @@ def stream_topk_counts(
 ):
     """Streaming heavy-hitter maintenance: the continuous face of
     ``operators.scale.skew_heavy_hitters``. Each micro-batch reduces
-    to per-key PARTIAL counts (batch-keyed, so delivery is
-    idempotent: a replayed batch overwrites its own partition rather
-    than double-counting) appended to a plain-parquet count ledger;
-    ``serve_topk`` merges partials at read time — the same
-    partials-merge contract ``incremental_rollup_merge`` pins for
-    batch. State lives as readable, compactable parquet, not an
-    opaque streaming state store, and per-batch work is
-    |batch-distinct-keys|, never proportional to history."""
+    to per-key PARTIAL counts written with OVERWRITE into its own
+    ``batch=<id>`` partition of a plain-parquet count ledger — a
+    replayed batch (foreachBatch is at-least-once) replaces its own
+    partition rather than double-counting, even on a crash between
+    the write and the skip-marker; ``serve_topk`` merges partials at
+    read time — the same partials-merge contract
+    ``incremental_rollup_merge`` pins for batch. State lives as
+    readable, compactable parquet, not an opaque streaming state
+    store, and per-batch work is |batch-distinct-keys|, never
+    proportional to history."""
 
     def _count(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -666,14 +668,21 @@ def stream_topk_counts(
         if batch_df.isEmpty():
             return
         marker = os.path.join(counts_path, f"_batch_{batch_id}.done")
-        if os.path.exists(marker):
+        if os.path.exists(marker):  # committed: skip the rework
             return
+        # idempotency by construction, not by marker: each batch
+        # OVERWRITES its own batch=<id> subdirectory, so a replay
+        # after a crash between write and marker replaces its partial
+        # partition instead of appending a duplicate. The marker is
+        # only the cheap skip. (As with every foreachBatch state dir
+        # here, counts_path is tied to ONE checkpoint lineage —
+        # restarting with a fresh checkpoint over a used counts_path
+        # restarts batch ids at 0 and is user error.)
         (
             batch_df.groupBy(F.col(key_col).alias("key"))
             .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(counts_path)
+            .write.mode("overwrite")
+            .parquet(os.path.join(counts_path, f"batch={batch_id}"))
         )
         with open(marker, "w") as f:
             f.write("done")
@@ -693,7 +702,7 @@ def serve_topk(spark: SparkSession, counts_path: str, k: int = 10) -> DataFrame:
     batch heavy-hitter query uses."""
     from pyspark.sql import functions as F
 
-    partials = spark.read.parquet(counts_path)
+    partials = spark.read.parquet(os.path.join(counts_path, "batch=*"))
     return (
         partials.groupBy("key")
         .agg(F.sum("n").cast("bigint").alias("n"))

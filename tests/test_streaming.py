@@ -674,3 +674,17 @@ def test_stream_topk_counts_matches_batch(spark, events_src, tmp_path_factory):
     q2.awaitTermination(120)
     got2 = [(r["key"], r["n"]) for r in serve_topk(spark, counts_path, k=10).collect()]
     assert got2 == want
+    # crash between write and marker: delete a marker so that batch
+    # replays with its data already present — the batch=<id> OVERWRITE
+    # must replace, not append (counts unchanged)
+    os.remove(os.path.join(counts_path, markers[0]))
+    q3 = stream_topk_counts(
+        read_parquet_stream(spark, d, schema, max_files_per_trigger=2),
+        "user_id",
+        counts_path,
+        str(base / "ckpt3"),
+        available_now=True,
+    )
+    q3.awaitTermination(120)
+    got3 = [(r["key"], r["n"]) for r in serve_topk(spark, counts_path, k=10).collect()]
+    assert got3 == want

@@ -64,10 +64,18 @@ def test_ann_lsh_recall(spark, q):
     # and ANN returns results for most queries
     assert len({r["query_id"] for r in ann}) >= 5
     # multi-probe recall floor: ANN top-3 must recover a solid share
-    # of the true top-3 pairs (measured 0.73 with 8 tables x 1-bit
-    # probes vs 0.33 for 16 exact-probe tables; 0.4 leaves margin
-    # for data regen)
-    true_pairs = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    # of the TRUE top-3 pairs (brute returns top-5, so cut it to 3
+    # per query — dividing by the top-5 set would cap the metric at
+    # 0.6). Measured 0.73 with 8 tables x 1-bit probes vs 0.33 for
+    # 16 exact-probe tables; 0.4 leaves margin for data regen.
+    by_q = {}
+    for r in brute.collect():
+        by_q.setdefault(r["query_id"], []).append((-r["cosine"], r["neighbor_id"]))
+    true_pairs = {
+        (qid, nid)
+        for qid, lst in by_q.items()
+        for _, nid in sorted(lst)[:3]
+    }
     recall = len(ann_pairs & true_pairs) / max(len(true_pairs), 1)
     assert recall >= 0.4, f"top-3 recall {recall:.2f}"
 
