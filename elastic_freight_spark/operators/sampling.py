@@ -602,7 +602,9 @@ def source_dataset_card(spark, sf_dir):
         .withColumn(
             "rn",
             F.row_number().over(
-                W.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+                W.partitionBy("source").orderBy(
+                    F.col("n").desc(), F.col("lang").asc_nulls_last()
+                )
             ),
         )
     )

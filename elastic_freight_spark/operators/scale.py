@@ -629,16 +629,20 @@ def incremental_rollup_merge(spark, sf_dir):
     fence = li.agg(
         F.date_sub(F.max(F.to_date("l_shipdate")), 30).alias("cutoff")
     )
-    facts = li.select(day, rev.alias("rev")).crossJoin(F.broadcast(fence))
-
-    def partials(df):
-        return df.groupBy("day").agg(
+    # ONE fact scan: the base/delta split is day-aligned, so it is
+    # applied to the day-grain PARTIALS (thousands of rows), not by
+    # forking two filtered scans of the (100 TB) fact table
+    day_partials = (
+        li.select(day, rev.alias("rev"))
+        .groupBy("day")
+        .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum(F.col("rev").cast("decimal(18,4)")).alias("rev_partial"),
         )
-
-    base = partials(facts.filter(F.col("day") < F.col("cutoff")))
-    delta = partials(facts.filter(F.col("day") >= F.col("cutoff")))
+        .crossJoin(F.broadcast(fence))
+    )
+    base = day_partials.filter(F.col("day") < F.col("cutoff")).drop("cutoff")
+    delta = day_partials.filter(F.col("day") >= F.col("cutoff")).drop("cutoff")
     merged = base.unionByName(delta)
     return (
         merged.groupBy("day")

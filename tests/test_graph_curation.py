@@ -113,6 +113,7 @@ def test_market_basket_counts_bruteforce(spark):
     for r in got:
         assert co[(r["part_a"], r["part_b"])] == r["co_count"]
     # top-20 by co_count: nothing outside the result beats the floor
+    assert got, "fixture should contain co-occurring part pairs"
     floor = min(r["co_count"] for r in got)
     better = sum(1 for v in co.values() if v > floor)
     assert better <= 20
