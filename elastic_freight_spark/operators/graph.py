@@ -197,3 +197,88 @@ def graph_degree_histogram(spark, sf_dir):
         .select(F.col("degree").cast("bigint").alias("degree"), "n_suppliers")
         .orderBy("degree")
     )
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (
+      SELECT u AS a, v AS b FROM edges
+      UNION ALL
+      SELECT v AS a, u AS b FROM edges
+    ),
+    deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY 1),
+    wedge AS (
+      SELECT x.a AS u, y.b AS v, COUNT(*) AS common
+      FROM und x JOIN und y ON x.b = y.a AND x.a < y.b
+      GROUP BY 1, 2
+    ),
+    open_w AS (
+      SELECT w.u, w.v, w.common
+      FROM wedge w
+      LEFT JOIN edges e ON e.u = w.u AND e.v = w.v
+      WHERE e.u IS NULL
+    )
+    SELECT o.u, o.v, CAST(o.common AS BIGINT) AS common_neighbors,
+           ROUND(o.common / CAST(du.d + dv.d - o.common AS DOUBLE), 9)
+             AS neighbor_jaccard
+    FROM open_w o
+    JOIN deg du ON du.node = o.u
+    JOIN deg dv ON dv.node = o.v
+    ORDER BY common_neighbors DESC, neighbor_jaccard DESC, u, v
+    LIMIT 25
+    """,
+)
+def graph_link_prediction(spark, sf_dir):
+    """Link prediction on the co-supply graph: the top 25 NON-edges
+    ranked by common-neighbor count (with neighbor-set Jaccard as
+    the tie-aware second score) — the classic "who should be
+    partners but isn't" recommendation (Liben-Nowell & Kleinberg's
+    common-neighbors baseline) over the same sparse top-k edge set
+    the triangle census uses.
+
+    Plan shape: wedges enumerate candidate pairs through the shared
+    middle vertex (one self-join of the symmetrized edge list, fan-
+    out capped by the k-bounded degree), one anti-join removes pairs
+    that are ALREADY edges, two degree joins finish the Jaccard.
+    Every frame is edge- or node-sized: |E| ≤ k·|V| by construction,
+    so the whole query is node-linear at any scale. Deterministic
+    total order on (score, jaccard, u, v)."""
+    edges = cosupply_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    x, y = und.alias("x"), und.alias("y")
+    wedge = (
+        x.join(y, (F.col("x.b") == F.col("y.a")) & (F.col("x.a") < F.col("y.b")))
+        .groupBy(F.col("x.a").alias("u"), F.col("y.b").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    open_w = wedge.join(edges, ["u", "v"], "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        open_w.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("common").cast("bigint").alias("common_neighbors"),
+            F.round(
+                F.col("common")
+                / (F.col("du") + F.col("dv") - F.col("common")).cast("double"),
+                9,
+            ).alias("neighbor_jaccard"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(),
+            F.col("neighbor_jaccard").desc(),
+            "u",
+            "v",
+        )
+        .limit(25)
+    )

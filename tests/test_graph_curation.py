@@ -184,3 +184,36 @@ def test_new_tier_plan_shapes(spark):
         .toString()
     )
     assert "HashAggregate" not in snip and "Window" not in snip
+
+
+def test_link_prediction_matches_bruteforce(spark):
+    from elastic_freight_spark.operators.graph import cosupply_edges
+
+    edges = {
+        (r["u"], r["v"]) for r in cosupply_edges(spark, SF_DIR).collect()
+    }
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    cand = {}
+    for a in nbrs:
+        for b in nbrs:
+            if a < b and (a, b) not in edges:
+                common = len(nbrs[a] & nbrs[b])
+                if common:
+                    cand[(a, b)] = common
+    want = sorted(
+        (
+            (-c, -round(c / (len(nbrs[a]) + len(nbrs[b]) - c), 9), a, b)
+            for (a, b), c in cand.items()
+        )
+    )[:25]
+    got = registry.QUERIES["graph_link_prediction"](spark, SF_DIR).collect()
+    got_t = [
+        (-r["common_neighbors"], -r["neighbor_jaccard"], r["u"], r["v"])
+        for r in got
+    ]
+    assert got_t == want
+    for r in got:
+        assert (r["u"], r["v"]) not in edges  # strictly NON-edges
