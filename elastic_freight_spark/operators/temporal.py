@@ -1123,3 +1123,190 @@ def orders_churn_labels(spark, sf_dir):
         .cast("int")
         .alias("churned"),
     )
+
+
+@query(
+    "events_funnel_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+       AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 7 DAY
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+       AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 7 DAY
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    gaps AS (
+      SELECT 'view>click' AS hop,
+             epoch_us(c.t2) - epoch_us(v.t1) AS gap_us
+      FROM c JOIN v ON c.user_id = v.user_id
+      UNION ALL
+      SELECT 'click>purchase',
+             epoch_us(p.t3) - epoch_us(c.t2)
+      FROM p JOIN c ON p.user_id = c.user_id
+    ),
+    ranked AS (
+      SELECT hop, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY hop ORDER BY gap_us) AS rn,
+             COUNT(*) OVER (PARTITION BY hop) AS n
+      FROM gaps
+    )
+    SELECT hop, CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(MIN(CASE WHEN rn * 2 >= n THEN gap_us END) AS BIGINT)
+             AS median_gap_us,
+           CAST(MIN(CASE WHEN rn * 10 >= n * 9 THEN gap_us END) AS BIGINT)
+             AS p90_gap_us
+    FROM ranked GROUP BY hop
+    """,
+)
+def events_funnel_latency(spark, sf_dir):
+    """Funnel hop latencies: for users who advanced, the exact median
+    and p90 time from first view to first qualifying click, and from
+    that click to first qualifying purchase — the "where do users
+    stall" companion to ``events_funnel_conversion``'s "where do they
+    drop". Exact rank-based percentiles (rn·2 ≥ n / rn·10 ≥ 9n — the
+    same integer-compare discipline as ``agg_weighted_median``) on
+    microsecond-exact gaps, so both engines agree bit-for-bit where
+    approximate percentiles could not.
+
+    Plan: the same cascaded min-timestamp stage frames as the
+    conversion query (user-keyed shuffles, monotonically shrinking),
+    then one window pass over the per-user gap table — which is
+    funnel-survivor-sized, far smaller than the event stream."""
+    from pyspark.sql import Window as W
+
+    e = load_tables(spark, sf_dir)["events"]
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    gap_vc = (
+        c.join(v, "user_id")
+        .select(
+            F.lit("view>click").alias("hop"),
+            (F.unix_micros("t2") - F.unix_micros("t1")).alias("gap_us"),
+        )
+    )
+    gap_cp = (
+        p.join(c, "user_id")
+        .select(
+            F.lit("click>purchase").alias("hop"),
+            (F.unix_micros("t3") - F.unix_micros("t2")).alias("gap_us"),
+        )
+    )
+    gaps = gap_vc.unionByName(gap_cp)
+    w = W.partitionBy("hop").orderBy("gap_us")
+    ranked = gaps.select(
+        "hop",
+        "gap_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("hop")).alias("n"),
+    )
+    return ranked.groupBy("hop").agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("gap_us")))
+        .cast("bigint")
+        .alias("median_gap_us"),
+        F.min(F.when(F.col("rn") * 10 >= F.col("n") * 9, F.col("gap_us")))
+        .cast("bigint")
+        .alias("p90_gap_us"),
+    )
+
+
+@query(
+    "w_user_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS streak_len, MIN(day) AS streak_start
+      FROM grp GROUP BY user_id, anchor
+    ),
+    best AS (
+      SELECT user_id, streak_len, streak_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC, streak_start) AS rn
+      FROM streaks
+    )
+    SELECT user_id, CAST(streak_len AS BIGINT) AS longest_streak_days,
+           CAST(streak_start AS VARCHAR) AS streak_start
+    FROM best WHERE rn = 1
+    """,
+)
+def w_user_activity_streaks(spark, sf_dir):
+    """Longest consecutive-active-day streak per user (gaps-and-
+    islands on the DAY grain): day − row_number(day) is constant
+    exactly while days are consecutive, so one user-keyed window plus
+    one aggregate finds every streak; earliest streak wins ties
+    deterministically. The engagement metric behind retention
+    dashboards — and a different island construction from
+    ``t_sessionize_gaps``'s time-gap rule (calendar adjacency, not
+    a silence threshold).
+
+    Plan: distinct (user, day) first — the window and everything
+    after runs on the day-grain frame, orders of magnitude smaller
+    than the event stream; all shuffles user-keyed."""
+    from pyspark.sql import Window as W
+
+    e = load_tables(spark, sf_dir)["events"]
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    grp = days.withColumn(
+        "anchor",
+        F.date_sub(
+            F.col("day"),
+            F.row_number().over(W.partitionBy("user_id").orderBy("day")),
+        ),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    best = streaks.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(
+                F.col("streak_len").desc(), "streak_start"
+            )
+        ),
+    )
+    return best.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("streak_len").cast("bigint").alias("longest_streak_days"),
+        F.col("streak_start").cast("string").alias("streak_start"),
+    )

@@ -238,3 +238,86 @@ def test_churn_labels_match_pandas(spark, q):
         want_churn = 1 if row["max"] < mx - pd.Timedelta(days=90) else 0
         lo, n, ch = got[ck]
         assert (pd.Timestamp(lo), n, ch) == (row["max"], row["count"], want_churn), ck
+
+
+def test_funnel_latency_matches_python_twin(spark, q):
+    """Exact rank-percentile gaps recomputed in plain python from the
+    same cascaded-min definition."""
+    from elastic_freight_spark.session import load_tables
+
+    rows = {
+        r["hop"]: r for r in q["events_funnel_latency"](spark, SF_DIR_ORACLE).collect()
+    }
+    ev = (
+        load_tables(spark, SF_DIR_ORACLE)["events"]
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    from collections import defaultdict
+    from datetime import timedelta
+
+    by_type = defaultdict(lambda: defaultdict(list))
+    for r in ev:
+        by_type[r["event_type"]][r["user_id"]].append(r["ts"])
+    week = timedelta(days=7)
+    t1 = {u: min(ts) for u, ts in by_type["view"].items()}
+    t2 = {}
+    for u, start in t1.items():
+        cands = [t for t in by_type["click"].get(u, []) if start < t <= start + week]
+        if cands:
+            t2[u] = min(cands)
+    t3 = {}
+    for u, start in t2.items():
+        cands = [t for t in by_type["purchase"].get(u, []) if start < t <= start + week]
+        if cands:
+            t3[u] = min(cands)
+
+    def us(td):
+        return td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+
+    def pct(gaps, mult, target):
+        gaps = sorted(gaps)
+        n = len(gaps)
+        return next(g for i, g in enumerate(gaps, 1) if i * mult >= n * target)
+
+    vc = [us(t2[u] - t1[u]) for u in t2]
+    cp = [us(t3[u] - t2[u]) for u in t3]
+    assert rows["view>click"]["n_users"] == len(vc)
+    assert rows["view>click"]["median_gap_us"] == pct(vc, 2, 1)
+    assert rows["view>click"]["p90_gap_us"] == pct(vc, 10, 9)
+    assert rows["click>purchase"]["n_users"] == len(cp)
+    assert rows["click>purchase"]["median_gap_us"] == pct(cp, 2, 1)
+
+
+def test_activity_streaks_match_python_twin(spark, q):
+    from elastic_freight_spark.session import load_tables
+
+    got = {
+        r["user_id"]: (r["longest_streak_days"], r["streak_start"])
+        for r in q["w_user_activity_streaks"](spark, SF_DIR_ORACLE).collect()
+    }
+    ev = (
+        load_tables(spark, SF_DIR_ORACLE)["events"]
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+    from datetime import timedelta
+
+    days = defaultdict(set)
+    for r in ev:
+        days[r["user_id"]].add(r["day"])
+    for u, ds in days.items():
+        best_len, best_start = 0, None
+        ds = sorted(ds)
+        i = 0
+        while i < len(ds):
+            j = i
+            while j + 1 < len(ds) and ds[j + 1] == ds[j] + timedelta(days=1):
+                j += 1
+            ln = j - i + 1
+            if ln > best_len:
+                best_len, best_start = ln, ds[i]
+            i = j + 1
+        assert got[u] == (best_len, str(best_start)), u
