@@ -154,9 +154,12 @@ def _cmd_es_index(args) -> int:
 
 
 def _cmd_query(args) -> int:
-    import __spark_entry__ as entry
+    # the package registry, NOT the repo-root __spark_entry__ harness:
+    # the CLI must work from any cwd with just the package importable
+    from elastic_freight_spark import registry
 
-    queries = entry.queries()
+    registry.load_all()
+    queries = registry.QUERIES
     if args.name == "list":
         for name in queries:
             print(name)

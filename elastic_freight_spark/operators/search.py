@@ -510,13 +510,15 @@ def search_query_expansion(spark, sf_dir):
     postings, _ = indexed_postings(spark, sf_dir)
     doc_tokens = postings.select("doc_id", "token")
     seed_docs = doc_tokens.filter(F.col("token") == "data").select("doc_id")
-    # N = total documents, counted on the documents table (module
-    # convention, matches the oracle): the postings cache drops docs
-    # with no non-empty tokens, so a countDistinct over it silently
-    # undercounts on corpora containing empty/whitespace-only texts
+    # N = documents with non-NULL text, counted on the documents
+    # table: the postings cache additionally drops docs whose text
+    # has no non-empty tokens (undercounting vs the oracle on
+    # empty/whitespace-only texts), while COUNT(*) would overcount
+    # NULL-text docs the oracle's string_split drops — COUNT(text)
+    # matches the oracle universe on every corpus
     n_docs = (
         load_tables(spark, sf_dir)["documents"]
-        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+        .agg(F.count("text").cast("double").alias("n_docs"))
     )
     n_seed = seed_docs.agg(F.count(F.lit(1)).alias("n_seed"))
     df = doc_tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))

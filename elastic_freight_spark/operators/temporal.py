@@ -992,10 +992,14 @@ def orders_interarrival_median(spark, sf_dir):
     )
 
 
-@query(
-    "events_funnel_conversion",
-    oracle="""
-    WITH v AS (
+
+
+# Shared funnel-stage definitions (view -> click -> purchase, each
+# stage within 7 days of the previous stage's FIRST qualifying event):
+# the conversion, latency, and any future funnel query must use THESE
+# so the stage rule can never desynchronize between them.
+_FUNNEL_STAGES_SQL = """
+    v AS (
       SELECT user_id, MIN(ts) AS t1 FROM events
       WHERE event_type = 'view' GROUP BY 1
     ),
@@ -1010,7 +1014,45 @@ def orders_interarrival_median(spark, sf_dir):
       FROM events e JOIN c ON e.user_id = c.user_id
        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 7 DAY
       WHERE e.event_type = 'purchase' GROUP BY 1
-    ),
+    )
+"""
+
+
+def _funnel_stages(spark, sf_dir):
+    """(v, c, p) stage frames — the Spark twin of _FUNNEL_STAGES_SQL."""
+    e = load_tables(spark, sf_dir)["events"]
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return v, c, p
+
+
+@query(
+    "events_funnel_conversion",
+    oracle=f"""
+    WITH {_FUNNEL_STAGES_SQL},
     n AS (SELECT (SELECT COUNT(*) FROM v) AS nv,
                  (SELECT COUNT(*) FROM c) AS nc,
                  (SELECT COUNT(*) FROM p) AS np)
@@ -1038,32 +1080,7 @@ def events_funnel_conversion(spark, sf_dir):
     explode: at 100 TB the event scan happens once per stage filter
     (or once total if the engine collapses the shared scan) and all
     joins are on the reduced per-user frames."""
-    e = load_tables(spark, sf_dir)["events"]
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t1"))
-            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t2"))
-            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 7 DAYS"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
+    v, c, p = _funnel_stages(spark, sf_dir)
     nv = v.agg(F.count(F.lit(1)).alias("nv"))
     nc = c.agg(F.count(F.lit(1)).alias("nc"))
     np_ = p.agg(F.count(F.lit(1)).alias("np"))
@@ -1127,23 +1144,8 @@ def orders_churn_labels(spark, sf_dir):
 
 @query(
     "events_funnel_latency",
-    oracle="""
-    WITH v AS (
-      SELECT user_id, MIN(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY 1
-    ),
-    c AS (
-      SELECT e.user_id, MIN(e.ts) AS t2
-      FROM events e JOIN v ON e.user_id = v.user_id
-       AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 7 DAY
-      WHERE e.event_type = 'click' GROUP BY 1
-    ),
-    p AS (
-      SELECT e.user_id, MIN(e.ts) AS t3
-      FROM events e JOIN c ON e.user_id = c.user_id
-       AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 7 DAY
-      WHERE e.event_type = 'purchase' GROUP BY 1
-    ),
+    oracle=f"""
+    WITH {_FUNNEL_STAGES_SQL},
     gaps AS (
       SELECT 'view>click' AS hop,
              epoch_us(c.t2) - epoch_us(v.t1) AS gap_us
@@ -1183,32 +1185,7 @@ def events_funnel_latency(spark, sf_dir):
     funnel-survivor-sized, far smaller than the event stream."""
     from pyspark.sql import Window as W
 
-    e = load_tables(spark, sf_dir)["events"]
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t1"))
-            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t2"))
-            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 7 DAYS"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
+    v, c, p = _funnel_stages(spark, sf_dir)
     gap_vc = (
         c.join(v, "user_id")
         .select(

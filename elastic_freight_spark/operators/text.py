@@ -775,16 +775,9 @@ _CAPPED_PAIRS_FRAGMENT = f"""
     )
 """
 
-# Per-source kept/dropped counts under the greedy trim policy — the
-# oracle for BOTH the exact-pairs path and the LSH-fronted scale path
-# (LSH candidates + exact verification produce the same pair set when
-# banding recall covers the threshold, which the differential test
-# pins). Pair generation mirrors the engine's capped+min-support
-# default via _CAPPED_PAIRS_FRAGMENT.
-_DEDUP_COUNTS_SQL = f"""
-    WITH shingles AS ({_SHINGLE_SQL}),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-    {_CAPPED_PAIRS_FRAGMENT},
+# Shared tail of the per-source kept/dropped oracles: the greedy trim
+# over whatever `pairs` CTE the caller supplies.
+_DEDUP_COUNTS_TAIL = """
     dropped AS (
       SELECT DISTINCT doc_b AS doc_id
       FROM pairs
@@ -798,6 +791,34 @@ _DEDUP_COUNTS_SQL = f"""
            CAST(COUNT(dr.doc_id) AS BIGINT) AS n_dropped
     FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
     GROUP BY d.source
+"""
+
+# Greedy-trim oracle over the engine DEFAULT pair generator
+# (capped + min-support): the contract for dedup_corpus_greedy, which
+# consumes neardup_ngram_jaccard.
+_DEDUP_COUNTS_SQL = f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    {_CAPPED_PAIRS_FRAGMENT},
+    {_DEDUP_COUNTS_TAIL}
+"""
+
+# Greedy-trim oracle over the UNCAPPED exact pair universe: the
+# contract for dedup_corpus_lsh, whose banded-LSH candidate generator
+# has NO df-cap or support floor — banding recall over ALL pairs is
+# exactly what that path promises, so auditing it against the pruned
+# generator would hide (not test) a recall gap on prune-sensitive
+# pairs.
+_DEDUP_COUNTS_UNCAPPED_SQL = f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    {_DEDUP_COUNTS_TAIL}
 """
 
 
@@ -825,7 +846,7 @@ def dedup_corpus_greedy(spark, sf_dir):
     )
 
 
-@query("dedup_corpus_lsh", oracle=_DEDUP_COUNTS_SQL)
+@query("dedup_corpus_lsh", oracle=_DEDUP_COUNTS_UNCAPPED_SQL)
 def dedup_corpus_lsh(spark, sf_dir, threshold: float = 0.35):
     """Scale-default corpus dedup: banded MinHash-LSH candidate
     generation → exact 3-gram Jaccard verification of ONLY the

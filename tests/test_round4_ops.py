@@ -287,6 +287,7 @@ def test_funnel_latency_matches_python_twin(spark, q):
     assert rows["view>click"]["p90_gap_us"] == pct(vc, 10, 9)
     assert rows["click>purchase"]["n_users"] == len(cp)
     assert rows["click>purchase"]["median_gap_us"] == pct(cp, 2, 1)
+    assert rows["click>purchase"]["p90_gap_us"] == pct(cp, 10, 9)
 
 
 def test_activity_streaks_match_python_twin(spark, q):
