@@ -2596,3 +2596,50 @@ def text_bigram_lm_score(spark, sf_dir):
             ).alias("mean_nll"),
         )
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+               AS n_bpe,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           ROUND(SUM(n_bpe) / CAST(SUM(n_ws) AS DOUBLE), 9) AS fertility
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: BPE-pre-tokenizer tokens per
+    whitespace word — THE cross-lingual tokenizer-quality metric
+    (high fertility = the vocab fragments that language, inflating
+    sequence lengths and training cost; the signal behind per-lang
+    vocab allocation). Corpus-level ratio of sums (not mean of
+    per-doc ratios) so short docs don't dominate; integer token
+    sums make the engines agree exactly, the final ratio rounds at
+    9. One text scan, one lang-keyed aggregate."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    per_doc = docs.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_PAT), F.lit(0))
+        ).alias("n_bpe"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+        F.round(
+            F.sum("n_bpe") / F.sum("n_ws").cast("double"), 9
+        ).alias("fertility"),
+    )
