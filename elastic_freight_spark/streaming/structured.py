@@ -709,3 +709,66 @@ def serve_topk(spark: SparkSession, counts_path: str, k: int = 10) -> DataFrame:
         .orderBy(F.col("n").desc(), "key")
         .limit(k)
     )
+
+
+_FUNNEL_STATE_SCHEMA = "t1 LONG, t2 LONG, t3 LONG"
+_FUNNEL_OUT_SCHEMA = (
+    "user_id LONG, stage INT, t1_us LONG, t2_us LONG, t3_us LONG"
+)
+_FUNNEL_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def _funnel_user_fn(key, pdfs, state):
+    """Per-user funnel stage machine (view → click → purchase, each
+    stage within 7 days of the previous stage's FIRST qualifying
+    event — `operators.temporal._funnel_stages` semantics, applied
+    one event at a time in timestamp order). State is the three
+    first-qualifying timestamps (0 = not reached); processing events
+    in ts order makes "first qualifying" ≡ "min qualifying", so the
+    converged state equals the batch definition exactly."""
+    import pandas as pd
+
+    t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows["ts_us"] = rows["ts"].astype("int64") // 1000
+    rows = rows.sort_values("ts_us")
+    for etype, ts in zip(rows["event_type"], rows["ts_us"]):
+        if t1 == 0:
+            if etype == "view":
+                t1 = ts
+        elif t2 == 0:
+            if etype == "click" and t1 < ts <= t1 + _FUNNEL_WEEK_US:
+                t2 = ts
+        elif t3 == 0:
+            if etype == "purchase" and t2 < ts <= t2 + _FUNNEL_WEEK_US:
+                t3 = ts
+    state.update((t1, t2, t3))
+    stage = 3 if t3 else (2 if t2 else (1 if t1 else 0))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "stage": [stage],
+            "t1_us": [t1],
+            "t2_us": [t2],
+            "t3_us": [t3],
+        }
+    )
+
+
+def stream_funnel_state(events: DataFrame) -> DataFrame:
+    """Continuous funnel tracking via ``applyInPandasWithState``: each
+    user carries a tiny (t1, t2, t3) state tuple, every micro-batch
+    advances the stage machine over its (ts-sorted) events and emits
+    the user's current stage — live funnel dashboards without
+    re-scanning history (per-batch work is batch-sized; state is
+    3 longs per user). Converges to the batch funnel EXACTLY when
+    events arrive time-ordered across batches (the kafka/file-source
+    norm); the differential test pins stream ≡ batch on a
+    time-bucketed source."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_user_fn,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

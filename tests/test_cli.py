@@ -95,3 +95,23 @@ def test_cli_query_runs_and_lists(capsys):
 
     rc = main(["query", "no_such_query"])
     assert rc == 2
+
+
+def test_cli_works_from_foreign_cwd(tmp_path):
+    """The CLI must not depend on the repo root being the cwd: `query
+    list` goes through the package registry, not the repo-root
+    __spark_entry__ harness."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    out = subprocess.run(
+        [sys.executable, "-m", "elastic_freight_spark", "query", "list"],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "q1_pricing_summary" in out.stdout.splitlines()

@@ -688,3 +688,67 @@ def test_stream_topk_counts_matches_batch(spark, events_src, tmp_path_factory):
     q3.awaitTermination(120)
     got3 = [(r["key"], r["n"]) for r in serve_topk(spark, counts_path, k=10).collect()]
     assert got3 == want
+
+
+def test_stream_funnel_state_matches_batch(spark, tmp_path_factory):
+    """The stateful streaming funnel must converge to the batch funnel
+    stage per user when micro-batches arrive in time order (files
+    bucketed by ts range, one file per trigger)."""
+    from elastic_freight_spark.operators.temporal import _funnel_stages
+    from elastic_freight_spark.session import load_tables
+    from elastic_freight_spark.streaming.structured import (
+        read_parquet_stream,
+        stream_funnel_state,
+    )
+
+    base = tmp_path_factory.mktemp("funnel_stream")
+    src = str(base / "src")
+    events = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # three time-ordered source files => three in-order micro-batches
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    import os as _os
+
+    span = (hi - lo) / 3
+    for i in range(3):
+        part = events.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi))
+            | (F.lit(i == 2) & (F.col("ts") == hi))
+        )
+        part.coalesce(1).write.parquet(_os.path.join(src, f"b{i}.parquet"))
+    # one directory of parquet files, read as a stream one file/trigger
+    import glob, shutil
+
+    flat = str(base / "flat")
+    _os.makedirs(flat)
+    for i, d in enumerate(sorted(glob.glob(_os.path.join(src, "b*.parquet")))):
+        for j, f in enumerate(sorted(glob.glob(_os.path.join(d, "*.parquet")))):
+            shutil.copy(f, _os.path.join(flat, f"{i}_{j}.parquet"))
+    schema = spark.read.parquet(flat).schema
+    stream = read_parquet_stream(spark, flat, schema, max_files_per_trigger=1)
+    q = (
+        stream_funnel_state(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    updates = spark.sql("SELECT * FROM funnel_state").collect()
+    # last update per user = converged stage
+    final = {}
+    for r in updates:
+        prev = final.get(r["user_id"])
+        if prev is None or r["stage"] >= prev:
+            final[r["user_id"]] = r["stage"]
+
+    v, c, p = _funnel_stages(spark, "/root/testdata/sf0.001")
+    vs = {r["user_id"] for r in v.collect()}
+    cs = {r["user_id"] for r in c.collect()}
+    ps = {r["user_id"] for r in p.collect()}
+    want = {u: (3 if u in ps else 2 if u in cs else 1) for u in vs}
+    got = {u: s for u, s in final.items() if s >= 1}
+    assert got == want
