@@ -109,6 +109,11 @@ def _cmd_es_index(args) -> int:
     else:
         schema = load_schema_file(spark, args.schema)
     raw = read_json_lines(spark, args.input, schema)
+    if args.quarantine:
+        # the quarantine write and the index build would otherwise
+        # each re-read + re-parse the full input; one cached parse
+        # serves both jobs
+        raw = raw.persist()
     good, bad = split_corrupt(raw)
     if args.quarantine:
         bad.write.mode("overwrite").parquet(args.quarantine)

@@ -43,27 +43,27 @@ from elastic_freight_spark.session import load_tables
 
 TOPK_PARTNERS = 5
 
-# spliced as the body of `WITH edges AS (...)` in both oracles; the
-# directed weight list appears twice (u→v, v→u) because a CTE body
-# cannot open its own WITH in that position.
-_WEIGHTS_SQL = """
+# spliced as the body of `WITH edges AS (...)` in every graph oracle;
+# a nested WITH names the pair-weight aggregate ONCE so the dominant
+# part-keyed self-join is evaluated a single time per oracle run
+# (DuckDB supports WITH inside a CTE body).
+_EDGES_SQL = f"""
+      WITH weights AS (
         SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
         JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
           ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
         GROUP BY 1, 2
-"""
-
-_EDGES_SQL = f"""
+      )
       SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
       FROM (
         SELECT src, dst,
                ROW_NUMBER() OVER (PARTITION BY src
                                   ORDER BY w DESC, dst) AS rk
         FROM (
-          SELECT u AS src, v AS dst, w FROM ({_WEIGHTS_SQL})
+          SELECT u AS src, v AS dst, w FROM weights
           UNION ALL
-          SELECT v AS src, u AS dst, w FROM ({_WEIGHTS_SQL})
+          SELECT v AS src, u AS dst, w FROM weights
         )
       ) WHERE rk <= {TOPK_PARTNERS}
 """

@@ -700,9 +700,14 @@ def serve_topk(spark: SparkSession, counts_path: str, k: int = 10) -> DataFrame:
     counts (one key-sized aggregate over the ledger — facts are never
     rescanned) with the deterministic (count desc, key) tie-break the
     batch heavy-hitter query uses."""
+    import glob
+
     from pyspark.sql import functions as F
 
-    partials = spark.read.parquet(os.path.join(counts_path, "batch=*"))
+    dirs = sorted(glob.glob(os.path.join(counts_path, "batch=*")))
+    if not dirs:  # stream started, nothing committed yet: empty top-k
+        return spark.createDataFrame([], "key long, n long")
+    partials = spark.read.parquet(*dirs)
     return (
         partials.groupBy("key")
         .agg(F.sum("n").cast("bigint").alias("n"))
@@ -730,7 +735,10 @@ def _funnel_user_fn(key, pdfs, state):
 
     t1, t2, t3 = state.get if state.exists else (0, 0, 0)
     rows = pd.concat(list(pdfs), ignore_index=True)
-    rows["ts_us"] = rows["ts"].astype("int64") // 1000
+    # normalize to microseconds explicitly — plain astype(int64)
+    # depends on the Arrow->pandas datetime unit (ns today, us under
+    # future pandas defaults) and would silently mis-scale the window
+    rows["ts_us"] = rows["ts"].astype("datetime64[us]").astype("int64")
     rows = rows.sort_values("ts_us")
     for etype, ts in zip(rows["event_type"], rows["ts_us"]):
         if t1 == 0:
