@@ -752,3 +752,50 @@ def test_stream_funnel_state_matches_batch(spark, tmp_path_factory):
     want = {u: (3 if u in ps else 2 if u in cs else 1) for u in vs}
     got = {u: s for u, s in final.items() if s >= 1}
     assert got == want
+
+
+def test_stateful_dedup_on_rocksdb_state_store(spark, events_src, tmp_path_factory):
+    """The 100 TB-state claim in this module's docstring names the
+    RocksDB state store as the off-heap scale path — prove the
+    engine's stateful operators actually run on it (provider is a
+    per-query conf picked up at checkpoint creation)."""
+    src, schema, batch = events_src
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_parquet_stream(spark, src, schema)
+        q = (
+            dedup_stream(stream, ["user_id", "event_type"], watermark="1 day")
+            .writeStream.format("memory")
+            .queryName("t5_rocks_mem")
+            .outputMode("append")
+            .option(
+                "checkpointLocation", str(tmp_path_factory.mktemp("rocks_ckpt"))
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("t5_rocks_mem").count()
+        assert got == batch.dropDuplicates(["user_id", "event_type"]).count()
+        # the state store actually used RocksDB (progress reports the provider)
+        import json as _json
+
+        prog = _json.loads(q.lastProgress.json) if q.lastProgress else {}
+        ops = prog.get("stateOperators", [])
+        assert ops, "expected a stateful operator in progress"
+        rocks_metrics = {
+            k
+            for op in ops
+            for k in op.get("customMetrics", {})
+            if "rocksdb" in k.lower()
+        }
+        assert rocks_metrics, "state store did not report RocksDB metrics"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
