@@ -1662,3 +1662,56 @@ def er_part_name_match(spark, sf_dir):
             F.col("b.n_parts").cast("bigint").alias("n_parts_b"),
         )
     )
+
+
+@query(
+    "agg_exact_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT o_orderstatus, SUM(n) AS grp_n FROM c GROUP BY 1
+    ),
+    r AS (
+      SELECT c.*, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY n DESC, o_orderpriority) AS rn
+      FROM c
+    )
+    SELECT r.o_orderstatus, r.o_orderpriority AS mode_priority,
+           CAST(r.n AS BIGINT) AS n_rows,
+           ROUND(r.n / CAST(t.grp_n AS DOUBLE), 9) AS share
+    FROM r JOIN tot t ON t.o_orderstatus = r.o_orderstatus
+    WHERE rn = 1
+    """,
+)
+def agg_exact_mode(spark, sf_dir):
+    """Exact MODE per group (most frequent o_orderpriority per order
+    status, with its share of the group) — the one classic aggregate
+    Spark lacks as a builtin deterministic form (its ``mode()`` picks
+    an arbitrary value on ties); here ties break on the value itself
+    so both engines must return the identical row. Two group-sized
+    aggregates + one window over the (status × priority) frame —
+    post-reduction cardinality, never data-sized."""
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("o_orderstatus").agg(F.sum("n").alias("grp_n"))
+    r = c.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("o_orderstatus").orderBy(
+                F.col("n").desc(), "o_orderpriority"
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return r.join(tot, "o_orderstatus").select(
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("mode_priority"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("n") / F.col("grp_n").cast("double"), 9).alias("share"),
+    )
