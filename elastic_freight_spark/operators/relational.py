@@ -1715,3 +1715,41 @@ def agg_exact_mode(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_rows"),
         F.round(F.col("n") / F.col("grp_n").cast("double"), 9).alias("share"),
     )
+
+
+@query(
+    "orders_basket_size_distribution",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(n_items AS BIGINT) AS basket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 9)
+             AS frac_orders
+    FROM per_order
+    GROUP BY n_items
+    """,
+)
+def orders_basket_size_distribution(spark, sf_dir):
+    """Order fan-out profile: how many orders have k line items, with
+    each size's share — the first thing to inspect before planning
+    any order-grain join or the market-basket pair expansion (whose
+    cost is Σ C(k,2) over exactly this histogram). Two aggregates:
+    order-keyed reduce, then the size histogram over the (tiny)
+    per-order frame; the share window runs on histogram-sized rows."""
+    from pyspark.sql import Window as W
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per_order = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    hist = per_order.groupBy("n_items").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return hist.select(
+        F.col("n_items").cast("bigint").alias("basket_size"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(
+            F.col("n_orders") / F.sum("n_orders").over(W.partitionBy()).cast("double"),
+            9,
+        ).alias("frac_orders"),
+    )

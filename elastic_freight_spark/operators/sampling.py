@@ -763,3 +763,112 @@ def dsir_importance_weights(spark, sf_dir):
             ).alias("log_importance"),
         )
     )
+
+
+@query(
+    "dq_documents_constraints",
+    oracle="""
+    WITH a AS (
+      SELECT SUM(CASE WHEN text IS NULL OR trim(text) = ''
+                      THEN 1 ELSE 0 END) AS empty_text,
+             COUNT(*) - COUNT(DISTINCT doc_id) AS dup_doc_id,
+             SUM(CASE WHEN lang NOT IN ('en','de','es','fr','zh')
+                       OR lang IS NULL THEN 1 ELSE 0 END) AS bad_lang,
+             SUM(CASE WHEN n_chars IS NULL OR n_chars <= 0
+                      THEN 1 ELSE 0 END) AS bad_n_chars,
+             SUM(CASE WHEN LENGTH(text) <> n_chars
+                      THEN 1 ELSE 0 END) AS n_chars_mismatch,
+             SUM(CASE WHEN source IS NULL OR source = ''
+                      THEN 1 ELSE 0 END) AS missing_source
+      FROM documents
+    )
+    SELECT constraint_name, CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS passed
+    FROM (
+      SELECT 'nonempty_text' AS constraint_name, empty_text AS violations FROM a
+      UNION ALL SELECT 'unique_doc_id', dup_doc_id FROM a
+      UNION ALL SELECT 'valid_lang', bad_lang FROM a
+      UNION ALL SELECT 'positive_n_chars', bad_n_chars FROM a
+      UNION ALL SELECT 'n_chars_matches_text', n_chars_mismatch FROM a
+      UNION ALL SELECT 'source_present', missing_source FROM a
+    )
+    """,
+)
+def dq_documents_constraints(spark, sf_dir):
+    """The corpus-ingestion quality gate: the documents-table twin of
+    ``dq_orders_constraints`` for the LLM-pipeline path — non-empty
+    text, unique doc ids, declared language codes, positive and
+    CONSISTENT length metadata (n_chars must equal LENGTH(text): the
+    stored-metadata-vs-payload check that catches truncated loads),
+    source present. Same one-pass fold: six constraints, one
+    map-side-combined aggregate, stack() to the report."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    empty_text = F.col("text").isNull() | (F.trim("text") == "")
+    bad_lang = (
+        ~F.col("lang").isin("en", "de", "es", "fr", "zh")
+    ) | F.col("lang").isNull()
+    return dq_check(
+        docs,
+        {
+            "nonempty_text": F.sum(empty_text.cast("int")),
+            "unique_doc_id": F.count(F.lit(1)) - F.countDistinct("doc_id"),
+            "valid_lang": F.sum(bad_lang.cast("int")),
+            "positive_n_chars": F.sum(
+                (F.col("n_chars").isNull() | (F.col("n_chars") <= 0)).cast("int")
+            ),
+            "n_chars_matches_text": F.sum(
+                (F.length("text") != F.col("n_chars")).cast("int")
+            ),
+            "source_present": F.sum(
+                (F.col("source").isNull() | (F.col("source") == "")).cast("int")
+            ),
+        },
+    )
+
+
+@query(
+    "multi_epoch_mixture_schedule",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    epochs AS (SELECT unnest(range(1, 5)) AS epoch),
+    sched AS (
+      SELECT e.epoch, c.source, c.n,
+             POWER(c.n, 1.0 - (e.epoch - 1) * 0.5 / 3) AS w
+      FROM counts c CROSS JOIN epochs e
+    )
+    SELECT epoch, source, CAST(n AS BIGINT) AS n_docs,
+           ROUND(1.0 - (epoch - 1) * 0.5 / 3, 9) AS alpha,
+           ROUND(w / SUM(w) OVER (PARTITION BY epoch), 9) AS mix_weight
+    FROM sched
+    """,
+)
+def multi_epoch_mixture_schedule(spark, sf_dir):
+    """Curriculum mixing schedule: per-epoch source sampling weights
+    interpolating from the NATURAL distribution (epoch 1, α=1: weight
+    ∝ n) to a temperature-flattened one (epoch 4, α=0.5: weight ∝
+    √n) — the anneal-toward-parity schedule multilingual/multi-source
+    training runs use, extending the single-α
+    ``sample_source_mix_plan`` to a whole training plan. Everything
+    after the one source-counts aggregate is (sources × epochs)-sized
+    arithmetic; the per-epoch normalization window runs on that tiny
+    frame."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    epochs = spark.range(1, 5).select(F.col("id").cast("int").alias("epoch"))
+    alpha = 1.0 - (F.col("epoch") - 1) * 0.5 / 3
+    sched = counts.crossJoin(epochs).withColumn(
+        "w", F.pow(F.col("n"), alpha)
+    )
+    return sched.select(
+        "epoch",
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(alpha, 9).alias("alpha"),
+        F.round(
+            F.col("w") / F.sum("w").over(W.partitionBy("epoch")), 9
+        ).alias("mix_weight"),
+    )
