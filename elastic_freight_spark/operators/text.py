@@ -2643,3 +2643,34 @@ def text_tokenizer_fertility(spark, sf_dir):
             F.sum("n_bpe") / F.sum("n_ws").cast("double"), 9
         ).alias("fertility"),
     )
+
+
+from elastic_freight_spark.registry import ORACLE as _ORACLE
+
+_CC_ORACLE = _ORACLE["dedup_corpus_connected_components"]
+
+
+@query(
+    "dedup_cluster_size_distribution",
+    oracle=f"""
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM ({_CC_ORACLE})
+    GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_distribution(spark, sf_dir):
+    """Duplicate-cluster size histogram: how many near-dup clusters
+    of each size the corpus contains and how many documents they
+    absorb — the report that decides whether duplication is a few
+    giant boilerplate clusters (template removal fixes it) or a long
+    tail of pairs (pair-level dedup needed). One tiny aggregate over
+    the connected-components output; the oracle wraps the CC
+    fixpoint's recursive-CTE oracle, so the histogram is verified
+    end-to-end through the same pair graph."""
+    comp = dedup_corpus_connected_components(spark, sf_dir)
+    return comp.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )
