@@ -6,14 +6,18 @@ driver/Driver.java:27-33 dispatches "esIndex" → IndexingJob.main,
 example/IndexingJob.java:56-82 parses the positional args). This is
 the Spark-native face of that surface:
 
-* ``esIndex`` mirrors the reference's argument order (input path(s),
-  output destination, index name, schema/mappings file, shard count,
-  document-id field, then the optional bulk-tuning knobs). The
+* ``esIndex`` exposes the reference's parameters in flag-based form
+  (input path(s), output destination, index name, schema/mappings
+  file, shard count, document-id field, plus the optional bulk-tuning
+  knobs as ``--`` flags). NOTE: this is the same parameter SET, not
+  the same positional ORDER — the reference (IndexingJob.java
+  args[0..11]) takes the snapshot-repo name as its 3rd positional and
+  the tuning knobs as trailing positionals, so a verbatim reference
+  invocation needs its args re-spelled as flags. The
   Elasticsearch-embedding knobs (bulk batch size/MB, flush interval,
   processors, ramdisk — ConfigParams.java:17-21) have no Spark-side
   effect — Catalyst/Tungsten size batches — but are ACCEPTED and
-  RECORDED in the manifest so reference job invocations port without
-  editing and the settings stay auditable.
+  RECORDED in the manifest so the settings stay auditable.
 * ``query`` runs any registered query (the SURVEY.md §2 inventory)
   against a testdata/table directory and prints JSON lines.
 * ``compact`` force-merges a built index's shard files (the

@@ -742,16 +742,16 @@ def compaction_bin_packing(spark, sf_dir):
     plan = parts.crossJoin(F.broadcast(tot)).select(
         "part_key",
         "n_rows",
-        F.floor((F.col("total") + 7) / 8).alias("target"),
+        # integer `div`, not floor(double /): exact past 2^53 rows —
+        # the thresholds-as-integers discipline, matching DuckDB's //
+        F.expr("(total + 7) div 8").alias("target"),
         F.sum("n_rows")
         .over(W.orderBy(F.col("n_rows").desc(), "part_key"))
         .alias("cum"),
     )
     return (
         plan.groupBy(
-            F.floor((F.col("cum") - F.col("n_rows")) / F.col("target"))
-            .cast("bigint")
-            .alias("bin")
+            F.expr("(cum - n_rows) div target").cast("bigint").alias("bin")
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_parts"),

@@ -1061,10 +1061,10 @@ def _funnel_stages(spark, sf_dir):
            CAST(1.0 AS DOUBLE) AS conv_from_prev FROM n
     UNION ALL
     SELECT 2, 'view>click', CAST(nc AS BIGINT),
-           ROUND(nc / CAST(nv AS DOUBLE), 9) FROM n
+           ROUND(nc / CAST(NULLIF(nv, 0) AS DOUBLE), 9) FROM n
     UNION ALL
     SELECT 3, 'view>click>purchase', CAST(np AS BIGINT),
-           ROUND(np / CAST(nc AS DOUBLE), 9) FROM n
+           ROUND(np / CAST(NULLIF(nc, 0) AS DOUBLE), 9) FROM n
     """,
 )
 def events_funnel_conversion(spark, sf_dir):
@@ -1088,8 +1088,8 @@ def events_funnel_conversion(spark, sf_dir):
     return one.selectExpr(
         "stack(3, "
         " 1, 'view',                CAST(nv AS BIGINT), CAST(1.0 AS DOUBLE), "
-        " 2, 'view>click',          CAST(nc AS BIGINT), ROUND(nc / CAST(nv AS DOUBLE), 9), "
-        " 3, 'view>click>purchase', CAST(np AS BIGINT), ROUND(np / CAST(nc AS DOUBLE), 9)"
+        " 2, 'view>click',          CAST(nc AS BIGINT), ROUND(nc / CAST(NULLIF(nv, 0) AS DOUBLE), 9), "
+        " 3, 'view>click>purchase', CAST(np AS BIGINT), ROUND(np / CAST(NULLIF(nc, 0) AS DOUBLE), 9)"
         ") AS (stage_no, stage, n_users, conv_from_prev)"
     )
 

@@ -423,13 +423,22 @@ def capped_pair_intersections(
     share dozens of shingles, so support-1 candidates are almost
     entirely noise: measured at sf0.1, support>=2 cuts candidates
     1,130,536 → 112,009 (10.1×) and the full query ~8.4 s → ~3.5 s
-    with IDENTICAL result sets at sf0.01 AND sf0.1 (and the rerank
-    still scores every survivor over ALL its shingles, so emitted
-    scores stay exact). ``min_support=1`` restores the prune-free
-    generator."""
+    (and the rerank still scores every survivor over ALL its
+    shingles, so emitted scores stay exact). ``min_support=1``
+    restores the prune-free generator.
+
+    SHORT-DOC EXEMPTION: a doc with fewer than ``min_support``
+    shingles can never reach the support floor, yet a single shared
+    shingle may be 100% of its set (containment 1.0 — e.g. the same
+    two-word title twice). The effective per-pair floor is therefore
+    ``min(min_support, na, nb)``: support-1 pairs are rescued iff at
+    least one side is short. The rescue set is located with two
+    semi-joins of the (rare) short-doc ids against the low-support
+    pairs, so the 10× candidate prune is preserved for the bulk of
+    the corpus."""
     sets = shingle_sets(spark, sf_dir)
     shingles = sets.select("doc_id", F.explode("sh").alias("shingle"))
-    cand = (
+    cand_all = (
         shingles.groupBy("shingle")
         .agg(F.collect_set("doc_id").alias("docs"))
         .filter((F.size("docs") >= 2) & (F.size("docs") <= int(df_cap)))
@@ -445,9 +454,25 @@ def capped_pair_intersections(
         )
         .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("_support"))
-        .filter(F.col("_support") >= int(min_support))
-        .select("doc_a", "doc_b")
     )
+    cand = cand_all.filter(F.col("_support") >= int(min_support)).select(
+        "doc_a", "doc_b"
+    )
+    if int(min_support) > 1:
+        short = sets.filter(F.col("n") < int(min_support)).select("doc_id")
+        lo = cand_all.filter(F.col("_support") < int(min_support)).select(
+            "doc_a", "doc_b"
+        )
+        rescued = (
+            lo.join(short.withColumnRenamed("doc_id", "doc_a"), "doc_a", "leftsemi")
+            .unionByName(
+                lo.join(
+                    short.withColumnRenamed("doc_id", "doc_b"), "doc_b", "leftsemi"
+                )
+            )
+            .distinct()
+        )
+        cand = cand.unionByName(rescued)
     # exact rerank over the cached shingle-SET arrays: two id joins
     # bring each pair's (already-distinct) sets side by side, then
     # array_intersect scores the pair map-side — per-pair cost
@@ -495,8 +520,10 @@ _PAIRS_CAPPED_ORACLE = f"""
       FROM shingles a
       JOIN rare USING (shingle)
       JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN sizes za ON za.doc_id = a.doc_id
+      JOIN sizes zb ON zb.doc_id = b.doc_id
       GROUP BY 1, 2
-      HAVING COUNT(*) >= {CAND_MIN_SUPPORT}
+      HAVING COUNT(*) >= LEAST({CAND_MIN_SUPPORT}, MIN(za.n), MIN(zb.n))
     ),
     exact AS (
       SELECT p.doc_a, p.doc_b,
@@ -763,8 +790,10 @@ _CAPPED_PAIRS_FRAGMENT = f"""
       FROM shingles a
       JOIN rare USING (shingle)
       JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN sizes za ON za.doc_id = a.doc_id
+      JOIN sizes zb ON zb.doc_id = b.doc_id
       GROUP BY 1, 2
-      HAVING COUNT(*) >= {CAND_MIN_SUPPORT}
+      HAVING COUNT(*) >= LEAST({CAND_MIN_SUPPORT}, MIN(za.n), MIN(zb.n))
     ),
     pairs AS (
       SELECT c.doc_a, c.doc_b,
@@ -2458,8 +2487,10 @@ _CONTAINMENT_ORACLE = f"""
       FROM shingles a
       JOIN rare USING (shingle)
       JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN sizes za ON za.doc_id = a.doc_id
+      JOIN sizes zb ON zb.doc_id = b.doc_id
       GROUP BY 1, 2
-      HAVING COUNT(*) >= {CAND_MIN_SUPPORT}
+      HAVING COUNT(*) >= LEAST({CAND_MIN_SUPPORT}, MIN(za.n), MIN(zb.n))
     ),
     exact AS (
       SELECT p.doc_a, p.doc_b,

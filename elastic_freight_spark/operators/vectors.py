@@ -924,6 +924,204 @@ def pq_quantization_error(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Portable PQ certification twins (round 5): the learned-KMeans PQ
+# paths above are rows-only because a Lloyd fixpoint over float
+# samples is not SQL-portable. These twins run the IDENTICAL encode /
+# pack / reconstruct / asymmetric-score plan shapes (the same
+# ``pq_encode`` / ``pq_reconstruct_expr`` JVM expressions) on a
+# DETERMINISTIC codebook — the first PQP_K corpus vectors ranked by
+# md5(vec_id) — which both engines can derive bit-identically, the
+# same certification move ``neardup_minhash_portable`` made for the
+# xxhash64 MinHash scale path. The learned variants stay the quality
+# defaults; these certify the machinery with a value-hash oracle.
+# ---------------------------------------------------------------------------
+
+PQP_DIM = 64  # embeddings.embedding is FLOAT[64] in the fixtures
+PQP_NSUB = 8  # subspaces -> 8-dim blocks
+PQP_K = 16  # codewords per subspace -> 4-bit sub-codes, 32-bit packed
+_PQP_SUB_D = PQP_DIM // PQP_NSUB
+_PQP_BITS = (PQP_K - 1).bit_length()
+
+_PQP_CACHE: dict = {}
+
+
+def _pq_books_portable(spark, sf_dir):
+    """Deterministic codebooks: rank the corpus by
+    ``md5(cast(vec_id as string))`` (ties by vec_id), take the first
+    PQP_K vectors, slice each into PQP_NSUB contiguous blocks.
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject — no full
+    sort — and the driver pull is k vectors of d doubles (bounded by
+    construction). Cached per (session, corpus) like ``_pq_books``."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _PQP_CACHE.get(key)
+    if hit is None:
+        e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
+        rows = (
+            e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(PQP_K)
+            .select("vec")
+            .collect()
+        )
+        hit = [
+            [list(r["vec"][s * _PQP_SUB_D : (s + 1) * _PQP_SUB_D]) for r in rows]
+            for s in range(PQP_NSUB)
+        ]
+        _PQP_CACHE[key] = hit
+    return hit
+
+
+# Shared oracle head: double-cast vectors, md5-ranked codebook,
+# per-(vector, subspace, codeword) block distances via the same
+# sequential list fold the Spark expressions use, first-min argmin
+# with the code index as tie-break (= Spark's array_position-of-min),
+# bit-packed code and ordered-flatten reconstruction.
+_PQP_ORACLE_HEAD = f"""
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT vec, ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM e
+    ),
+    book AS (SELECT rk - 1 AS code, vec AS cw FROM ranked WHERE rk <= {PQP_K}),
+    subs AS (SELECT CAST(s AS INTEGER) AS s FROM range({PQP_NSUB}) t(s)),
+    enc AS (
+      SELECT e.vec_id, subs.s, book.code,
+             list_sum(list_transform(
+               list_zip(
+                 list_slice(e.vec, subs.s*{_PQP_SUB_D}+1, subs.s*{_PQP_SUB_D}+{_PQP_SUB_D}),
+                 list_slice(book.cw, subs.s*{_PQP_SUB_D}+1, subs.s*{_PQP_SUB_D}+{_PQP_SUB_D})),
+               x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+      FROM e CROSS JOIN subs CROSS JOIN book
+    ),
+    best AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, code) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT b.vec_id,
+             CAST(SUM(b.code << ({_PQP_BITS} * b.s)) AS BIGINT) AS pq_code,
+             flatten(list(
+               list_slice(k.cw, b.s*{_PQP_SUB_D}+1, b.s*{_PQP_SUB_D}+{_PQP_SUB_D})
+               ORDER BY b.s)) AS rv
+      FROM best b JOIN book k ON k.code = b.code
+      GROUP BY b.vec_id
+    )
+"""
+
+
+@query(
+    "pq_error_portable",
+    oracle=f"""
+    WITH {_PQP_ORACLE_HEAD}
+    SELECT e.vec_id, r.pq_code,
+           ROUND(
+             sqrt(list_sum(list_transform(list_zip(e.vec, r.rv),
+                                          x -> (x[1]-x[2])*(x[1]-x[2]))))
+             / sqrt(list_sum(list_transform(e.vec, x -> x*x))),
+             9) AS rel_err
+    FROM e JOIN recon r ON r.vec_id = e.vec_id
+    """,
+)
+def pq_error_portable(spark, sf_dir):
+    """Hash-checked certification of the PQ encode→pack→reconstruct
+    chain: per-vector packed code (BIGINT, exact) and relative
+    reconstruction error (sequential-fold double, ROUND 9) under the
+    deterministic md5-ranked codebook. Runs the same
+    ``pq_encode``/``pq_reconstruct_expr`` JVM expressions as the
+    learned-codebook ``pq_quantization_error`` — one narrow map pass
+    over the corpus, codebooks as literals, no UDFs."""
+    books = _pq_books_portable(spark, sf_dir)
+    e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
+    coded = pq_encode(e, books).withColumn("recon", pq_reconstruct_expr(books))
+    err = F.expr(
+        "sqrt(aggregate(zip_with(vec, recon, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v))"
+    ) / F.col("norm")
+    return coded.select("vec_id", "pq_code", F.round(err, 9).alias("rel_err"))
+
+
+@query(
+    "ann_pq_portable",
+    oracle=f"""
+    WITH {_PQP_ORACLE_HEAD},
+    q AS (
+      SELECT vec_id AS query_id, vec AS qvec,
+             sqrt(list_sum(list_transform(vec, x -> x*x))) AS qnorm
+      FROM e WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT r.vec_id AS neighbor_id, r.rv,
+             sqrt(list_sum(list_transform(r.rv, x -> x*x))) AS rnorm
+      FROM recon r WHERE r.vec_id >= 10
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qvec, rv), x -> x[1]*x[2]))
+               / (qnorm * rnorm) AS pq_score
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, neighbor_id, ROUND(pq_score, 9) AS pq_score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY pq_score DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def ann_pq_portable(spark, sf_dir):
+    """Hash-checked certification of the PQ asymmetric-distance
+    serving stage: query · reconstructed-codeword cosine over the
+    coded corpus, top-3 per query with the (score desc, neighbor)
+    tie-break — the exact scoring plan ``ann_ivfpq_cosine`` runs
+    inside its probed cells, minus the (learned, non-portable) IVF
+    pruning. Queries broadcast; candidates are scored from their
+    packed codes alone."""
+    from pyspark.sql import Window as W
+
+    books = _pq_books_portable(spark, sf_dir)
+    e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = (
+        pq_encode(e.filter(F.col("vec_id") >= 10), books)
+        .withColumn("recon", pq_reconstruct_expr(books))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "recon",
+            F.expr(_NORM.format(a="recon")).alias("rnorm"),
+        )
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.expr(_DOT.format(a="qvec", b="recon"))
+            / (F.col("qnorm") * F.col("rnorm"))
+        ).alias("pq_score"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("pq_score", 9).alias("pq_score"))
+    )
+
+
 # Per-method recall floors for the oracle-checked audit. Measured
 # recall_vs_exact5: LSH 0.47 (sf0.001) / 0.60 (sf0.01); IVF and IVF-PQ
 # 0.77 / 0.67. Floors sit well under the measured band so the check

@@ -660,7 +660,16 @@ def stream_topk_counts(
     ``incremental_rollup_merge`` pins for batch. State lives as
     readable, compactable parquet, not an opaque streaming state
     store, and per-batch work is |batch-distinct-keys|, never
-    proportional to history."""
+    proportional to history.
+
+    NOTE: the ``_batch_<id>.done`` skip markers use driver-local
+    ``os.path``/``open`` and therefore assume ``counts_path`` is on a
+    filesystem the driver can reach directly (local disk, NFS, a
+    fuse-mounted object store). On a plain ``s3a://``/``hdfs://``
+    ledger the markers are silently absent and every replayed batch
+    re-runs its (idempotent, overwrite-mode) write — correct but not
+    skipped. Swap the marker I/O for the Hadoop FileSystem API if
+    cheap skips matter on such deployments."""
 
     def _count(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -695,18 +704,27 @@ def stream_topk_counts(
     return writer.start()
 
 
-def serve_topk(spark: SparkSession, counts_path: str, k: int = 10) -> DataFrame:
+def serve_topk(
+    spark: SparkSession, counts_path: str, k: int = 10, key_type: str = "long"
+) -> DataFrame:
     """Top-k keys from the streaming count ledger: merge the partial
     counts (one key-sized aggregate over the ledger — facts are never
     rescanned) with the deterministic (count desc, key) tie-break the
-    batch heavy-hitter query uses."""
+    batch heavy-hitter query uses.
+
+    ``key_type`` types the empty frame returned before any batch has
+    committed — ``stream_topk_counts`` is generic over ``key_col``,
+    so a string-keyed stream must pass ``key_type="string"`` to get a
+    consistently-typed result in the empty case. Once a batch exists
+    the schema comes from the parquet ledger itself and the argument
+    is ignored."""
     import glob
 
     from pyspark.sql import functions as F
 
     dirs = sorted(glob.glob(os.path.join(counts_path, "batch=*")))
     if not dirs:  # stream started, nothing committed yet: empty top-k
-        return spark.createDataFrame([], "key long, n long")
+        return spark.createDataFrame([], f"key {key_type}, n long")
     partials = spark.read.parquet(*dirs)
     return (
         partials.groupBy("key")

@@ -359,6 +359,47 @@ def test_ann_ivfpq_recall_and_compression(spark):
     assert recon_norm[0] == recon_norm[1]  # constant dim
 
 
+def test_pq_portable_twins_certify_machinery(spark):
+    """The round-5 portable PQ twins (md5-ranked deterministic
+    codebook) are hash-checked vs DuckDB by the driver; this pins
+    what the oracle can't express: codebook determinism across
+    rebuilds, the packed-code bit budget, and the structural contract
+    of both queries. Quantization QUALITY is deliberately not pinned
+    here — with 16 unlearned codewords the reconstruction is poor by
+    design; quality belongs to the learned ``ann_ivfpq_cosine`` path
+    (test above)."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.vectors import (
+        _PQP_CACHE,
+        PQP_K,
+        PQP_NSUB,
+        _pq_books_portable,
+    )
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.01"
+    books = _pq_books_portable(spark, sf)
+    _PQP_CACHE.clear()
+    books2 = _pq_books_portable(spark, sf)
+    assert books == books2  # md5-rank selection is deterministic
+    assert len(books) == PQP_NSUB and all(len(b) == PQP_K for b in books)
+
+    err = registry.QUERIES["pq_error_portable"](spark, sf).collect()
+    assert len(err) == 500
+    assert all(0 <= r["pq_code"] < (1 << 32) for r in err)  # 8×4 bits
+    assert all(0.0 <= r["rel_err"] <= 1.5 for r in err)
+
+    ann = registry.QUERIES["ann_pq_portable"](spark, sf).collect()
+    assert len(ann) == 30  # 10 queries × top-3
+    per_q = {}
+    for r in ann:
+        per_q.setdefault(r["query_id"], []).append(r["pq_score"])
+    assert all(
+        scores == sorted(scores, reverse=True) and len(scores) == 3
+        for scores in per_q.values()
+    )
+
+
 def test_doc_spans_matches_python_twin(spark):
     """Differential pin for the span family's core expression: the
     JVM transform/slice span construction must equal a plain-Python

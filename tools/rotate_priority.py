@@ -1,16 +1,24 @@
 """Print the next round's registry._PRIORITY candidate list: the 50
-registered queries whose last driver-green round (per
+hash-oracle registered queries whose last driver-green round (per
 CORRECTNESS_LEDGER.md) is oldest, never-checked first.
 
-Round-N workflow: run this, paste the list into registry._PRIORITY,
-update the ledger rows as driver results land, repeat.
+Rows-only queries (not in registry.ORACLE) are EXCLUDED from the
+window — the driver can only record a `no_oracle` err row for them,
+which burns one of the 50 budget slots for a guaranteed non-green
+result (round-4 judge finding). Their correctness evidence is their
+pinning unit tests.
+
+Round-N workflow: after CORRECTNESS_r{N-1}.json lands, update ledger
+rows (green -> rN-1; a rows-only->hash oracle promotion resets the row
+to `never`), run this, paste the list into registry._PRIORITY.
+Do NOT rotate mid-round.
 """
 import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-ORDER = {"r4-pending": -1, "J3": 2.5}
+ORDER = {"never": -1, "J3": -1}
 
 
 def age_key(tag: str) -> float:
@@ -36,8 +44,11 @@ def main() -> None:
         print(f"# WARNING: not in ledger (treated as never-checked): {missing}")
     if stale:
         print(f"# WARNING: ledger rows for unregistered queries: {stale}")
+    eligible = [q for q in registry.QUERIES if q in registry.ORACLE]
+    skipped = [q for q in registry.QUERIES if q not in registry.ORACLE]
+    print(f"# rows-only excluded from window ({len(skipped)}): {skipped}")
     ranked = sorted(
-        registry.QUERIES,
+        eligible,
         key=lambda q: (age_key(ledger.get(q, "never")), q),
     )
     print("_PRIORITY = (")
