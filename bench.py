@@ -101,6 +101,11 @@ def main() -> None:
         "neardup_containment",
         "dsir_importance_weights",
         "orders_churn_labels",
+        # round-5 additions
+        "pq_error_portable",
+        "ann_pq_portable",
+        "sketch_countmin_portable",
+        "range_partition_boundaries",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -761,3 +761,262 @@ def compaction_bin_packing(spark, sf_dir):
             ).alias("fill_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: sketch + partition-planning additions. Count-Min joins the
+# sketch tier beside HLL (hll_sketch_rollup) and the bloom semi-join;
+# range-boundary planning is the declarative face of what Spark's
+# RangePartitioner does by sampling before a global sort.
+# ---------------------------------------------------------------------------
+
+CMS_ROWS = 4  # independent hash rows (depth d)
+CMS_HEX_CHARS = 2  # bucket id = first 2 md5 hex chars -> width w = 256
+
+
+@query(
+    "sketch_countmin_portable",
+    oracle=f"""
+    WITH keys AS (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    hashed AS (
+      SELECT k.o_custkey, k.n, CAST(r.r AS INTEGER) AS r,
+             substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+                        CAST(k.o_custkey AS VARCHAR)), 1, {CMS_HEX_CHARS}) AS bucket
+      FROM keys k CROSS JOIN range({CMS_ROWS}) r(r)
+    ),
+    cells AS (
+      SELECT r, bucket, SUM(n) AS cell_n FROM hashed GROUP BY r, bucket
+    ),
+    probes AS (
+      SELECT o_custkey, n FROM keys
+      ORDER BY n DESC, o_custkey LIMIT 10
+    )
+    SELECT p.o_custkey,
+           CAST(p.n AS BIGINT) AS true_n,
+           CAST(MIN(c.cell_n) AS BIGINT) AS est_n,
+           CAST(MIN(c.cell_n) - p.n AS BIGINT) AS over_n
+    FROM probes p
+    JOIN hashed h ON h.o_custkey = p.o_custkey
+    JOIN cells c ON c.r = h.r AND c.bucket = h.bucket
+    GROUP BY p.o_custkey, p.n
+    """,
+)
+def sketch_countmin_portable(spark, sf_dir):
+    """Count-Min sketch (d=4 hash rows x w=256 buckets) over order
+    counts per customer, audited against true counts for the top-10
+    heavy keys: ``est >= true`` always (CMS never under-counts) and
+    ``over_n`` quantifies collision noise at this (d, w).
+
+    Portable by construction: bucket ids are the first 2 md5 hex
+    CHARS (a 256-way partition of hex space as strings — no hex->int
+    conversion exists portably across engines, so the bucket id never
+    becomes an int), counts are integer sums, the estimate is an
+    integer MIN over the d cells. Same md5 family as the
+    deterministic sampling tier.
+
+    Scale shape: one keyed aggregate over the fact table (the only
+    data-sized stage), then everything is |keys|- or w-bounded: the
+    4x|keys| hashed frame, the 1024-cell sketch (broadcastable
+    anywhere), and a top-10 probe join. At 100 TB the sketch build is
+    the same single map-side-combinable aggregate, and the sketch
+    itself is the thing a planner ships around instead of the keys."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    keys = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    hashed = keys.select(
+        "o_custkey",
+        "n",
+        F.explode(
+            F.array(*[F.lit(r) for r in range(CMS_ROWS)])
+        ).alias("r"),
+    ).withColumn(
+        "bucket",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("o_custkey").cast("string"),
+                )
+            ),
+            1,
+            CMS_HEX_CHARS,
+        ),
+    )
+    cells = hashed.groupBy("r", "bucket").agg(F.sum("n").alias("cell_n"))
+    probes = keys.orderBy(F.col("n").desc(), "o_custkey").limit(10)
+    return (
+        probes.join(hashed.select("o_custkey", "r", "bucket"), "o_custkey")
+        .join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("o_custkey", "n")
+        .agg(F.min("cell_n").alias("_est"))
+        .select(
+            "o_custkey",
+            F.col("n").cast("bigint").alias("true_n"),
+            F.col("_est").cast("bigint").alias("est_n"),
+            (F.col("_est") - F.col("n")).cast("bigint").alias("over_n"),
+        )
+    )
+
+
+RANGE_PLAN_PARTS = 8  # target partition count for the planned sort
+RANGE_PLAN_HEX = "2"  # md5 first-hex-char < '2' -> deterministic ~1/8 sample
+
+
+@query(
+    "range_partition_boundaries",
+    oracle=f"""
+    WITH sample AS (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE substr(md5('rb:' || CAST(o_orderkey AS VARCHAR)), 1, 1) < '{RANGE_PLAN_HEX}'
+    ),
+    ranked AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM sample
+    )
+    SELECT CAST(b.b AS INTEGER) AS boundary_no,
+           r.o_totalprice AS fence
+    FROM range(1, {RANGE_PLAN_PARTS}) b(b)
+    JOIN ranked r ON r.rn = (b.b * r.n) // {RANGE_PLAN_PARTS}
+    """,
+)
+def range_partition_boundaries(spark, sf_dir):
+    """Range-partition planning: the 7 fence values
+    that split orders into 8 equal-weight ranges of
+    o_totalprice — what Spark's RangePartitioner estimates by random
+    sampling before every global sort, recast as a deterministic
+    declarative plan (md5 hash-fraction sample -> exact rank fences on
+    the sample), so the planned layout is reproducible across runs,
+    engines, and partitionings.
+
+    Integer discipline: fences are picked by integer rank arithmetic
+    ``rn == (b * n) div P`` on the sample (no float quantiles), and
+    o_totalprice is DECIMAL — bit-exact across engines. Scale shape:
+    the sample predicate pushes to the scan, the only shuffle is the
+    sample-sized sort (~1/8 of keys here; tune the hex prefix down —
+    '1' of 16, '04' of 256 — as the table grows: a 100 TB table wants
+    a ~1e-4 sample, which is one leading-hex-pair compare)."""
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    sample = orders.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("rb:"), F.col("o_orderkey").cast("string"))), 1, 1
+        )
+        < RANGE_PLAN_HEX
+    ).select("o_orderkey", "o_totalprice")
+    ranked = sample.select(
+        "o_totalprice",
+        F.row_number()
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    fences = spark.range(1, RANGE_PLAN_PARTS).select(
+        F.col("id").cast("int").alias("boundary_no")
+    )
+    return (
+        F.broadcast(fences)
+        .join(
+            ranked,
+            ranked.rn
+            == F.expr(f"(boundary_no * n) div {RANGE_PLAN_PARTS}"),
+        )
+        .select("boundary_no", F.col("o_totalprice").alias("fence"))
+    )
+
+
+@query(
+    "sketch_countmin_merge",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS seg, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    hashed AS (
+      SELECT k.seg, k.n, CAST(r.r AS INTEGER) AS r,
+             substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+                        CAST(k.o_custkey AS VARCHAR)), 1, {CMS_HEX_CHARS}) AS bucket
+      FROM keyed k CROSS JOIN range({CMS_ROWS}) r(r)
+    ),
+    per_seg AS (
+      SELECT seg, r, bucket, SUM(n) AS cell_n FROM hashed GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT r, bucket, SUM(cell_n) AS cell_n FROM per_seg GROUP BY 1, 2
+    ),
+    direct AS (
+      SELECT r, bucket, SUM(n) AS cell_n FROM hashed GROUP BY 1, 2
+    )
+    SELECT m.r,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(m.cell_n) AS BIGINT) AS mass,
+           CAST(MAX(m.cell_n) AS BIGINT) AS max_cell,
+           CAST(SUM(CASE WHEN m.cell_n = d.cell_n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_equal
+    FROM merged m
+    JOIN direct d ON d.r = m.r AND d.bucket = m.bucket
+    GROUP BY m.r
+    """,
+)
+def sketch_countmin_merge(spark, sf_dir):
+    """Mergeability receipt for the Count-Min sketch: build one sketch
+    PER ORDER-MONTH, SUM the cells, and prove the merge equals the
+    sketch built over the whole table in one pass (``n_equal ==
+    n_cells`` per hash row). This is the property that makes a sketch
+    worth shipping at 100 TB — each partition/day/executor folds its
+    own d×w grid and a coordinator adds grids, never keys. Same
+    2-hex-char string buckets and integer sums as
+    ``sketch_countmin_portable``."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    keyed = orders.groupBy(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("seg")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hashed = keyed.select(
+        "seg",
+        "n",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r"),
+        F.col("o_custkey"),
+    ).select(
+        "seg",
+        "n",
+        "r",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("o_custkey").cast("string"),
+                )
+            ),
+            1,
+            CMS_HEX_CHARS,
+        ).alias("bucket"),
+    )
+    per_seg = hashed.groupBy("seg", "r", "bucket").agg(
+        F.sum("n").alias("cell_n")
+    )
+    merged = per_seg.groupBy("r", "bucket").agg(F.sum("cell_n").alias("cell_n"))
+    direct = hashed.groupBy("r", "bucket").agg(F.sum("n").alias("cell_n"))
+    m, d = merged.alias("m"), direct.alias("d")
+    return (
+        m.join(
+            d,
+            (F.col("m.r") == F.col("d.r")) & (F.col("m.bucket") == F.col("d.bucket")),
+        )
+        .groupBy(F.col("m.r").alias("r"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("m.cell_n").cast("bigint").alias("mass"),
+            F.max("m.cell_n").cast("bigint").alias("max_cell"),
+            F.sum(
+                F.when(F.col("m.cell_n") == F.col("d.cell_n"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_equal"),
+        )
+    )

@@ -431,48 +431,52 @@ def capped_pair_intersections(
     shingles can never reach the support floor, yet a single shared
     shingle may be 100% of its set (containment 1.0 — e.g. the same
     two-word title twice). The effective per-pair floor is therefore
-    ``min(min_support, na, nb)``: support-1 pairs are rescued iff at
-    least one side is short. The rescue set is located with two
-    semi-joins of the (rare) short-doc ids against the low-support
-    pairs, so the 10× candidate prune is preserved for the bulk of
-    the corpus."""
+    ``min(min_support, na, nb)``: support-1 pairs survive iff at
+    least one side is short. The short flag rides the bucket→pairs
+    aggregation itself, bit-packed into the posting long
+    (``enc = doc_id*2 + short`` — same shuffle payload as a plain
+    doc_id posting, monotone in doc_id so bucket sort order and the
+    i<j pair generation are unchanged; decode is two integer ops in
+    the same JVM transform), so the exemption adds ZERO
+    joins/shuffles/bytes and the 10× candidate prune is preserved
+    for the bulk of the corpus."""
     sets = shingle_sets(spark, sf_dir)
-    shingles = sets.select("doc_id", F.explode("sh").alias("shingle"))
-    cand_all = (
+    shingles = sets.select(
+        (
+            F.col("doc_id") * 2
+            + (F.col("n") < int(min_support)).cast("long")
+        ).alias("enc"),
+        F.explode("sh").alias("shingle"),
+    )
+    cand = (
         shingles.groupBy("shingle")
-        .agg(F.collect_set("doc_id").alias("docs"))
+        .agg(F.collect_set("enc").alias("docs"))
         .filter((F.size("docs") >= 2) & (F.size("docs") <= int(df_cap)))
         .select(F.array_sort("docs").alias("ds"))
         .select(
             F.explode(
                 F.expr(
+                    # (enc - pmod(enc,2)) div 2 decodes doc_id exactly
+                    # for negative ids too (div truncates toward zero)
                     "flatten(transform(ds, (x, i) -> "
                     "  transform(slice(ds, i + 2, size(ds) - i - 1), "
-                    "            y -> struct(x AS doc_a, y AS doc_b))))"
+                    "            y -> struct("
+                    "              (x - pmod(x, 2)) div 2 AS doc_a, "
+                    "              (y - pmod(y, 2)) div 2 AS doc_b, "
+                    "              pmod(x, 2) = 1 OR pmod(y, 2) = 1 AS any_short))))"
                 )
             ).alias("p")
         )
         .groupBy("p.doc_a", "p.doc_b")
-        .agg(F.count(F.lit(1)).alias("_support"))
-    )
-    cand = cand_all.filter(F.col("_support") >= int(min_support)).select(
-        "doc_a", "doc_b"
-    )
-    if int(min_support) > 1:
-        short = sets.filter(F.col("n") < int(min_support)).select("doc_id")
-        lo = cand_all.filter(F.col("_support") < int(min_support)).select(
-            "doc_a", "doc_b"
+        .agg(
+            F.count(F.lit(1)).alias("_support"),
+            F.max("p.any_short").alias("_any_short"),
         )
-        rescued = (
-            lo.join(short.withColumnRenamed("doc_id", "doc_a"), "doc_a", "leftsemi")
-            .unionByName(
-                lo.join(
-                    short.withColumnRenamed("doc_id", "doc_b"), "doc_b", "leftsemi"
-                )
-            )
-            .distinct()
+        .filter(
+            (F.col("_support") >= int(min_support)) | F.col("_any_short")
         )
-        cand = cand.unionByName(rescued)
+        .select("doc_a", "doc_b")
+    )
     # exact rerank over the cached shingle-SET arrays: two id joins
     # bring each pair's (already-distinct) sets side by side, then
     # array_intersect scores the pair map-side — per-pair cost

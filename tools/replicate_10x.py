@@ -1,4 +1,5 @@
-"""One-off: replicate sf0.1 facts 10x with offset keys into /tmp/sf1x10.
+"""One-off: replicate sf0.1 facts Nx with offset keys into /tmp/sf1x{N}
+(N = $REPLICATE_COPIES, default 10; round-4 100x receipts used N=100).
 Dims (region/nation/customer/supplier/part) copied unchanged; fact FKs
 to dims stay in-range; fact PKs/join-keys offset per copy."""
 import os, sys, shutil
@@ -6,11 +7,12 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 from elastic_freight_spark.session import get_spark, load_tables
 
-OUT = "/tmp/sf1x10"
+COPIES = int(os.environ.get("REPLICATE_COPIES", "10"))
+OUT = os.environ.get("REPLICATE_OUT", f"/tmp/sf1x{COPIES}")
 SRC = "/root/testdata/sf0.1"
 shutil.rmtree(OUT, ignore_errors=True)
 os.makedirs(OUT)
-spark = get_spark(app_name="make10x", extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark = get_spark(app_name=f"make{COPIES}x", extra_conf={"spark.ui.showConsoleProgress": "false"})
 t = load_tables(spark, SRC)
 
 for d in ["region", "nation", "customer", "supplier", "part"]:
@@ -18,7 +20,7 @@ for d in ["region", "nation", "customer", "supplier", "part"]:
 
 def rep(df, offsets):  # offsets: {col: stride}
     parts = []
-    for i in range(10):
+    for i in range(COPIES):
         e = df
         for c, stride in offsets.items():
             e = e.withColumn(c, (F.col(c) + F.lit(i * stride)).cast(df.schema[c].dataType))
