@@ -106,6 +106,10 @@ def main() -> None:
         "ann_pq_portable",
         "sketch_countmin_portable",
         "range_partition_boundaries",
+        "sketch_countmin_merge",
+        "layout_zonemap_effectiveness",
+        "minhash_estimate_calibration",
+        "dq_embeddings_constraints",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

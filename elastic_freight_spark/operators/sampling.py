@@ -872,3 +872,73 @@ def multi_epoch_mixture_schedule(spark, sf_dir):
             F.col("w") / F.sum("w").over(W.partitionBy("epoch")), 9
         ).alias("mix_weight"),
     )
+
+
+@query(
+    "dq_embeddings_constraints",
+    oracle="""
+    WITH a AS (
+      SELECT COUNT(*) - COUNT(DISTINCT vec_id) AS dup_vec_id,
+             SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS null_vec,
+             SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
+                      THEN 1 ELSE 0 END) AS bad_dim,
+             SUM(CASE WHEN embedding IS NOT NULL AND
+                       len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
+                      THEN 1 ELSE 0 END) AS nonfinite,
+             SUM(CASE WHEN embedding IS NOT NULL AND
+                       list_sum(list_transform(embedding,
+                                               x -> CAST(x AS DOUBLE) * x)) = 0
+                      THEN 1 ELSE 0 END) AS zero_norm,
+             SUM(CASE WHEN label IS NULL THEN 1 ELSE 0 END) AS null_label
+      FROM embeddings
+    )
+    SELECT constraint_name, CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS passed
+    FROM (
+      SELECT 'unique_vec_id' AS constraint_name, dup_vec_id AS violations FROM a
+      UNION ALL SELECT 'embedding_present', null_vec FROM a
+      UNION ALL SELECT 'dimension_64', bad_dim FROM a
+      UNION ALL SELECT 'all_finite', nonfinite FROM a
+      UNION ALL SELECT 'nonzero_norm', zero_norm FROM a
+      UNION ALL SELECT 'label_present', null_label FROM a
+    )
+    """,
+)
+def dq_embeddings_constraints(spark, sf_dir):
+    """The vector-table quality gate, completing the DQ family
+    (orders, documents, embeddings): unique ids, payload present,
+    UNIFORM dimension (a ragged embedding column breaks every
+    downstream zip_with), all-finite values (one NaN poisons a whole
+    centroid), non-zero norm (unit-normalization would divide by
+    zero), label present. Same one-pass fold as the other gates —
+    six constraints, one map-side-combined aggregate; the finiteness
+    probe is a JVM higher-order ``exists``, so the scan stays
+    codegen'd at any corpus size. Zero-norm uses the exact ``== 0.0``
+    compare: a sum of squares is exactly 0.0 iff every element is
+    ±0.0, so no epsilon is needed (and both engines agree
+    bit-exactly)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    nonfinite = F.expr(
+        "exists(embedding, x -> isnan(x) OR abs(x) = cast('Infinity' AS FLOAT))"
+    )
+    zero_norm = (
+        F.expr(
+            "aggregate(transform(embedding, x -> cast(x as double) * x), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        == 0.0
+    )
+    has_vec = F.col("embedding").isNotNull()
+    return dq_check(
+        emb,
+        {
+            "unique_vec_id": F.count(F.lit(1)) - F.countDistinct("vec_id"),
+            "embedding_present": F.sum((~has_vec).cast("int")),
+            "dimension_64": F.sum(
+                (has_vec & (F.size("embedding") != 64)).cast("int")
+            ),
+            "all_finite": F.sum((has_vec & nonfinite).cast("int")),
+            "nonzero_norm": F.sum((has_vec & zero_norm).cast("int")),
+            "label_present": F.sum(F.col("label").isNull().cast("int")),
+        },
+    )

@@ -1020,3 +1020,134 @@ def sketch_countmin_merge(spark, sf_dir):
             .alias("n_equal"),
         )
     )
+
+
+ZONEMAP_FILES = 32  # simulated files per layout
+
+
+@query(
+    "layout_zonemap_effectiveness",
+    oracle=f"""
+    WITH rows_n AS (
+      SELECT l_shipdate, l_orderkey, l_linenumber,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    ),
+    laid AS (
+      SELECT 'arrival' AS layout, l_shipdate,
+             (ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+               // ((n + {ZONEMAP_FILES} - 1) // {ZONEMAP_FILES}) AS file_id
+      FROM rows_n
+      UNION ALL
+      SELECT 'shipdate_sorted', l_shipdate,
+             (ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1)
+               // ((n + {ZONEMAP_FILES} - 1) // {ZONEMAP_FILES})
+      FROM rows_n
+    ),
+    zones AS (
+      SELECT layout, file_id,
+             MIN(l_shipdate) AS zmin, MAX(l_shipdate) AS zmax
+      FROM laid GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT l_shipdate AS d, COUNT(*) AS w FROM lineitem GROUP BY 1
+    ),
+    cover AS (
+      SELECT z.layout, p.d, p.w, COUNT(*) AS n_files_hit
+      FROM probes p JOIN zones z
+        ON p.d >= z.zmin AND p.d <= z.zmax
+      GROUP BY 1, 2, 3
+    )
+    SELECT c.layout,
+           CAST(MAX(zc.n_files) AS BIGINT) AS n_files,
+           ROUND(CAST(SUM(c.w * c.n_files_hit) AS DOUBLE) / SUM(c.w), 9)
+             AS expected_files_scanned,
+           ROUND(CAST(MAX(ds.total_span_days) AS DOUBLE)
+                 / MAX(zc.n_files), 9) AS avg_file_span_days
+    FROM cover c
+    JOIN (SELECT layout, COUNT(*) AS n_files FROM zones GROUP BY 1) zc
+      ON zc.layout = c.layout
+    JOIN (SELECT layout,
+                 SUM((epoch_us(zmax) - epoch_us(zmin)) // 86400000000)
+                   AS total_span_days
+          FROM zones GROUP BY 1) ds
+      ON ds.layout = c.layout
+    GROUP BY c.layout
+    """,
+)
+def layout_zonemap_effectiveness(spark, sf_dir):
+    """Data-layout planning: simulate writing lineitem as
+    32 files under (a) arrival order and (b)
+    shipdate-sorted order, compute each file's min/max zone map, and
+    report the metric that decides an OPTIMIZE/Z-ORDER rewrite:
+    **expected files scanned per point probe** (probe dates weighted
+    by their row counts — exactly what parquet footer pruning would
+    touch). Sorted layout ≈ 1 file per probe; arrival layout ≈ all
+    files, because every file's [min,max] spans the whole date range.
+    Also reports mean per-file span in days (integer µs arithmetic).
+
+    This is a planning SIMULATION: the row_number file assignment is
+    the single-partition-window idiom acceptable for a 32-row-out
+    planning query at any corpus size only because the real variant
+    would use the actual file footers (zonemaps in the manifest, as
+    build_range_index records); the simulation exists so the metric
+    itself is hash-verifiable against DuckDB."""
+    from pyspark.sql import Window as W
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    n = F.count(F.lit(1)).over(W.partitionBy())
+    per = F.expr(f"(cast(_n as bigint) + {ZONEMAP_FILES - 1}) div {ZONEMAP_FILES}")
+    arrival = li.withColumn("_n", n).select(
+        F.lit("arrival").alias("layout"),
+        "l_shipdate",
+        F.expr(
+            f"(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) "
+            f"div ((_n + {ZONEMAP_FILES - 1}) div {ZONEMAP_FILES})"
+        ).alias("file_id"),
+    )
+    sorted_ = li.withColumn("_n", n).select(
+        F.lit("shipdate_sorted").alias("layout"),
+        "l_shipdate",
+        F.expr(
+            f"(row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1) "
+            f"div ((_n + {ZONEMAP_FILES - 1}) div {ZONEMAP_FILES})"
+        ).alias("file_id"),
+    )
+    laid = arrival.unionByName(sorted_)
+    zones = laid.groupBy("layout", "file_id").agg(
+        F.min("l_shipdate").alias("zmin"), F.max("l_shipdate").alias("zmax")
+    )
+    probes = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    cover = (
+        probes.join(
+            F.broadcast(zones),
+            (F.col("d") >= F.col("zmin")) & (F.col("d") <= F.col("zmax")),
+        )
+        .groupBy("layout", "d", "w")
+        .agg(F.count(F.lit(1)).alias("n_files_hit"))
+    )
+    zstats = zones.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(
+            F.expr("(unix_micros(zmax) - unix_micros(zmin)) div 86400000000")
+        ).alias("total_span_days"),
+    )
+    return (
+        cover.join(F.broadcast(zstats), "layout")
+        .groupBy("layout")
+        .agg(
+            F.max("n_files").cast("bigint").alias("n_files"),
+            F.round(
+                F.sum(F.col("w") * F.col("n_files_hit")).cast("double")
+                / F.sum("w"),
+                9,
+            ).alias("expected_files_scanned"),
+            F.round(
+                F.max("total_span_days").cast("double") / F.max("n_files"), 9
+            ).alias("avg_file_span_days"),
+        )
+    )

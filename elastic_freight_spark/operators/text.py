@@ -2709,3 +2709,98 @@ def dedup_cluster_size_distribution(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         F.sum("cluster_size").cast("bigint").alias("n_docs"),
     )
+
+
+_MINHASH_CALIBRATION_ORACLE = f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    {_CAPPED_PAIRS_FRAGMENT},
+    truth AS (
+      SELECT p.doc_a, p.doc_b,
+             ROUND(p.inter / CAST(sa.n + sb.n - p.inter AS DOUBLE), 9) AS jac
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    ),
+    sigs AS (SELECT doc_id, {_pm_sig_sql()} FROM shingles GROUP BY doc_id)
+    SELECT ({_PM_MATCH_SUM}) AS matches,
+           CAST(({_PM_MATCH_SUM}) AS DOUBLE) / {PORTABLE_PERMS} AS est_jaccard,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(t.jac AS DECIMAL(38, 9))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_true_jaccard
+    FROM truth t
+    JOIN sigs sa ON sa.doc_id = t.doc_a
+    JOIN sigs sb ON sb.doc_id = t.doc_b
+    GROUP BY 1, 2
+"""
+
+
+@query("minhash_estimate_calibration", oracle=_MINHASH_CALIBRATION_ORACLE)
+def minhash_estimate_calibration(spark, sf_dir):
+    """Sketch-quality audit: for every exact-scored candidate pair,
+    bucket by the 16-perm portable-MinHash agreement count and report
+    the mean TRUE Jaccard per bucket — the calibration curve that
+    tells you whether a given signature agreement threshold (e.g.
+    matches >= 8 ≈ est 0.5) actually corresponds to the Jaccard level
+    your dedup policy intends. Runs the md5 signature family against
+    the df-capped exact pair universe, so both sides are existing,
+    hash-certified building blocks.
+
+    Portability: buckets are INTEGER match counts; est_jaccard =
+    k/16 is exactly representable; mean true Jaccard routes each
+    pair's ROUND(...,9) score through DECIMAL(38,9) before the
+    cross-row SUM, so no float summation order can leak (the
+    money-sum discipline applied to a similarity score).
+
+    Scale shape: signatures are one groupBy over the shingle
+    explosion (|docs| rows out), candidates come from the bounded
+    capped generator, and the calibration join touches only
+    candidate pairs — nothing here is all-pairs."""
+    inter = capped_pair_intersections(spark, sf_dir)
+    truth = inter.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("inter")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            9,
+        ).alias("jac"),
+    )
+    sigs = portable_minhash_signatures(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{p}").alias(f"a{p}") for p in range(PORTABLE_PERMS)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{p}").alias(f"b{p}") for p in range(PORTABLE_PERMS)],
+    )
+    matches = sum(
+        (
+            F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+            for p in range(PORTABLE_PERMS)
+        ),
+        start=F.lit(0),
+    )
+    return (
+        truth.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("jac", matches.alias("matches"))
+        .groupBy("matches")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jac").cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_true_jaccard"),
+        )
+        .select(
+            "matches",
+            (F.col("matches").cast("double") / PORTABLE_PERMS).alias(
+                "est_jaccard"
+            ),
+            "n_pairs",
+            "mean_true_jaccard",
+        )
+    )

@@ -405,3 +405,44 @@ def test_range_boundaries_are_ordered_and_split_sample_evenly(spark):
     ]
     for i, b in enumerate(below, start=1):
         assert abs(b - i * n // RANGE_PLAN_PARTS) <= 1
+
+
+def test_zonemap_effectiveness_sorted_beats_arrival(spark):
+    """The metric must show what the query exists to show: a
+    shipdate-sorted layout prunes to ~1 file per probe while the
+    arrival layout reads nearly everything (every file's [min,max]
+    spans the whole range)."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.scale import ZONEMAP_FILES
+
+    registry.load_all()
+    rows = {
+        r["layout"]: r
+        for r in registry.QUERIES["layout_zonemap_effectiveness"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(rows) == {"arrival", "shipdate_sorted"}
+    assert rows["arrival"]["n_files"] == ZONEMAP_FILES
+    assert rows["shipdate_sorted"]["n_files"] == ZONEMAP_FILES
+    s = rows["shipdate_sorted"]["expected_files_scanned"]
+    a = rows["arrival"]["expected_files_scanned"]
+    assert 1.0 <= s < 3.0  # near-perfect pruning
+    assert a > ZONEMAP_FILES / 2  # arrival layout can barely prune
+    assert s < a / 4
+
+
+def test_cms_merge_equals_direct_sketch(spark):
+    """Distributive-merge receipt: per hash row, every merged cell
+    equals the one-pass cell (n_equal == n_cells) and the mass equals
+    the table's row count (each order lands in exactly one bucket per
+    row)."""
+    from elastic_freight_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["sketch_countmin_merge"](spark, SF_DIR).collect()
+    n_orders = load_tables(spark, SF_DIR)["orders"].count()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_equal"] == r["n_cells"]
+        assert r["mass"] == n_orders

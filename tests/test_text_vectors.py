@@ -579,3 +579,33 @@ def test_containment_catches_embedded_doc(spark, tmp_path):
         for r in T.exact_jaccard_pairs(spark, sf).collect()
     }
     assert (1, 2) not in jac
+
+
+def test_minhash_calibration_separates_dups_from_noise(spark):
+    """The calibration curve's reason to exist: high signature
+    agreement must correspond to high true Jaccard and low agreement
+    to low true Jaccard, with buckets partitioning the exact capped
+    candidate set."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.text import (
+        PORTABLE_PERMS,
+        capped_pair_intersections,
+    )
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["minhash_estimate_calibration"](spark, sf).collect()
+    assert all(0 <= r["matches"] <= PORTABLE_PERMS for r in rows)
+    assert sum(r["n_pairs"] for r in rows) == capped_pair_intersections(
+        spark, sf
+    ).count()
+    hi = [r for r in rows if r["matches"] * 2 >= PORTABLE_PERMS]
+    lo = [r for r in rows if r["matches"] * 4 <= PORTABLE_PERMS]
+    assert hi and lo
+    mean_hi = sum(r["mean_true_jaccard"] * r["n_pairs"] for r in hi) / sum(
+        r["n_pairs"] for r in hi
+    )
+    mean_lo = sum(r["mean_true_jaccard"] * r["n_pairs"] for r in lo) / sum(
+        r["n_pairs"] for r in lo
+    )
+    assert mean_hi > 0.5 and mean_lo < 0.1 and mean_hi > mean_lo * 5
