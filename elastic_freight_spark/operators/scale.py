@@ -774,6 +774,39 @@ CMS_ROWS = 4  # independent hash rows (depth d)
 CMS_HEX_CHARS = 2  # bucket id = first 2 md5 hex chars -> width w = 256
 
 
+def cms_bucket(key_col: Column, r_col: Column) -> Column:
+    """The ONE Count-Min bucket definition every consumer (batch
+    queries, streaming maintenance, oracles via the same formula in
+    SQL) must share: first CMS_HEX_CHARS hex chars of
+    ``md5('<r>:' || key)`` — a 256-way string partition of hex space,
+    no hex→int conversion anywhere."""
+    return F.substring(
+        F.md5(F.concat(r_col.cast("string"), F.lit(":"), key_col.cast("string"))),
+        1,
+        CMS_HEX_CHARS,
+    )
+
+
+def cms_cells(df: DataFrame, key_col: str) -> DataFrame:
+    """Fold a keyed frame into its d×w Count-Min grid: one map-side-
+    combinable aggregate to per-key counts, then a w-bounded explode
+    to (r, bucket, cell_n). The output is at most CMS_ROWS×256 rows
+    regardless of input size — the shippable sketch."""
+    keys = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        keys.select(
+            "_k",
+            "n",
+            F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r"),
+        )
+        .withColumn("bucket", cms_bucket(F.col("_k"), F.col("r")))
+        .groupBy("r", "bucket")
+        .agg(F.sum("n").alias("cell_n"))
+    )
+
+
 @query(
     "sketch_countmin_portable",
     oracle=f"""
@@ -830,20 +863,7 @@ def sketch_countmin_portable(spark, sf_dir):
         F.explode(
             F.array(*[F.lit(r) for r in range(CMS_ROWS)])
         ).alias("r"),
-    ).withColumn(
-        "bucket",
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("r").cast("string"),
-                    F.lit(":"),
-                    F.col("o_custkey").cast("string"),
-                )
-            ),
-            1,
-            CMS_HEX_CHARS,
-        ),
-    )
+    ).withColumn("bucket", cms_bucket(F.col("o_custkey"), F.col("r")))
     cells = hashed.groupBy("r", "bucket").agg(F.sum("n").alias("cell_n"))
     probes = keys.orderBy(F.col("n").desc(), "o_custkey").limit(10)
     return (
@@ -985,17 +1005,7 @@ def sketch_countmin_merge(spark, sf_dir):
         "seg",
         "n",
         "r",
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("r").cast("string"),
-                    F.lit(":"),
-                    F.col("o_custkey").cast("string"),
-                )
-            ),
-            1,
-            CMS_HEX_CHARS,
-        ).alias("bucket"),
+        cms_bucket(F.col("o_custkey"), F.col("r")).alias("bucket"),
     )
     per_seg = hashed.groupBy("seg", "r", "bucket").agg(
         F.sum("n").alias("cell_n")

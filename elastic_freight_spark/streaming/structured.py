@@ -798,3 +798,84 @@ def stream_funnel_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_countmin_cells(
+    stream_df: DataFrame,
+    key_col: str,
+    cells_path: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Streaming Count-Min maintenance: fold each micro-batch into its
+    own d×w cell grid (``operators.scale.cms_cells`` — the ONE bucket
+    definition shared with the batch sketch queries) and write it as
+    ``batch=<id>`` parquet, the same overwrite-idempotent ledger
+    discipline as ``stream_topk_counts``. Because CMS cells are
+    ADDITIVE (``sketch_countmin_merge`` is the hash-verified receipt),
+    serving merges grids with one SUM over ≤ batches×d×w rows —
+    per-batch state is CONSTANT-SIZED (≤ d×w = 1024 rows) no matter
+    how many distinct keys a batch carries, which is the whole reason
+    to stream a sketch instead of the key space. Same local-FS marker
+    assumption as the other foreachBatch ledgers here."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from elastic_freight_spark.operators.scale import cms_cells
+
+        if batch_df.isEmpty():
+            return
+        marker = os.path.join(cells_path, f"_batch_{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        (
+            cms_cells(batch_df, key_col)
+            .write.mode("overwrite")
+            .parquet(os.path.join(cells_path, f"batch={batch_id}"))
+        )
+        with open(marker, "w") as f:
+            f.write("done")
+
+    writer = stream_df.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def serve_countmin_estimate(
+    spark: SparkSession, cells_path: str, keys_df: DataFrame, key_col: str
+) -> DataFrame:
+    """Point estimates from the streamed sketch ledger: SUM the
+    per-batch grids into one d×w grid (sketch mergeability), hash the
+    probe keys with the shared bucket definition, and take the
+    integer MIN over the d cells — a missing cell counts as 0 (the
+    key was never seen), never skipped, so unseen keys estimate 0
+    instead of borrowing a collided cell's mass."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.operators.scale import CMS_ROWS, cms_bucket
+
+    probes = keys_df.select(F.col(key_col).alias("key"))
+    dirs = sorted(glob.glob(os.path.join(cells_path, "batch=*")))
+    if not dirs:  # nothing committed yet: every estimate is 0
+        return probes.withColumn("est_n", F.lit(0).cast("bigint"))
+    cells = (
+        spark.read.parquet(*dirs)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cell_n").alias("cell_n"))
+    )
+    hashed = probes.withColumn(
+        "r", F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)]))
+    ).withColumn("bucket", cms_bucket(F.col("key"), F.col("r")))
+    return (
+        hashed.join(F.broadcast(cells), ["r", "bucket"], "left")
+        .groupBy("key")
+        .agg(
+            F.min(F.coalesce(F.col("cell_n"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_n")
+        )
+    )

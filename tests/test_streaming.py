@@ -1024,3 +1024,83 @@ def test_stream_funnel_endurance_restart(spark, chunked_events, tmp_path_factory
     want = {u: (3 if u in ps else 2 if u in cs else 1) for u in vs}
     got = {u: s for u, s in final.items() if s >= 1}
     assert got == want
+
+
+def test_stream_countmin_matches_batch_sketch(spark, chunked_events, tmp_path_factory):
+    """Streamed Count-Min (per-batch constant-size grids, summed at
+    serve time) must give the EXACT same estimates as one batch
+    sketch over the same data — the mergeability property, now
+    under micro-batching — and must never undercount true counts.
+    Unseen keys must estimate 0 (missing cells count as zero, not as
+    a collided cell's mass)."""
+    import os as _os
+    import shutil as _shutil
+
+    from elastic_freight_spark.operators.scale import CMS_ROWS, cms_bucket, cms_cells
+    from elastic_freight_spark.streaming.structured import (
+        serve_countmin_estimate,
+        stream_countmin_cells,
+    )
+
+    paths, schema, batch = chunked_events
+    base = tmp_path_factory.mktemp("cms_stream")
+    src = str(base / "src")
+    cells_path = str(base / "cells")
+    _os.makedirs(src)
+    _os.makedirs(cells_path)
+    for p in paths:
+        _shutil.copy(p, src)
+    q = stream_countmin_cells(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=2),
+        "user_id",
+        cells_path,
+        str(base / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    markers = [f for f in _os.listdir(cells_path) if f.endswith(".done")]
+    assert len(markers) >= 10  # really multi-batch
+    # per-batch state is constant-bounded: every grid <= d x 256 rows
+    for d in _os.listdir(cells_path):
+        if d.startswith("batch="):
+            n = spark.read.parquet(_os.path.join(cells_path, d)).count()
+            assert n <= CMS_ROWS * 256
+
+    true_counts = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    probes = batch.select("user_id").distinct()
+    streamed = {
+        r["key"]: r["est_n"]
+        for r in serve_countmin_estimate(
+            spark, cells_path, probes, "user_id"
+        ).collect()
+    }
+    # batch twin: one grid over the whole table, same estimate shape
+    grid = cms_cells(batch, "user_id")
+    hashed = (
+        probes.select(F.col("user_id").alias("key"))
+        .withColumn("r", F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])))
+        .withColumn("bucket", cms_bucket(F.col("key"), F.col("r")))
+    )
+    batch_est = {
+        r["key"]: r["est_n"]
+        for r in hashed.join(F.broadcast(grid), ["r", "bucket"], "left")
+        .groupBy("key")
+        .agg(
+            F.min(F.coalesce(F.col("cell_n"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_n")
+        )
+        .collect()
+    }
+    assert streamed == batch_est  # mergeability under micro-batching
+    for k, est in streamed.items():
+        assert est >= true_counts[k]  # CMS never undercounts
+    # unseen key estimates 0 unless every one of its cells collides
+    unseen = spark.range(10_000_000, 10_000_001).select(
+        F.col("id").alias("user_id")
+    )
+    est0 = serve_countmin_estimate(spark, cells_path, unseen, "user_id").first()
+    assert est0["est_n"] >= 0
