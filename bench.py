@@ -110,6 +110,7 @@ def main() -> None:
         "layout_zonemap_effectiveness",
         "minhash_estimate_calibration",
         "dq_embeddings_constraints",
+        "decontaminate_semantic",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -609,3 +609,41 @@ def test_minhash_calibration_separates_dups_from_noise(spark):
         r["n_pairs"] for r in lo
     )
     assert mean_hi > 0.5 and mean_lo < 0.1 and mean_hi > mean_lo * 5
+
+
+def test_semantic_decontamination_matches_python_recompute(spark):
+    """Flagged set must equal a plain-Python brute force over the same
+    vectors: same eval cutoff, same threshold, same argmax tie-break.
+    (The driver oracle pins values vs DuckDB; this pins the semantics
+    against an implementation with no shared code.)"""
+    import math
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.vectors import (
+        SEMDECON_EVAL_CUTOFF,
+        SEMDECON_TAU,
+    )
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = load_tables(spark, sf)["embeddings"].select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+    norms = {k: math.sqrt(sum(float(x) * float(x) for x in v)) for k, v in vecs.items()}
+    want = {}
+    for cid, cv in vecs.items():
+        if cid < SEMDECON_EVAL_CUTOFF:
+            continue
+        best = None
+        for eid in sorted(k for k in vecs if k < SEMDECON_EVAL_CUTOFF):
+            dot = sum(float(x) * float(y) for x, y in zip(cv, vecs[eid]))
+            cos = dot / (norms[cid] * norms[eid])
+            if best is None or cos > best[1]:
+                best = (eid, cos)
+        if best and best[1] >= SEMDECON_TAU:
+            want[cid] = best[0]
+    got = {
+        r["vec_id"]: r["best_eval_id"]
+        for r in registry.QUERIES["decontaminate_semantic"](spark, sf).collect()
+    }
+    assert got == want
