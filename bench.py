@@ -111,6 +111,7 @@ def main() -> None:
         "minhash_estimate_calibration",
         "dq_embeddings_constraints",
         "decontaminate_semantic",
+        "ann_ivf_portable",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -449,6 +449,29 @@ def fit_centroids_sampled(
     return [list(map(float, c)) for c in cent]
 
 
+def assign_cells(df, centroids) -> DataFrame:
+    """Attach ``cell`` = argmin-distance centroid index: ONE map-side
+    pass of pure JVM expressions — the centroid list rides the plan
+    as a nested array literal and each row takes argmin over the k
+    distances inside whole-stage codegen; no MLlib, no UDF, no
+    shuffle. Ties break on the LOWEST cell id (first array_min
+    occurrence). Shared by the learned (KMeans) and the portable
+    (md5-ranked) center families so both run the identical plan."""
+    cent_lit = F.lit(centroids)  # array<array<double>> literal
+    d2 = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with("vec", c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return df.withColumn(
+        "cell",
+        (F.array_position(d2, F.array_min(d2)) - 1).cast("int"),
+    )
+
+
 def ivf_assign(
     df,
     n_cells: int = 16,
@@ -459,29 +482,14 @@ def ivf_assign(
     """Return (centroids, assigned_df) — the classic IVF layout.
 
     Fit: sample-bounded driver-side Lloyd (``fit_centroids_sampled``),
-    constant cost in corpus size. Assignment: ONE map-side pass of
-    pure JVM expressions — the centroid list rides the plan as a
-    nested array literal and each row takes argmin over the k
-    distances inside whole-stage codegen; no MLlib, no UDF, no
-    shuffle. The cell id then acts as a partition/bucket column so a
-    probe touches n_probe/n_cells of the data."""
+    constant cost in corpus size. Assignment: ``assign_cells`` (JVM
+    argmin over the centroid literal). The cell id then acts as a
+    partition/bucket column so a probe touches n_probe/n_cells of
+    the data."""
     centroids = fit_centroids_sampled(
         df, n_cells=n_cells, seed=seed, fit_cap=fit_cap
     )
-    cent_lit = F.lit(centroids)  # array<array<double>> literal
-    d2 = F.transform(
-        cent_lit,
-        lambda c: F.aggregate(
-            F.zip_with("vec", c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    assigned = df.withColumn(
-        "cell",
-        (F.array_position(d2, F.array_min(d2)) - 1).cast("int"),
-    )
-    return centroids, assigned
+    return centroids, assign_cells(df, centroids)
 
 
 def ivf_probe_cells(spark, q: DataFrame, centroids: list, n_probe: int = 2) -> DataFrame:
@@ -1122,6 +1130,119 @@ def ann_pq_portable(spark, sf_dir):
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.round("pq_score", 9).alias("pq_score"))
+    )
+
+
+@query(
+    "ann_ivf_portable",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT vec, ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM e
+    ),
+    book AS (SELECT rk - 1 AS code, vec AS cw FROM ranked WHERE rk <= {PQP_K}),
+    dist AS (
+      SELECT e.vec_id, b.code,
+             list_sum(list_transform(list_zip(e.vec, b.cw),
+                                     x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+      FROM e CROSS JOIN book b
+    ),
+    assign AS (
+      SELECT vec_id, code AS cell FROM (
+        SELECT vec_id, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, code AS cell FROM (
+        SELECT vec_id, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+        FROM dist WHERE vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    q AS (
+      SELECT vec_id AS query_id, vec AS qvec,
+             sqrt(list_sum(list_transform(vec, x -> x*x))) AS qnorm
+      FROM e WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT e.vec_id AS neighbor_id, e.vec AS cvec, a.cell,
+             sqrt(list_sum(list_transform(e.vec, x -> x*x))) AS cnorm
+      FROM e JOIN assign a ON a.vec_id = e.vec_id
+      WHERE e.vec_id >= 10
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_sum(list_transform(list_zip(q.qvec, c.cvec), x -> x[1]*x[2]))
+               / NULLIF(q.qnorm * c.cnorm, 0) AS cosine
+      FROM q
+      JOIN probes p ON p.query_id = q.query_id
+      JOIN c ON c.cell = p.cell
+    )
+    SELECT query_id, neighbor_id, ROUND(cosine, 9) AS cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def ann_ivf_portable(spark, sf_dir):
+    """Hash-checked certification of the full IVF serving plan —
+    cell assignment (``assign_cells``, the SAME JVM argmin the
+    learned path runs), 2-cell probe (``ivf_probe_cells``, the same
+    broadcast centroid join), exact cosine re-rank inside probed
+    cells — on deterministic md5-ranked centers, so the whole chain
+    the rows-only ``ann_ivf_cosine`` runs on KMeans centroids gets a
+    value-hash oracle. Completes the ANN certification set: LSH
+    (MinHash/SimHash md5 twins), PQ (pq/ann_pq portable), now IVF."""
+    from pyspark.sql import Window as W
+
+    books = _pq_books_portable(spark, sf_dir)
+    # centers = the same md5-ranked vectors the PQ twin uses, stitched
+    # back from the cached per-subspace blocks (one driver pull total
+    # for both portable families)
+    centers = [
+        [x for s in range(PQP_NSUB) for x in books[s][j]] for j in range(PQP_K)
+    ]
+    e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = assign_cells(e.filter(F.col("vec_id") >= 10), centers).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+        F.col("cell").alias("ccell"),
+    )
+    probes = ivf_probe_cells(spark, q, centers, n_probe=2)
+    scored = (
+        F.broadcast(q.join(probes, "query_id"))
+        .join(c, "ccell")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.expr(_DOT.format(a="qvec", b="cvec"))
+                / F.expr("nullif(qnorm * cnorm, cast(0.0 as double))")
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cosine", 9).alias("cosine"))
     )
 
 

