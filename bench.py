@@ -112,6 +112,10 @@ def main() -> None:
         "dq_embeddings_constraints",
         "decontaminate_semantic",
         "ann_ivf_portable",
+        "sketch_kmv_distinct",
+        "epoch_shuffle_plan",
+        "pagerank_portable",
+        "power_iteration_portable",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

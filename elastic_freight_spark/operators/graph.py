@@ -282,3 +282,117 @@ def graph_link_prediction(spark, sf_dir):
         )
         .limit(25)
     )
+
+
+# Fixed-point PageRank scale: ranks live in units of 1e-12 as BIGINTs.
+# Integer sums are associative (any aggregation order gives the same
+# bits) and integer `div` floors identically in Spark and DuckDB, so a
+# FIXED iteration count is bit-reproducible across engines — the trick
+# that turns the float-fixpoint `supplier_pagerank` (rows-only by
+# design) into a value-hash-certifiable twin.
+PR_SCALE = 10**12
+PR_ITERS = 3
+
+
+def _pr_oracle() -> str:
+    """Unrolled fixed-point PageRank oracle: r0 = SCALE div n, then
+    PR_ITERS rounds of r' = (15*(SCALE div n)) div 100 +
+    (85 * sum(r div out_deg)) div 100 over the directed co-supply
+    edges. Generated so the Spark loop and the SQL stay in lockstep
+    via the shared iteration count."""
+    steps = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        steps.append(f"""
+    c{i} AS (
+      SELECT e.dst, SUM({prev}.r // deg.d) AS c
+      FROM dir e
+      JOIN {prev} ON {prev}.v = e.src
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT verts.v,
+             (SELECT (15 * ({PR_SCALE} // n)) // 100 FROM nv)
+             + (85 * COALESCE(c{i}.c, 0)) // 100 AS r
+      FROM verts LEFT JOIN c{i} ON c{i}.dst = verts.v
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH edges AS ({_EDGES_SQL}),
+    dir AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v AS src, u AS dst FROM edges
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM dir),
+    nv AS (SELECT COUNT(*) AS n FROM verts),
+    deg AS (SELECT src, COUNT(*) AS d FROM dir GROUP BY src),
+    r0 AS (SELECT v, (SELECT {PR_SCALE} // n FROM nv) AS r FROM verts),
+    {",".join(steps)}
+    SELECT v AS supplier, CAST(r AS BIGINT) AS rank_fp
+    FROM (
+      SELECT v, r, ROW_NUMBER() OVER (ORDER BY r DESC, v) AS rn FROM {prev}
+    ) WHERE rn <= 25
+    """
+
+
+@query("pagerank_portable", oracle=_pr_oracle())
+def pagerank_portable(spark, sf_dir):
+    """Hash-checked certification of the iterative-PageRank plan
+    shape: the same per-iteration join/aggregate/outer-join loop as
+    ``supplier_pagerank`` (scale.pagerank), but in FIXED-POINT integer
+    arithmetic — ranks are BIGINTs in units of 1e-12, contributions
+    use integer ``div`` (floors match DuckDB's ``//``), and integer
+    sums are associative so partitioning/aggregation order can't leak
+    into the result. 3 iterations, top-25 by (rank, supplier).
+
+    Scale shape is identical to the float path: the k-bounded
+    co-supply edge frame (|E| <= 2*5*|V|, cached per session) is
+    scanned once per iteration; the only iterating frame is
+    vertex-sized. Lineage depth is PR_ITERS=3 — shallow enough to
+    run unpersisted as ONE declarative plan, which is exactly what
+    makes it oracle-comparable (the float path's cache/unpersist
+    loop stays the production shape for deep iteration counts)."""
+    und = cosupply_edges(spark, sf_dir)
+    dir_e = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    verts = dir_e.select(F.col("src").alias("v")).distinct()
+    nv = verts.agg(F.count(F.lit(1)).alias("n"))
+    deg = dir_e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    base = F.expr(f"(15 * ({PR_SCALE} div n)) div 100")
+    ranks = verts.crossJoin(F.broadcast(nv)).select(
+        "v", "n", F.expr(f"{PR_SCALE} div n").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            dir_e.join(
+                ranks.select(F.col("v").alias("src"), "r"), "src"
+            )
+            .join(F.broadcast(deg), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div d")).alias("c"))
+        )
+        ranks = (
+            verts.crossJoin(F.broadcast(nv))
+            .join(contrib.select(F.col("dst").alias("v"), "c"), "v", "left")
+            .select(
+                "v",
+                "n",
+                (
+                    base
+                    + F.expr("(85 * COALESCE(c, CAST(0 AS BIGINT))) div 100")
+                ).alias("r"),
+            )
+        )
+    from pyspark.sql import Window as W
+
+    return (
+        ranks.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("r").desc(), "v"))
+        )
+        .filter(F.col("rn") <= 25)
+        .select(
+            F.col("v").alias("supplier"), F.col("r").cast("bigint").alias("rank_fp")
+        )
+    )

@@ -942,3 +942,69 @@ def dq_embeddings_constraints(spark, sf_dir):
             "label_present": F.sum(F.col("label").isNull().cast("int")),
         },
     )
+
+
+EPOCH_SHUFFLE_EPOCHS = 2  # orderings audited side by side
+EPOCH_SHUFFLE_SHARDS = 16  # first md5 hex char -> 16-way shard split
+
+
+@query(
+    "epoch_shuffle_plan",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CAST(e.e AS INTEGER) AS epoch, d.doc_id,
+             md5('ep' || CAST(e.e AS VARCHAR) || ':' ||
+                 CAST(d.doc_id AS VARCHAR)) AS h
+      FROM documents d CROSS JOIN range({EPOCH_SHUFFLE_EPOCHS}) e(e)
+    )
+    SELECT epoch, substr(h, 1, 1) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(min_by(doc_id, h) AS BIGINT) AS first_doc,
+           MIN(h) AS min_hash
+    FROM assigned
+    GROUP BY epoch, substr(h, 1, 1)
+    """,
+)
+def epoch_shuffle_plan(spark, sf_dir):
+    """Deterministic global training-order shuffle: epoch e places
+    ``doc_id`` at rank ``md5('ep<e>:' || doc_id)`` and shard =
+    first hex char — a full random permutation per epoch that is
+    reproducible across runs, engines, and partitionings (no
+    ``rand()``, no seed-per-partition coupling), with orderings
+    decorrelated BETWEEN epochs because the epoch number is inside
+    the hash. This is how a 100 TB corpus gets its per-epoch read
+    order: one map pass stamps (shard, rank), one range write per
+    epoch materializes it — the shuffle work is a sort by an
+    already-uniform key, the best case for Spark's RangePartitioner
+    (fences land uniformly; see ``range_partition_boundaries``).
+
+    The audited plan folds each epoch's permutation to its 16 shard
+    summaries (count, first document in shuffle order, shard-min
+    hash): enough to pin the whole assignment — balance, determinism,
+    and epoch decorrelation — in 32 rows. Constant fan-out: the
+    explode is EPOCHS×, a fixed multiplier, not data-dependent."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    assigned = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(e) for e in range(EPOCH_SHUFFLE_EPOCHS)])
+        ).alias("epoch"),
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    return (
+        assigned.groupBy("epoch", F.substring("h", 1, 1).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min_by("doc_id", "h").cast("bigint").alias("first_doc"),
+            F.min("h").alias("min_hash"),
+        )
+    )

@@ -1161,3 +1161,201 @@ def layout_zonemap_effectiveness(spark, sf_dir):
             ).alias("avg_file_span_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the portable face of
+# approximate count-distinct. The engine-native HLL surface
+# (agg_approx_distinct, hll_sketch_rollup) is rows-only forever
+# because HLL register layouts differ across engines; KMV over md5
+# is the same capability (a fixed-size mergeable distinct sketch,
+# Bar-Yossef et al. 2002) built from nothing but portable hashes, so
+# the whole structure — sketch build, mergeability, estimator —
+# certifies under a DuckDB value hash.
+# ---------------------------------------------------------------------------
+
+KMV_K = 32  # sketch size: k smallest hashes per segment
+KMV_HEX = 12  # estimator precision: 48-bit hash prefix, exact in a double
+# (k-1) * 16^KMV_HEX — the KMV estimator numerator, < 2^53 so exact
+_KMV_NUM = (KMV_K - 1) * (16**KMV_HEX)
+
+
+def kmv_hex_value_sql(col: str, n: int = KMV_HEX) -> str:
+    """SQL fragment mapping the first ``n`` hex chars of ``col`` to
+    their integer value as a DOUBLE — the ONE definition both the
+    Spark expression and the DuckDB oracle must share (CLAUDE.md
+    shared-fragment rule). Pure ``instr``/``substr`` arithmetic: both
+    engines are 1-based and return 0 on a miss, and the max value
+    16^12-1 < 2^53 is exact in a double. No hex→int builtin exists
+    portably across engines, so the digits are folded positionally."""
+    terms = " + ".join(
+        # the digit is cast to BIGINT first: Spark types small
+        # power-of-16 literals as INT and ANSI int multiply overflows
+        f"CAST(instr('0123456789abcdef', substr({col}, {i}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (n - i)}"
+        for i in range(1, n + 1)
+    )
+    return f"CAST({terms} AS DOUBLE)"
+
+
+def kmv_topk(df: DataFrame, part_cols: list, k: int = KMV_K) -> DataFrame:
+    """The k lexicographically-smallest ``h`` per group WITHOUT a
+    full per-group sort: salt on the first 2 hex chars (256-way,
+    uniform by construction), rank within (group, salt) — parallel,
+    each window partition ~N/256 — keep the local top-k, then rank
+    the <=256*k survivors per group. Exact by the k-minima-of-union
+    property: every global minimum is a minimum of its salt class.
+    This is the shape that survives 10^9 distinct keys; a bare
+    ``row_number() OVER (PARTITION BY seg ORDER BY h)`` would sort a
+    whole segment in one task."""
+    from pyspark.sql import Window as W
+
+    w1 = W.partitionBy(*part_cols, "_salt").orderBy("h")
+    local = (
+        df.withColumn("_salt", F.substring("h", 1, 2))
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = W.partitionBy(*part_cols).orderBy("h")
+    return (
+        local.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+    )
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_orderpriority AS seg, o_custkey FROM orders
+    ),
+    hashed AS (
+      SELECT seg, md5('kmv:' || CAST(o_custkey AS VARCHAR)) AS h FROM pairs
+    ),
+    seg_sk AS (
+      SELECT seg, h FROM (
+        SELECT seg, h, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= {KMV_K}
+    ),
+    seg_true AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS true_distinct
+      FROM pairs GROUP BY seg
+    ),
+    seg_rows AS (
+      SELECT s.seg, MAX(s.h) AS kth_min,
+             CAST(COUNT(*) AS BIGINT) AS n_hashes, t.true_distinct
+      FROM seg_sk s JOIN seg_true t ON t.seg = s.seg
+      GROUP BY s.seg, t.true_distinct
+    ),
+    gall AS (SELECT DISTINCT h FROM hashed),
+    gtrue AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_distinct FROM gall),
+    onepass AS (
+      SELECT '__onepass' AS seg, MAX(h) AS kth_min,
+             CAST(COUNT(*) AS BIGINT) AS n_hashes,
+             (SELECT true_distinct FROM gtrue) AS true_distinct
+      FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM gall)
+      WHERE rn <= {KMV_K}
+    ),
+    merged AS (
+      SELECT '__merged' AS seg, MAX(h) AS kth_min,
+             CAST(COUNT(*) AS BIGINT) AS n_hashes,
+             (SELECT true_distinct FROM gtrue) AS true_distinct
+      FROM (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM seg_sk)
+      ) WHERE rn <= {KMV_K}
+    ),
+    unioned AS (
+      SELECT * FROM seg_rows
+      UNION ALL SELECT * FROM onepass
+      UNION ALL SELECT * FROM merged
+    )
+    SELECT seg, kth_min, n_hashes, true_distinct,
+           ROUND({_KMV_NUM}.0
+                 / NULLIF({kmv_hex_value_sql('kth_min')}, 0.0), 9)
+             AS est_distinct
+    FROM unioned
+    """,
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV distinct sketch (k=32 minimum md5 values) over customers
+    per order priority, with the two receipts that make a distinct
+    sketch shippable at 100 TB:
+
+    - ``__onepass``: the sketch built over all keys in one pass.
+    - ``__merged``: the k smallest of the UNION of the five per-
+      segment sketches. KMV merges losslessly (global minima are
+      segment minima), so its row is byte-identical to ``__onepass``
+      — the distributive-merge property, per-executor grids summed by
+      a coordinator, same story as ``sketch_countmin_merge``.
+
+    Estimator: (k-1)/r_k where r_k = kth-min hash as a fraction of
+    hash space, computed from the first 12 hex chars via the shared
+    ``kmv_hex_value_sql`` digit fold — all-integer until the final
+    ROUND(...,9) division. Hash ordering is lexicographic on hex
+    strings (portable), never hex→int of the full digest.
+
+    Scale shape: one distinct aggregate over the fact table (the only
+    data-sized stage), then ``kmv_topk``'s salted two-phase ranking —
+    no full per-segment sort, window partitions bounded at ~N/256 for
+    phase 1 and 256·k rows for phase 2. The sketch itself is 32
+    strings per segment: the thing you broadcast instead of keys.
+    Engine-native HLL stays rows-only (`agg_approx_distinct`); this
+    certifies the same capability portably."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    pairs = (
+        orders.select(F.col("o_orderpriority").alias("seg"), "o_custkey")
+        .distinct()
+    )
+    hashed = pairs.select(
+        "seg",
+        F.md5(
+            F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string"))
+        ).alias("h"),
+    )
+    seg_sk = kmv_topk(hashed, ["seg"]).select("seg", "h")
+    seg_true = pairs.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_distinct")
+    )
+    seg_rows = (
+        seg_sk.groupBy("seg")
+        .agg(
+            F.max("h").alias("kth_min"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+        )
+        .join(F.broadcast(seg_true), "seg")
+        .select("seg", "kth_min", "n_hashes", "true_distinct")
+    )
+    glob = hashed.select("h").distinct()
+    gtrue = glob.agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_distinct")
+    )
+
+    def _global_row(sk: DataFrame, label: str) -> DataFrame:
+        return (
+            sk.agg(
+                F.max("h").alias("kth_min"),
+                F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+            )
+            .crossJoin(F.broadcast(gtrue))
+            .select(
+                F.lit(label).alias("seg"),
+                "kth_min",
+                "n_hashes",
+                "true_distinct",
+            )
+        )
+
+    onepass = _global_row(kmv_topk(glob, []), "__onepass")
+    merged = _global_row(kmv_topk(seg_sk.select("h").distinct(), []), "__merged")
+    est = F.expr(
+        f"round({_KMV_NUM}.0"
+        f" / nullif({kmv_hex_value_sql('kth_min')}, 0.0), 9)"
+    )
+    return (
+        seg_rows.unionByName(onepass)
+        .unionByName(merged)
+        .withColumn("est_distinct", est)
+    )

@@ -1581,3 +1581,149 @@ def decontaminate_semantic(spark, sf_dir):
             F.round("cosine", 9).alias("cosine"),
         )
     )
+
+
+# Fixed-point scales for the portable power iteration: every CROSS-ROW
+# sum is SUM(CAST(FLOOR(term * scale) AS BIGINT)) — floor is the one
+# float→int path with NO rounding-mode ambiguity across engines
+# (DECIMAL casts round HALF_UP in Spark vs HALF_EVEN in DuckDB, which
+# measurably drifts the 9th decimal over 10^5 casts), and BIGINT sums
+# are associative. Scales keep every sum well under 2^53 at 100× the
+# fixture (|term|·scale·N bounds in the docstring).
+PIP_S1 = 10**6  # per-row component fold
+PIP_SV = 10**5  # A^T·s sums (v1, v2)
+PIP_S2 = 10**6  # per-row x·v1 fold
+
+
+@query(
+    "power_iteration_portable",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    s1 AS (
+      SELECT vec_id, vec,
+             CAST(list_sum(list_transform(
+               vec, x -> CAST(FLOOR(x * {PIP_S1}) AS BIGINT)))
+               AS DOUBLE) / {PIP_S1} AS s
+      FROM e
+    ),
+    v1 AS (
+      SELECT i - 1 AS j,
+             CAST(SUM(CAST(FLOOR(vec[i] * s * {PIP_SV}) AS BIGINT))
+               AS DOUBLE) / {PIP_SV} AS v
+      FROM s1, UNNEST(range(1, 65)) AS r(i)
+      GROUP BY i - 1
+    ),
+    v1l AS (SELECT list(v ORDER BY j) AS vl FROM v1),
+    s2 AS (
+      SELECT s1.vec_id, s1.vec,
+             CAST(list_sum(list_transform(
+               list_zip(s1.vec, v1l.vl),
+               t -> CAST(FLOOR(t[1] * t[2] * {PIP_S2}) AS BIGINT)))
+               AS DOUBLE) / {PIP_S2} AS s
+      FROM s1 CROSS JOIN v1l
+    ),
+    v2 AS (
+      SELECT i - 1 AS j,
+             SUM(CAST(FLOOR(vec[i] * s * {PIP_SV}) AS BIGINT)) AS v
+      FROM s2, UNNEST(range(1, 65)) AS r(i)
+      GROUP BY i - 1
+    ),
+    denom AS (SELECT v AS d FROM v2 ORDER BY abs(v) DESC, j LIMIT 1)
+    SELECT j AS dim,
+           CAST(v AS BIGINT) AS component_fp,
+           ROUND(CAST(v AS DOUBLE) / d, 9) AS component
+    FROM v2 CROSS JOIN denom
+    """,
+)
+def power_iteration_portable(spark, sf_dir):
+    """Hash-checked certification of the power-method matvec chain
+    the rows-only ``embedding_top_component`` runs: two iterations of
+    v' = Aᵀ(A·v) from the all-ones start vector, entirely engine-side
+    (the intermediate 64-vector travels as a collected array column,
+    never to the driver). Portability is the pagerank_portable move
+    applied to linear algebra: per-term products stay IEEE doubles
+    (deterministic given identical inputs), and every CROSS-ROW sum —
+    the thing re-partitioning would reorder — is a FLOOR-scaled
+    BIGINT sum (see PIP_* scales), so no float addition and no
+    DECIMAL rounding mode ever crosses a row boundary. Output is the
+    sign-canonical direction: each of the 64 fixed-point components
+    divided by the largest-|v| one (ties broken by dim), so the
+    arbitrary eigenvector sign cancels. No centering, and NO
+    convergence claim: the output is the exact two-step power-method
+    iterate (AᵀA)²·1 — on an isotropic corpus (this fixture's
+    λ1/λ2 ≈ 1.02) no fixed iteration count converges, so the
+    certified object is the matvec CHAIN itself; the float path owns
+    the mean-centered learned variant and its numpy pin.
+
+    Magnitude bounds at 100× the fixture (N=2·10^5, |x|≲4): s≲256,
+    v1 terms ≲ x·s·PIP_SV ≈ 10^8, summed ≈ 2·10^13; v2 terms
+    ≲ x·s2·PIP_SV ≈ 3·10^10, summed ≈ 6·10^15 — inside 2^53. Scale
+    shape per iteration: one map pass for the per-row fold, one
+    64-group aggregate after a posexplode — the d×N explode is the
+    standard dense-matvec shuffle and the only data-sized stage; at
+    100 TB you block it (group rows, partial per-block BIGINT sums)
+    without changing semantics because integer addition is
+    associative."""
+    e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
+    s1 = e.select(
+        "vec",
+        (
+            F.expr(
+                "aggregate(transform(vec, x -> "
+                f"cast(floor(x * {PIP_S1}) as bigint)), "
+                "cast(0 as bigint), (acc, t) -> acc + t)"
+            ).cast("double")
+            / PIP_S1
+        ).alias("s"),
+    )
+    v1 = (
+        s1.select("s", F.posexplode("vec").alias("j", "x"))
+        .groupBy("j")
+        .agg(
+            (
+                F.sum(
+                    F.expr(f"cast(floor(x * s * {PIP_SV}) as bigint)")
+                ).cast("double")
+                / PIP_SV
+            ).alias("v")
+        )
+    )
+    v1l = v1.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, v))), t -> t.v)"
+        ).alias("vl")
+    )
+    s2 = s1.crossJoin(F.broadcast(v1l)).select(
+        "vec",
+        (
+            F.expr(
+                "aggregate(zip_with(vec, vl, (x, c) -> "
+                f"cast(floor(x * c * {PIP_S2}) as bigint)), "
+                "cast(0 as bigint), (acc, t) -> acc + t)"
+            ).cast("double")
+            / PIP_S2
+        ).alias("s"),
+    )
+    v2 = (
+        s2.select("s", F.posexplode("vec").alias("j", "x"))
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.expr(f"cast(floor(x * s * {PIP_SV}) as bigint)")
+            ).alias("v")
+        )
+    )
+    denom = (
+        v2.orderBy(F.abs(F.col("v")).desc(), "j")
+        .limit(1)
+        .select(F.col("v").alias("d"))
+    )
+    return v2.crossJoin(F.broadcast(denom)).select(
+        F.col("j").cast("bigint").alias("dim"),
+        F.col("v").cast("bigint").alias("component_fp"),
+        F.round(F.col("v").cast("double") / F.col("d"), 9).alias("component"),
+    )

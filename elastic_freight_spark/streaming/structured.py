@@ -879,3 +879,103 @@ def serve_countmin_estimate(
             .alias("est_n")
         )
     )
+
+
+def stream_kmv_minima(
+    stream_df: DataFrame,
+    key_col: str,
+    minima_path: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Streaming KMV distinct-sketch maintenance: fold each
+    micro-batch to the k smallest ``md5('kmv:' || key)`` hashes of
+    its keys (``operators.scale.kmv_topk`` — the ONE hash definition
+    and salted two-phase ranking shared with the batch
+    ``sketch_kmv_distinct``) and write them as a ``batch=<id>``
+    parquet, the overwrite-idempotent ledger discipline of the other
+    foreachBatch sinks here. KMV merges LOSSLESSLY (the global k
+    minima are minima of every covering sketch — the ``__merged`` ==
+    ``__onepass`` receipt the batch query hash-verifies), so serving
+    ranks the union of per-batch minima; per-batch state is ≤ k rows
+    regardless of batch key cardinality. Same local-FS marker
+    assumption as the other ledgers."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from elastic_freight_spark.operators.scale import KMV_K, kmv_topk
+
+        if batch_df.isEmpty():
+            return
+        marker = os.path.join(minima_path, f"_batch_{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        hashed = batch_df.select(
+            F.md5(
+                F.concat(F.lit("kmv:"), F.col(key_col).cast("string"))
+            ).alias("h")
+        ).distinct()
+        (
+            kmv_topk(hashed, [], KMV_K)
+            .select("h")
+            .write.mode("overwrite")
+            .parquet(os.path.join(minima_path, f"batch={batch_id}"))
+        )
+        with open(marker, "w") as f:
+            f.write("done")
+
+    writer = stream_df.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def serve_kmv_distinct(spark: SparkSession, minima_path: str) -> DataFrame:
+    """Distinct-count estimate from the streamed KMV ledger: union
+    the per-batch minima, dedup (the same key in two batches hashes
+    identically), rank to the global k smallest, and apply the same
+    estimator as the batch query — with the exact-regime guard: a
+    sketch holding fewer than k hashes has seen EVERY distinct key
+    (each batch ledger keeps all of its ≤ k-1 minima, and the union
+    of complete sets is complete), so the count is exact, not
+    estimated. Returns one row (n_hashes, kth_min, est_distinct)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.operators.scale import (
+        _KMV_NUM,
+        KMV_K,
+        kmv_hex_value_sql,
+        kmv_topk,
+    )
+
+    dirs = sorted(glob.glob(os.path.join(minima_path, "batch=*")))
+    if not dirs:  # nothing committed yet
+        return spark.range(1).select(
+            F.lit(0).cast("bigint").alias("n_hashes"),
+            F.lit(None).cast("string").alias("kth_min"),
+            F.lit(0.0).alias("est_distinct"),
+        )
+    minima = spark.read.parquet(*dirs).select("h").distinct()
+    sk = kmv_topk(minima, [], KMV_K)
+    return sk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+        F.max("h").alias("kth_min"),
+    ).select(
+        "n_hashes",
+        "kth_min",
+        F.when(
+            F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
+        )
+        .otherwise(
+            F.expr(
+                f"{_KMV_NUM}.0"
+                f" / nullif({kmv_hex_value_sql('kth_min')}, 0.0)"
+            )
+        )
+        .alias("est_distinct"),
+    )

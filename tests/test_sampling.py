@@ -34,3 +34,44 @@ def test_train_test_split_partitioning_invariant(spark):
     # ratio in the right neighborhood
     frac = tr1.count() / docs.count()
     assert 0.7 < frac < 0.9
+
+
+def test_epoch_shuffle_plan_balanced_decorrelated_pinned(spark):
+    """Epoch-shuffle contract: 2 epochs x 16 shards, each epoch's
+    shard counts sum to the corpus, the shard-min hashes equal a
+    hashlib recompute (pinning 'ep<e>:<doc_id>'), and the two epochs
+    produce different first-document assignments for most shards —
+    the decorrelation a multi-epoch training order exists to provide."""
+    import hashlib
+
+    import duckdb
+
+    from elastic_freight_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["epoch_shuffle_plan"](spark, sf).collect()
+    assert len(rows) == 32
+    doc_ids = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT doc_id FROM read_parquet('{sf}/documents.parquet')")
+        .fetchall()
+    ]
+    want = {}
+    for e in range(2):
+        for d in doc_ids:
+            h = hashlib.md5(f"ep{e}:{d}".encode()).hexdigest()
+            key = (e, h[0])
+            cur = want.get(key)
+            if cur is None or h < cur[0]:
+                want[key] = (h, d)
+    per_epoch_n = {0: 0, 1: 0}
+    firsts = {0: {}, 1: {}}
+    for r in rows:
+        per_epoch_n[r["epoch"]] += r["n_docs"]
+        assert (r["min_hash"], r["first_doc"]) == want[(r["epoch"], r["shard"])]
+        firsts[r["epoch"]][r["shard"]] = r["first_doc"]
+    assert per_epoch_n == {0: len(doc_ids), 1: len(doc_ids)}
+    n_diff = sum(1 for s in firsts[0] if firsts[0][s] != firsts[1].get(s))
+    assert n_diff >= 12  # epochs must not share an ordering

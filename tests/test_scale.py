@@ -446,3 +446,87 @@ def test_cms_merge_equals_direct_sketch(spark):
     for r in rows:
         assert r["n_equal"] == r["n_cells"]
         assert r["mass"] == n_orders
+
+
+def test_kmv_merge_lossless_and_matches_python_recompute(spark):
+    """KMV contract: the merged per-segment sketches reproduce the
+    one-pass global sketch byte-for-byte (lossless distributive
+    merge), every sketch is exactly k hashes when the segment has
+    >= k distinct keys, and the kth-min hash per segment equals a
+    hashlib recompute over the raw distinct pairs — pinning the
+    'kmv:<key>' hash definition the DuckDB oracle treats as data.
+    The estimator lands within the KMV error band (sigma ~ 1/sqrt(k-2))."""
+    import hashlib
+
+    import duckdb
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.scale import KMV_K
+
+    registry.load_all()
+    rows = {
+        r["seg"]: r
+        for r in registry.QUERIES["sketch_kmv_distinct"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+        "__merged", "__onepass",
+    }
+    m, o = rows["__merged"], rows["__onepass"]
+    assert (m["kth_min"], m["n_hashes"], m["est_distinct"]) == (
+        o["kth_min"], o["n_hashes"], o["est_distinct"]
+    )
+    pairs = duckdb.connect().execute(
+        "SELECT DISTINCT o_orderpriority, o_custkey FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    by_seg = {}
+    for seg, ck in pairs:
+        by_seg.setdefault(seg, []).append(
+            hashlib.md5(f"kmv:{ck}".encode()).hexdigest()
+        )
+    for seg, hs in by_seg.items():
+        want_kth = sorted(hs)[KMV_K - 1]
+        assert rows[seg]["kth_min"] == want_kth, seg
+        assert rows[seg]["n_hashes"] == KMV_K
+        assert rows[seg]["true_distinct"] == len(hs)
+        # 3-sigma band around the unbiased KMV estimate
+        rel = rows[seg]["est_distinct"] / len(hs)
+        assert 0.4 < rel < 2.5, (seg, rel)
+
+
+def test_pagerank_portable_matches_python_fixed_point(spark):
+    """The fixed-point portable PageRank must reproduce a pure-Python
+    integer recompute of the same algorithm on the collected edge
+    list exactly (BIGINT arithmetic leaves no tolerance), and its
+    top-25 must substantially agree with the float path's ranking."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.graph import (
+        PR_ITERS,
+        PR_SCALE,
+        cosupply_edges,
+    )
+
+    registry.load_all()
+    got = registry.QUERIES["pagerank_portable"](spark, SF_DIR).collect()
+    edges = [(r["u"], r["v"]) for r in cosupply_edges(spark, SF_DIR).collect()]
+    dir_e = edges + [(v, u) for u, v in edges]
+    verts = sorted({u for u, _ in dir_e})
+    n = len(verts)
+    deg = {}
+    for u, _ in dir_e:
+        deg[u] = deg.get(u, 0) + 1
+    r = {v: PR_SCALE // n for v in verts}
+    base = (15 * (PR_SCALE // n)) // 100
+    for _ in range(PR_ITERS):
+        c = {v: 0 for v in verts}
+        for u, v in dir_e:
+            c[v] += r[u] // deg[u]
+        r = {v: base + (85 * c[v]) // 100 for v in verts}
+    want = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert [(g["supplier"], g["rank_fp"]) for g in got] == want
+    flt = registry.QUERIES["supplier_pagerank"](spark, SF_DIR).collect()
+    overlap = {g["supplier"] for g in got} & {f["supplier"] for f in flt}
+    # 3-iter fp vs 6-iter float: same hubs (sf0.001's graph has only
+    # 10 suppliers, so both top-25s are the whole vertex set)
+    assert len(overlap) * 5 >= min(len(got), len(flt)) * 3

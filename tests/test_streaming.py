@@ -1104,3 +1104,63 @@ def test_stream_countmin_matches_batch_sketch(spark, chunked_events, tmp_path_fa
     )
     est0 = serve_countmin_estimate(spark, cells_path, unseen, "user_id").first()
     assert est0["est_n"] >= 0
+
+
+def test_stream_kmv_matches_batch_sketch(spark, chunked_events, tmp_path_factory):
+    """Streamed KMV (per-batch k-minima ledgers, union-ranked at
+    serve time) must reproduce the one-pass batch sketch EXACTLY —
+    same kth-min hash, same estimate (lossless merge under
+    micro-batching) — with per-batch state bounded at k rows, and
+    the estimate must land within the KMV error band of the true
+    distinct count."""
+    import os as _os
+    import shutil as _shutil
+
+    from elastic_freight_spark.operators.scale import KMV_K, kmv_topk
+    from elastic_freight_spark.streaming.structured import (
+        serve_kmv_distinct,
+        stream_kmv_minima,
+    )
+
+    paths, schema, batch = chunked_events
+    base = tmp_path_factory.mktemp("kmv_stream")
+    src = str(base / "src")
+    minima_path = str(base / "minima")
+    _os.makedirs(src)
+    _os.makedirs(minima_path)
+    for p in paths:
+        _shutil.copy(p, src)
+    q = stream_kmv_minima(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=2),
+        "user_id",
+        minima_path,
+        str(base / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    markers = [f for f in _os.listdir(minima_path) if f.endswith(".done")]
+    assert len(markers) >= 10  # really multi-batch
+    for d in _os.listdir(minima_path):
+        if d.startswith("batch="):
+            n = spark.read.parquet(_os.path.join(minima_path, d)).count()
+            assert n <= KMV_K  # constant-bounded per-batch state
+    served = serve_kmv_distinct(spark, minima_path).collect()[0]
+    # batch twin: one-pass sketch over the whole table
+    hashed = batch.select(
+        F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias(
+            "h"
+        )
+    ).distinct()
+    sk = kmv_topk(hashed, [], KMV_K).collect()
+    want_kth = max(r["h"] for r in sk)
+    assert served["n_hashes"] == len(sk)
+    assert served["kth_min"] == want_kth  # lossless merge
+    true_n = batch.select("user_id").distinct().count()
+    if served["n_hashes"] < KMV_K:
+        assert served["est_distinct"] == float(true_n)  # exact regime
+    else:
+        assert 0.4 < served["est_distinct"] / true_n < 2.5
+    # replay idempotency: re-running the fold over the same ledger
+    # (markers present) must not change the serve result
+    served2 = serve_kmv_distinct(spark, minima_path).collect()[0]
+    assert served2 == served

@@ -677,3 +677,38 @@ def test_ann_ivf_portable_runs_learned_plan_shape(spark):
         [x for s in range(PQP_NSUB) for x in books[s][j]] for j in range(PQP_K)
     ]
     assert len(centers) == PQP_K and all(len(c) == 64 for c in centers)
+
+
+def test_power_iteration_portable_matches_numpy_two_step(spark):
+    """The fixed-point portable power iteration must align with
+    numpy running the SAME two float matvecs (A^T A)^2 . 1 to
+    |cosine| > 0.9999 — the fixed-point quantization is the only
+    difference, so tighter than any convergence claim (the fixture
+    is isotropic, lambda1/lambda2 ~ 1.02: NO fixed iteration count
+    finds the true eigenvector, which is exactly why the query
+    certifies the matvec chain, not the limit). The exact BIGINT pin
+    is the DuckDB oracle itself; this pins the linear-algebra
+    meaning the oracle treats as opaque integers."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from elastic_freight_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.01"
+    rows = registry.QUERIES["power_iteration_portable"](spark, sf).collect()
+    assert len(rows) == 64
+    got = np.array(
+        [r["component"] for r in sorted(rows, key=lambda r: r["dim"])]
+    )
+    assert max(abs(got)) == 1.0  # sign-canonical: largest-|v| comp = 1
+    A = np.array(
+        pq.read_table(f"{sf}/embeddings.parquet")
+        .column("embedding")
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    G = A.T @ A
+    want = G @ (G @ np.ones(64))
+    cos = abs(got @ want) / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.9999, cos
