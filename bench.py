@@ -116,6 +116,9 @@ def main() -> None:
         "epoch_shuffle_plan",
         "pagerank_portable",
         "power_iteration_portable",
+        "bloom_fpr_calibration",
+        "skew_key_profile",
+        "bpe_merge_pairs",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

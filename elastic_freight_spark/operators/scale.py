@@ -1359,3 +1359,209 @@ def sketch_kmv_distinct(spark, sf_dir):
         .unionByName(merged)
         .withColumn("est_distinct", est)
     )
+
+
+BLOOM_CAL_HEX = 3  # bit address = first 3 md5 hex chars -> m = 4096 positions
+BLOOM_CAL_K = 2  # hash functions (seed prefixes 'b0:', 'b1:')
+
+
+@query(
+    "bloom_fpr_calibration",
+    oracle=f"""
+    WITH members AS (SELECT c_custkey AS key FROM customer),
+    bits AS (
+      SELECT DISTINCT r.r AS i,
+             substr(md5('b' || CAST(r.r AS VARCHAR) || ':' ||
+                        CAST(key AS VARCHAR)), 1, {BLOOM_CAL_HEX}) AS pos
+      FROM members CROSS JOIN range({BLOOM_CAL_K}) r(r)
+    ),
+    probes AS (SELECT key + 1000000 AS key FROM members),
+    probe_hits AS (
+      SELECT p.key, COUNT(*) AS n_hit
+      FROM (
+        SELECT key, r.r AS i,
+               substr(md5('b' || CAST(r.r AS VARCHAR) || ':' ||
+                          CAST(key AS VARCHAR)), 1, {BLOOM_CAL_HEX}) AS pos
+        FROM probes CROSS JOIN range({BLOOM_CAL_K}) r(r)
+      ) p
+      JOIN bits b ON b.i = p.i AND b.pos = p.pos
+      GROUP BY p.key
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+      CAST(COUNT(*) AS BIGINT) AS n_false_positives,
+      ROUND(CAST(COUNT(*) AS DOUBLE)
+            / (SELECT COUNT(*) FROM probes), 9) AS observed_fpr
+    FROM probe_hits WHERE n_hit = {BLOOM_CAL_K}
+    """,
+)
+def bloom_fpr_calibration(spark, sf_dir):
+    """Measured false-positive rate of a PORTABLE Bloom filter — the
+    calibration receipt for the bloom-semi-join tier (whose runtime
+    filter uses xxhash64 and is therefore only semantics-checked, the
+    filter itself invisible in `join_bloom_semi_orders`' oracle).
+    Here the filter is rebuilt from nothing but md5: bit addresses
+    are the first 3 hex chars under k=2 seed prefixes (m=4096
+    positions as STRINGS — the cms_bucket move), members are the
+    customer keys, probes are members+1e6 (disjoint by construction),
+    and a probe false-positives iff ALL k of its addresses are set —
+    an INTEGER n_hit = k threshold, never a float score. Output is
+    one row of integer counts plus the observed rate (single
+    integer division, ROUND 9); the theory comparison
+    (1-e^(-kn/m))^k lives in the unit test, NOT the oracle, because
+    exp() is not guaranteed bit-identical across engines.
+
+    Scale shape: the bit set is ≤ k·m rows (broadcast side of the
+    probe join, 8 KiB here); members and probes are scanned once
+    each. Sizing rule in the docstring of build_bloom_words applies:
+    ~9.6 bits/key for 1% FP — this fixture deliberately undersizes
+    (m/n ≈ 2.7 bits/key) so the measured rate is large enough to be
+    a stable receipt."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    members = cust.select(F.col("c_custkey").alias("key"))
+
+    def _addr(keycol):
+        return F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("b"),
+                    F.col("i").cast("string"),
+                    F.lit(":"),
+                    keycol.cast("string"),
+                )
+            ),
+            1,
+            BLOOM_CAL_HEX,
+        )
+
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_CAL_K)]))
+    bits = (
+        members.select("key", seeds.alias("i"))
+        .select("i", _addr(F.col("key")).alias("pos"))
+        .distinct()
+    )
+    probes = members.select((F.col("key") + 1000000).alias("key"))
+    probe_pos = probes.select("key", seeds.alias("i")).select(
+        "key", "i", _addr(F.col("key")).alias("pos")
+    )
+    fp = (
+        probe_pos.join(F.broadcast(bits), ["i", "pos"])
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_CAL_K)
+        .agg(F.count(F.lit(1)).alias("nfp"))
+    )
+    counts = (
+        members.agg(F.count(F.lit(1)).alias("nm"))
+        .crossJoin(bits.agg(F.count(F.lit(1)).alias("nb")))
+        .crossJoin(probes.agg(F.count(F.lit(1)).alias("np_")))
+    )
+    return F.broadcast(counts).crossJoin(fp).select(
+        F.col("nm").cast("bigint").alias("n_members"),
+        F.col("nb").cast("bigint").alias("n_bits_set"),
+        F.col("np_").cast("bigint").alias("n_probes"),
+        F.col("nfp").cast("bigint").alias("n_false_positives"),
+        F.round(
+            F.col("nfp").cast("double") / F.col("np_"), 9
+        ).alias("observed_fpr"),
+    )
+
+
+@query(
+    "skew_key_profile",
+    oracle="""
+    WITH keyed AS (
+      SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk,
+             COUNT(*) OVER () AS k_keys,
+             SUM(n) OVER () AS total
+      FROM keyed
+    )
+    SELECT CAST(MAX(k_keys) AS BIGINT) AS n_keys,
+           CAST(MAX(total) AS BIGINT) AS n_rows,
+           CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS max_n,
+           CAST(MAX(CASE WHEN rk = (k_keys + 1) // 2 THEN n END) AS BIGINT)
+             AS median_n,
+           CAST(MAX(CASE WHEN rk = (k_keys + 99) // 100 THEN n END) AS BIGINT)
+             AS p99_n,
+           CAST(SUM(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS BIGINT)
+             AS top10_n,
+           ROUND(CAST(MAX(CASE WHEN rk = 1 THEN n END) AS DOUBLE)
+                 * MAX(k_keys) / MAX(total), 9) AS skew_ratio,
+           CAST((MAX(CASE WHEN rk = 1 THEN n END) * MAX(k_keys)
+                 + MAX(total) - 1) // MAX(total) AS BIGINT)
+             AS suggested_salts
+    FROM ranked
+    """,
+)
+def skew_key_profile(spark, sf_dir):
+    """Join-key skew diagnostic — the planner input that decides
+    between a plain shuffle join, AQE skew handling, and explicit
+    salting (``salted_join``). One keyed aggregate, then every
+    statistic comes from integer rank selection over the key-count
+    distribution (rank 1 = max, integer-div ranks for median/p99 —
+    no float quantiles, the ``range_partition_boundaries``
+    discipline): key count, row count, max/median/p99 per-key
+    counts, top-10 mass, skew ratio max/mean, and the suggested salt
+    count ``ceil(max_n / mean_n)`` as pure integer arithmetic — the
+    n_salts that spreads the hottest key to average-sized tasks.
+
+    Scale shape: the only data-sized stage is the per-key count
+    (map-side combinable); the ranked window runs over the KEY
+    distribution (|keys| rows — a single-partition sort, fine up to
+    ~10^7 keys; past that, profile a deterministic md5 sample of
+    KEYS instead, the `range_partition_boundaries` discipline —
+    skew statistics are ratios, stable under uniform key
+    sampling). A uniform corpus reads
+    skew_ratio ≈ 1 / suggested_salts = 1; this fixture's lineitem
+    supplier key is near-uniform, and the test pins the degenerate
+    skewed fixture the other way."""
+    from pyspark.sql import Window as W
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    keyed = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ranked = keyed.select(
+        "n",
+        F.row_number()
+        .over(W.orderBy(F.col("n").desc(), "key"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("k_keys"),
+        F.sum("n").over(W.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.max("k_keys").cast("bigint").alias("n_keys"),
+        F.max("total").cast("bigint").alias("n_rows"),
+        F.max(F.when(F.col("rk") == 1, F.col("n")))
+        .cast("bigint")
+        .alias("max_n"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(k_keys + 1) div 2"), F.col("n"))
+        )
+        .cast("bigint")
+        .alias("median_n"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(k_keys + 99) div 100"), F.col("n"))
+        )
+        .cast("bigint")
+        .alias("p99_n"),
+        F.sum(F.when(F.col("rk") <= 10, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("top10_n"),
+        F.round(
+            F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("double")
+            * F.max("k_keys")
+            / F.max("total"),
+            9,
+        ).alias("skew_ratio"),
+        F.expr(
+            "cast((max(case when rk = 1 then n end) * max(k_keys)"
+            " + max(total) - 1) div max(total) as bigint)"
+        ).alias("suggested_salts"),
+    )

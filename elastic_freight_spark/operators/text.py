@@ -2804,3 +2804,88 @@ def minhash_estimate_calibration(spark, sf_dir):
             "mean_true_jaccard",
         )
     )
+
+
+BPE_PAIR_TOPK = 20
+
+
+@query(
+    "bpe_merge_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT token AS w, COUNT(*) AS n
+      FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+      )
+      WHERE token <> ''
+      GROUP BY token
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, SUM(n) AS n_occurrences
+      FROM words, UNNEST(range(1, len(w))) AS r(i)
+      GROUP BY substr(w, i, 2)
+    )
+    SELECT pair, CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM (
+      SELECT pair, n_occurrences,
+             ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS rk
+      FROM pairs
+    ) WHERE rk <= {BPE_PAIR_TOPK}
+    """,
+)
+def bpe_merge_pairs(spark, sf_dir):
+    """The first iteration of BPE tokenizer training as a query: the
+    top-20 most frequent ADJACENT CHARACTER PAIRS across the corpus,
+    weighted by word frequency — exactly the statistic the BPE merge
+    loop (Sennrich et al. 2016) maximizes each round, and the piece
+    of tokenizer training that is pure corpus aggregation (the loop
+    itself re-segments against grown symbols, which is the
+    driver-side part of a BPE trainer; this query is its per-round
+    distributed inner step, complementing `text_tokenizer_fertility`
+    which evaluates a FINISHED tokenizer).
+
+    Scale shape: token explode → word-count aggregate (map-side
+    combinable — the pair stage runs on the VOCABULARY, not the
+    corpus: |types| · avg_len rows, thousands of times smaller than
+    the token stream), then a (len-1)-wide in-word position explode
+    and one pair aggregate. Weighting by the word-count `n` is what
+    keeps the corpus out of the pair stage."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        # the length guard matters: Spark's sequence(1, 0) DESCENDS
+        # ([1, 0]) rather than being empty like DuckDB's range(1, 1),
+        # so an unguarded transform turns 1-char words into fake pairs
+        words.filter(F.expr("char_length(w) >= 2"))
+        .select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(w) - 1), "
+                    "i -> substr(w, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("n_occurrences"))
+    )
+    from pyspark.sql import Window as W
+
+    return (
+        pairs.withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.col("n_occurrences").desc(), "pair")
+            ),
+        )
+        .filter(F.col("rk") <= BPE_PAIR_TOPK)
+        .select("pair", F.col("n_occurrences").cast("bigint").alias("n_occurrences"))
+    )

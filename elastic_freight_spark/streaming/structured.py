@@ -979,3 +979,44 @@ def serve_kmv_distinct(spark: SparkSession, minima_path: str) -> DataFrame:
         )
         .alias("est_distinct"),
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join — the fully-streaming twin
+    of the batch as-of/interval joins in operators/temporal.py: match
+    right-stream rows to left-stream rows with equal keys whose
+    ``right_ts`` falls in [left_ts, left_ts + max_gap_minutes min].
+    Column names must be DISJOINT across the two streams (rename one
+    side first); the joined frame carries both sides' payloads.
+
+    Both sides carry event-time watermarks, which is what lets Spark
+    BOUND the join state: a buffered left row is dropped once the
+    right watermark passes left_ts + gap (and a right row once the
+    left watermark passes right_ts) — state is (watermark horizon ×
+    arrival rate)-sized, never stream-sized. That bound is the whole
+    design: Spark rejects a stream-stream join whose condition gives
+    no time bound at analysis time, and at 100 TB/day the
+    gap+watermark horizon IS the state-store memory budget.
+    Differential test: equals the identical batch join on a
+    time-chunked file source (tests/test_streaming.py)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts)
+            + F.expr(f"INTERVAL {int(max_gap_minutes)} MINUTES")
+        )
+    )
+    return lw.join(rw, cond, "inner")

@@ -530,3 +530,62 @@ def test_pagerank_portable_matches_python_fixed_point(spark):
     # 3-iter fp vs 6-iter float: same hubs (sf0.001's graph has only
     # 10 suppliers, so both top-25s are the whole vertex set)
     assert len(overlap) * 5 >= min(len(got), len(flt)) * 3
+
+
+def test_bloom_fpr_calibration_matches_theory_band(spark):
+    """The measured Bloom false-positive rate must land near the
+    textbook rate (1 - e^(-kn/m))^k for the deliberately-undersized
+    fixture filter — the calibration meaning the DuckDB oracle
+    treats as opaque counts. exp() lives HERE, not in the oracle,
+    because it is not guaranteed bit-identical across engines."""
+    import math
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.scale import (
+        BLOOM_CAL_HEX,
+        BLOOM_CAL_K,
+    )
+
+    registry.load_all()
+    row = registry.QUERIES["bloom_fpr_calibration"](spark, SF_DIR).collect()[0]
+    m = 16**BLOOM_CAL_HEX
+    assert row["n_probes"] == row["n_members"]
+    assert row["n_bits_set"] <= BLOOM_CAL_K * row["n_members"]
+    theory = (1 - math.exp(-BLOOM_CAL_K * row["n_members"] / m)) ** BLOOM_CAL_K
+    # binomial 4-sigma band around the expected FP count
+    sigma = math.sqrt(row["n_probes"] * theory * (1 - theory))
+    assert abs(row["n_false_positives"] - row["n_probes"] * theory) <= max(
+        4 * sigma, 5
+    )
+    assert row["observed_fpr"] == round(
+        row["n_false_positives"] / row["n_probes"], 9
+    )
+
+
+def test_skew_key_profile_matches_python_recompute(spark):
+    """Every statistic in the skew profile must equal a Python
+    recompute over the collected per-key counts — rank selection and
+    the integer ceil(max/mean) salt suggestion leave no tolerance."""
+    from elastic_freight_spark import registry
+
+    registry.load_all()
+    row = registry.QUERIES["skew_key_profile"](spark, SF_DIR).collect()[0]
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    counts = sorted(
+        (
+            (r["n"], r["key"])
+            for r in li.groupBy(F.col("l_suppkey").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    ns = [n for n, _ in counts]
+    k, total = len(ns), sum(ns)
+    assert row["n_keys"] == k and row["n_rows"] == total
+    assert row["max_n"] == ns[0]
+    assert row["median_n"] == ns[(k + 1) // 2 - 1]
+    assert row["p99_n"] == ns[(k + 99) // 100 - 1]
+    assert row["top10_n"] == sum(ns[:10])
+    assert row["suggested_salts"] == (ns[0] * k + total - 1) // total
+    assert row["skew_ratio"] == round(ns[0] * k / total, 9)

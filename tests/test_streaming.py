@@ -1164,3 +1164,82 @@ def test_stream_kmv_matches_batch_sketch(spark, chunked_events, tmp_path_factory
     # (markers present) must not change the serve result
     served2 = serve_kmv_distinct(spark, minima_path).collect()[0]
     assert served2 == served
+
+
+def test_stream_interval_join_matches_batch_join(spark, chunked_events, tmp_path_factory):
+    """The stream-stream interval join (clicks matched to purchases
+    by the same user within 60 minutes, both sides watermarked) must
+    produce EXACTLY the row set of the identical batch join over the
+    same data — micro-batch buffering must be invisible in a bounded
+    availableNow run. The watermark is 240h because the fixture
+    compresses ~30h of EVENT time into each micro-batch (1000 events
+    over 30 days in 8 batches): a watermark smaller than the
+    per-batch event-time span evicts join state between batches by
+    design (measured: a 2h watermark loses cross-eviction pairs),
+    which on a real stream corresponds to genuinely-late data, not a
+    correctness gap."""
+    import os as _os
+    import shutil as _shutil
+
+    from elastic_freight_spark.streaming.structured import stream_interval_join
+
+    import time as _time
+
+    paths, schema, batch = chunked_events
+    base = tmp_path_factory.mktemp("ssjoin")
+    src = str(base / "src")
+    out = str(base / "out")
+    _os.makedirs(src)
+    # sub-ms copies tie on modification time and the file source
+    # breaks mtime ties ARBITRARILY (measured: chunks batched out of
+    # order, turning in-order data into >240h-late data) — pin
+    # strictly increasing mtimes, the endurance-test discipline
+    t0 = _time.time() - 86_400
+    for i, p in enumerate(paths):
+        dst = _os.path.join(src, _os.path.basename(p))
+        _shutil.copy(p, dst)
+        _os.utime(dst, (t0 + i, t0 + i))
+
+    def _sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        return clicks, purchases
+
+    sc, sp = _sides(read_parquet_stream(spark, src, schema, max_files_per_trigger=3))
+    joined = stream_interval_join(
+        sc, sp, "c_user", "p_user", "c_ts", "p_ts", max_gap_minutes=60,
+        watermark="240 hours",
+    ).select("c_id", "p_id")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["c_id"], r["p_id"]) for r in spark.read.parquet(out).collect()
+    }
+    bc, bp = _sides(batch)
+    want = {
+        (r["c_id"], r["p_id"])
+        for r in bc.join(
+            bp,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 60 MINUTES")),
+        )
+        .select("c_id", "p_id")
+        .collect()
+    }
+    assert len(want) > 0  # fixture actually exercises the join
+    assert got == want

@@ -712,3 +712,34 @@ def test_power_iteration_portable_matches_numpy_two_step(spark):
     want = G @ (G @ np.ones(64))
     cos = abs(got @ want) / (np.linalg.norm(got) * np.linalg.norm(want))
     assert cos > 0.9999, cos
+
+
+def test_bpe_merge_pairs_matches_python_recompute(spark):
+    """The top-20 BPE merge candidates must equal an exact Python
+    recompute of frequency-weighted adjacent character pairs over
+    the raw corpus (integer counts, deterministic tie-break)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.text import BPE_PAIR_TOPK
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["pair"], r["n_occurrences"])
+        for r in registry.QUERIES["bpe_merge_pairs"](spark, sf).collect()
+    ]
+    texts = pq.read_table(f"{sf}/documents.parquet").column("text").to_pylist()
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                words[w] += 1
+    pairs = Counter()
+    for w, n in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += n
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_PAIR_TOPK]
+    assert got == want
