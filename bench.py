@@ -119,6 +119,7 @@ def main() -> None:
         "bloom_fpr_calibration",
         "skew_key_profile",
         "bpe_merge_pairs",
+        "sample_temperature_sweep",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

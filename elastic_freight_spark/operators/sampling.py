@@ -1008,3 +1008,91 @@ def epoch_shuffle_plan(spark, sf_dir):
             F.min("h").alias("min_hash"),
         )
     )
+
+
+# Temperature-sweep alphas, each an EXACT composition of sqrt (IEEE
+# correctly-rounded in both engines, unlike POWER(x, a) in general):
+# 1.0 = n, 0.5 = sqrt(n), 0.25 = sqrt(sqrt(n)), 0.75 = sqrt(n)*sqrt(sqrt(n)).
+_TEMP_SWEEP_W = (
+    ("0.25", "sqrt(sqrt({n}))"),
+    ("0.5", "sqrt({n})"),
+    ("0.75", "sqrt({n}) * sqrt(sqrt({n}))"),
+    ("1.0", "{n}"),
+)
+
+
+def _temp_sweep_sql() -> str:
+    arms = "\n      UNION ALL\n".join(
+        f"      SELECT {a} AS alpha, lang, n_docs,"
+        f" {w.format(n='CAST(n_docs AS DOUBLE)')} AS w FROM counts"
+        for a, w in _TEMP_SWEEP_W
+    )
+    return f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    arms AS (
+{arms}
+    ),
+    tot AS (
+      SELECT alpha, SUM(w) AS wsum, SUM(n_docs) AS total
+      FROM arms GROUP BY alpha
+    )
+    SELECT a.alpha, a.lang, CAST(a.n_docs AS BIGINT) AS n_docs,
+           ROUND(a.w / t.wsum, 9) AS mix_weight,
+           CAST(FLOOR(10000 * a.w / t.wsum) AS BIGINT) AS docs_per_epoch,
+           ROUND((a.w / t.wsum)
+                 / (a.n_docs / CAST(t.total AS DOUBLE)), 9)
+             AS upsample_factor
+    FROM arms a JOIN tot t ON t.alpha = a.alpha
+    """
+
+
+@query("sample_temperature_sweep", oracle=_temp_sweep_sql())
+def sample_temperature_sweep(spark, sf_dir):
+    """The temperature-tuning view of source mixing: the full
+    per-language mix table at alpha in {0.25, 0.5, 0.75, 1.0} in one
+    result, so choosing the flattening temperature is a data-driven
+    read-off (alpha=1 is proportional sampling, lower alpha pulls
+    rare languages toward parity) — the same decision-sweep shape as
+    `dedup_threshold_sensitivity`. `sample_source_mix_plan` stays the
+    single-alpha production plan.
+
+    Portability: every weight is an EXACT composition of sqrt
+    (correctly rounded per IEEE in both engines), never POWER(x, a)
+    with a fractional exponent whose libm result may differ in the
+    last ulp — which is why this sweep can ROUND to 9 while the
+    single-alpha plan's POWER-based oracle rounds to 6. The wsum
+    normalizer sums ~|langs| doubles inside one group; language
+    cardinality is bounded (10 here), so the sum is evaluated in one
+    deterministic partial per engine — with a genuinely large
+    stratum count, route wsum through DECIMAL like the other
+    cross-row float sums.
+
+    Scale shape: one corpus aggregate, then everything is
+    |langs|x|alphas|-sized: the 4-arm union, the per-alpha
+    normalizers, the broadcast join."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    arms = None
+    for a, w in _TEMP_SWEEP_W:
+        arm = counts.select(
+            F.lit(float(a)).alias("alpha"),
+            "lang",
+            "n_docs",
+            F.expr(w.format(n="CAST(n_docs AS DOUBLE)")).alias("w"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    tot = arms.groupBy("alpha").agg(
+        F.sum("w").alias("wsum"), F.sum("n_docs").alias("total")
+    )
+    mix = F.col("w") / F.col("wsum")
+    share = F.col("n_docs") / F.col("total").cast("double")
+    return arms.join(F.broadcast(tot), "alpha").select(
+        "alpha",
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(mix, 9).alias("mix_weight"),
+        F.floor(F.lit(10000) * mix).cast("bigint").alias("docs_per_epoch"),
+        F.round(mix / share, 9).alias("upsample_factor"),
+    )

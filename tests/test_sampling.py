@@ -75,3 +75,32 @@ def test_epoch_shuffle_plan_balanced_decorrelated_pinned(spark):
     assert per_epoch_n == {0: len(doc_ids), 1: len(doc_ids)}
     n_diff = sum(1 for s in firsts[0] if firsts[0][s] != firsts[1].get(s))
     assert n_diff >= 12  # epochs must not share an ordering
+
+
+def test_temperature_sweep_flattens_monotonically(spark):
+    """Sweep semantics: alpha=1.0 reproduces proportional sampling
+    (mix_weight == corpus share, upsample_factor == 1), and lowering
+    alpha monotonically raises the rarest language's upsample factor
+    while lowering the most common one's — the flattening the
+    temperature knob exists to provide."""
+    from elastic_freight_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["sample_temperature_sweep"](spark, sf).collect()
+    by_alpha = {}
+    for r in rows:
+        by_alpha.setdefault(r["alpha"], {})[r["lang"]] = r
+    assert set(by_alpha) == {0.25, 0.5, 0.75, 1.0}
+    total = sum(r["n_docs"] for r in by_alpha[1.0].values())
+    for r in by_alpha[1.0].values():
+        assert r["upsample_factor"] == 1.0
+        assert abs(r["mix_weight"] - r["n_docs"] / total) < 1e-9
+    langs = by_alpha[1.0]
+    rare = min(langs, key=lambda k: langs[k]["n_docs"])
+    common = max(langs, key=lambda k: langs[k]["n_docs"])
+    alphas = [1.0, 0.75, 0.5, 0.25]
+    rare_f = [by_alpha[a][rare]["upsample_factor"] for a in alphas]
+    common_f = [by_alpha[a][common]["upsample_factor"] for a in alphas]
+    assert rare_f == sorted(rare_f)  # rare lang upsampled more
+    assert common_f == sorted(common_f, reverse=True)  # head shrinks

@@ -1243,3 +1243,85 @@ def test_stream_interval_join_matches_batch_join(spark, chunked_events, tmp_path
     }
     assert len(want) > 0  # fixture actually exercises the join
     assert got == want
+
+
+def test_stream_interval_join_survives_restart(spark, chunked_events, tmp_path_factory):
+    """Stream-stream join state must survive a checkpoint restart:
+    half the chunks are processed, the query is stopped, the rest
+    arrive, and a SECOND query on the same checkpoint must recover
+    the buffered left/right rows well enough that the union of both
+    runs' output equals the batch join — pairs straddling the
+    restart boundary are exactly the rows that die if join state
+    isn't restored."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    paths, schema, batch = chunked_events
+    base = tmp_path_factory.mktemp("ssjoin_restart")
+    src = str(base / "src")
+    out = str(base / "out")
+    ckpt = str(base / "ckpt")
+    _os.makedirs(src)
+    t0 = _time.time() - 86_400
+
+    def _stage(chunk_paths, offset):
+        for i, p in enumerate(chunk_paths):
+            dst = _os.path.join(src, _os.path.basename(p))
+            _shutil.copy(p, dst)
+            _os.utime(dst, (t0 + offset + i, t0 + offset + i))
+
+    def _sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        return clicks, purchases
+
+    def _run():
+        from elastic_freight_spark.streaming.structured import (
+            read_parquet_stream,
+            stream_interval_join,
+        )
+
+        sc, sp = _sides(
+            read_parquet_stream(spark, src, schema, max_files_per_trigger=2)
+        )
+        joined = stream_interval_join(
+            sc, sp, "c_user", "p_user", "c_ts", "p_ts", max_gap_minutes=60,
+            watermark="240 hours",
+        ).select("c_id", "p_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _stage(paths[:12], 0)
+    _run()  # first half, then the query terminates (availableNow)
+    _stage(paths[12:], 100)
+    _run()  # restart from the same checkpoint over the new files
+    got = {(r["c_id"], r["p_id"]) for r in spark.read.parquet(out).collect()}
+    bc, bp = _sides(batch)
+    want = {
+        (r["c_id"], r["p_id"])
+        for r in bc.join(
+            bp,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 60 MINUTES")),
+        )
+        .select("c_id", "p_id")
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
