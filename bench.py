@@ -120,6 +120,7 @@ def main() -> None:
         "skew_key_profile",
         "bpe_merge_pairs",
         "sample_temperature_sweep",
+        "apply_in_arrow_group_rank",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

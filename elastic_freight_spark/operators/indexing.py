@@ -340,6 +340,61 @@ def apply_in_pandas_group_rank(spark, sf_dir):
 
 
 @query(
+    "apply_in_arrow_group_rank",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS INT)
+             AS value_rank
+    FROM events
+    """,
+)
+def apply_in_arrow_group_rank(spark, sf_dir):
+    """The SAME per-group rank as ``apply_in_pandas_group_rank`` via
+    the Arrow-NATIVE grouped-map API (``applyInArrow``, Spark 4): the
+    worker function receives a ``pyarrow.Table`` directly — no
+    Arrow→pandas→Arrow conversion, no index materialization, no NaN
+    coercion of nullable ints. For binary/wide multimodal columns the
+    pandas hop is the dominant per-batch cost, so this is the surface
+    a 100 TB decode pipeline should prefer; keeping both queries
+    oracle-identical pins that the two APIs agree bit-for-bit."""
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyspark
+
+    # Ship by value: executors must not need this repo importable.
+    pyspark.cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    def rank_group(table: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            table,
+            sort_keys=[("value", "descending"), ("event_id", "ascending")],
+        )
+        t = table.take(idx)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "value_rank": pa.array(
+                    range(1, t.num_rows + 1), pa.int32()
+                ),
+            }
+        )
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInArrow(
+            rank_group, schema="user_id long, event_id long, value_rank int"
+        )
+    )
+
+
+@query(
     "pandas_udaf_group_geomean",
     oracle="""
     SELECT o_orderstatus,

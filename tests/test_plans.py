@@ -209,6 +209,7 @@ def test_q10_pushdown_broadcast_and_topk(spark):
 # Python API surface (pandas_udf / applyInPandas / mapInPandas), never
 # as the default path for semantics expressible in JVM expressions.
 _PYTHON_SURFACE = {
+    "apply_in_arrow_group_rank",    # §2.11 applyInArrow pin (Arrow-native)
     "apply_in_pandas_group_rank",   # §2.11 applyInPandas pin
     "es_parity_shard_distribution", # §2.11 pandas_udf pin (ES murmur3)
     "mm_decode_features",           # multimodal decode (Python codecs)
@@ -229,7 +230,7 @@ def test_every_registered_query_plans_jvm_only(spark):
         df = fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         has_python = any(
-            tok in plan for tok in ("EvalPython", "InPandas", "PythonMapInArrow")
+            tok in plan for tok in ("EvalPython", "InPandas", "InArrow")
         )
         if has_python and name not in _PYTHON_SURFACE:
             offenders.append(name)
