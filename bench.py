@@ -121,6 +121,7 @@ def main() -> None:
         "bpe_merge_pairs",
         "sample_temperature_sweep",
         "apply_in_arrow_group_rank",
+        "ann_ivfpq_portable",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -1246,6 +1246,117 @@ def ann_ivf_portable(spark, sf_dir):
     )
 
 
+@query(
+    "ann_ivfpq_portable",
+    oracle=f"""
+    WITH {_PQP_ORACLE_HEAD},
+    dist AS (
+      SELECT e.vec_id, b.code,
+             list_sum(list_transform(list_zip(e.vec, b.cw),
+                                     x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+      FROM e CROSS JOIN book b
+    ),
+    assign AS (
+      SELECT vec_id, code AS cell FROM (
+        SELECT vec_id, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, code AS cell FROM (
+        SELECT vec_id, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+        FROM dist WHERE vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    q AS (
+      SELECT vec_id AS query_id, vec AS qvec,
+             sqrt(list_sum(list_transform(vec, x -> x*x))) AS qnorm
+      FROM e WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT r.vec_id AS neighbor_id, r.rv, a.cell,
+             sqrt(list_sum(list_transform(r.rv, x -> x*x))) AS rnorm
+      FROM recon r JOIN assign a ON a.vec_id = r.vec_id
+      WHERE r.vec_id >= 10
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_sum(list_transform(list_zip(q.qvec, c.rv), x -> x[1]*x[2]))
+               / NULLIF(q.qnorm * c.rnorm, 0) AS pq_score
+      FROM q
+      JOIN probes p ON p.query_id = q.query_id
+      JOIN c ON c.cell = p.cell
+    )
+    SELECT query_id, neighbor_id, ROUND(pq_score, 9) AS pq_score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY pq_score DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def ann_ivfpq_portable(spark, sf_dir):
+    """Hash-checked certification of the FULL IVF-PQ serving chain —
+    the exact composition the rows-only ``ann_ivfpq_cosine`` runs on
+    learned structures: cell assignment + 2-cell probe on the IVF
+    centers (``assign_cells``/``ivf_probe_cells``, the plan
+    ``ann_ivf_portable`` certifies) and asymmetric PQ scoring against
+    reconstructed codewords inside the probed cells (the plan
+    ``ann_pq_portable`` certifies), here chained end-to-end so the
+    cell-pruned candidate set feeds the PQ scorer under ONE value
+    hash. Centers and codebooks are the same md5-ranked driver pull
+    both portable families share (one bounded pull serves all three
+    ANN twins). Top-3 per query, (score desc, neighbor) tie-break."""
+    from pyspark.sql import Window as W
+
+    books = _pq_books_portable(spark, sf_dir)
+    centers = [
+        [x for s in range(PQP_NSUB) for x in books[s][j]] for j in range(PQP_K)
+    ]
+    e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    corpus = e.filter(F.col("vec_id") >= 10)
+    c = (
+        pq_encode(assign_cells(corpus, centers), books)
+        .withColumn("recon", pq_reconstruct_expr(books))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "recon",
+            F.expr(_NORM.format(a="recon")).alias("rnorm"),
+            F.col("cell").alias("ccell"),
+        )
+    )
+    probes = ivf_probe_cells(spark, q, centers, n_probe=2)
+    scored = (
+        F.broadcast(q.join(probes, "query_id"))
+        .join(c, "ccell")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.expr(_DOT.format(a="qvec", b="recon"))
+                / F.expr("nullif(qnorm * rnorm, cast(0.0 as double))")
+            ).alias("pq_score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id", "neighbor_id", F.round("pq_score", 9).alias("pq_score")
+        )
+    )
+
+
 # Per-method recall floors for the oracle-checked audit. Measured
 # recall_vs_exact5: LSH 0.47 (sf0.001) / 0.60 (sf0.01); IVF and IVF-PQ
 # 0.77 / 0.67. Floors sit well under the measured band so the check

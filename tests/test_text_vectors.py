@@ -743,3 +743,59 @@ def test_bpe_merge_pairs_matches_python_recompute(spark):
             pairs[w[i : i + 2]] += n
     want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_PAIR_TOPK]
     assert got == want
+
+
+def test_ann_ivfpq_portable_consistent_with_component_twins(spark):
+    """The combined IVF-PQ twin must agree with its two component
+    certifications: any (query, neighbor) pair it shares with
+    ann_pq_portable carries the IDENTICAL pq_score (same codebook
+    reconstruction, same scorer), and its candidate set respects the
+    IVF pruning (every neighbor's cell is among the query's 2 probed
+    cells under the shared md5 centers)."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.vectors import (
+        PQP_K,
+        PQP_NSUB,
+        _pq_books_portable,
+        assign_cells,
+        ivf_probe_cells,
+        with_unit_vectors,
+    )
+    from elastic_freight_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.01"
+    rows = registry.QUERIES["ann_ivfpq_portable"](spark, sf).collect()
+    assert len(rows) == 30  # 10 queries x top-3
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["pq_score"])
+    assert all(v == sorted(v, reverse=True) for v in per_q.values())
+    pq = {
+        (r["query_id"], r["neighbor_id"]): r["pq_score"]
+        for r in registry.QUERIES["ann_pq_portable"](spark, sf).collect()
+    }
+    shared = [
+        r for r in rows if (r["query_id"], r["neighbor_id"]) in pq
+    ]
+    assert shared  # the unpruned top-3 overlaps the probed top-3
+    for r in shared:
+        assert r["pq_score"] == pq[(r["query_id"], r["neighbor_id"])]
+    books = _pq_books_portable(spark, sf)
+    centers = [
+        [x for s in range(PQP_NSUB) for x in books[s][j]] for j in range(PQP_K)
+    ]
+    e = with_unit_vectors(load_tables(spark, sf)["embeddings"])
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(e, centers).select("vec_id", "cell").collect()
+    }
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    probed = {}
+    for r in ivf_probe_cells(spark, q, centers, n_probe=2).collect():
+        probed.setdefault(r["query_id"], set()).add(r["ccell"])
+    for r in rows:
+        assert cells[r["neighbor_id"]] in probed[r["query_id"]]
