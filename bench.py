@@ -122,6 +122,9 @@ def main() -> None:
         "sample_temperature_sweep",
         "apply_in_arrow_group_rank",
         "ann_ivfpq_portable",
+        "embedding_int8_quantize",
+        "embedding_dim_truncation_recall",
+        "search_scorer_agreement",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -34,6 +34,12 @@ from elastic_freight_spark.session import load_tables
 
 QUERY_TERMS = ("data", "system", "model", "index")
 
+# Terms for the scorer-agreement diagnostic: all four OCCUR in the
+# synthetic corpus (three of the legacy QUERY_TERMS have df=0, which
+# is fine for the scoring queries' semantics but would leave the
+# agreement report with a single row).
+AGREEMENT_TERMS = ("data", "hash", "join", "table")
+
 
 def build_postings(docs):
     """Inverted index: (token, doc_id, tf) + per-doc length — the
@@ -548,4 +554,108 @@ def search_query_expansion(spark, sf_dir):
         )
         .orderBy(F.col("pmi").desc(), "token")
         .limit(15)
+    )
+
+
+@query(
+    "search_scorer_agreement",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text),' ')) AS token
+      FROM documents
+    ), postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY 1, 2
+    ), doc_len AS (
+      SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1
+    ), avgdl AS (SELECT AVG(dl) AS avgdl FROM doc_len),
+    hits AS (
+      SELECT p.token, p.doc_id, p.tf,
+             (p.tf * (1.2 + 1))
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS bscore
+      FROM postings p JOIN doc_len USING (doc_id) CROSS JOIN avgdl
+      WHERE p.token IN ('data', 'hash', 'join', 'table')
+    ),
+    ranked AS (
+      SELECT token, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY token
+                                ORDER BY tf DESC, doc_id) AS rank_tf,
+             ROW_NUMBER() OVER (PARTITION BY token
+                                ORDER BY bscore DESC, doc_id) AS rank_bm25
+      FROM hits
+    )
+    SELECT token,
+           CAST(SUM(CASE WHEN rank_tf <= 10 AND rank_bm25 <= 10
+                    THEN 1 ELSE 0 END) AS INT) AS n_overlap,
+           CAST(SUM(CASE WHEN rank_tf <= 10 AND rank_bm25 <= 10
+                    THEN abs(rank_tf - rank_bm25) ELSE 0 END)
+                AS BIGINT) AS footrule
+    FROM ranked
+    GROUP BY token
+    ORDER BY token
+    """,
+)
+def search_scorer_agreement(spark, sf_dir):
+    """Per-term agreement between raw-tf ranking and BM25 ranking,
+    top-10 — the diagnostic that isolates what BM25's length
+    normalization actually reorders (for a single-term query the two
+    scorers differ ONLY by the dl/avgdl saturation term, so overlap@10
+    and rank displacement measure its effect directly; an ES operator
+    would eyeball this when tuning b). Output per query term:
+    n_overlap = |top10_tf ∩ top10_bm25| and footrule =
+    Σ|rank_tf − rank_bm25| over the shared docs — both pure integers (a term with empty overlap keeps its row:
+    0/0 — that IS the signal),
+    so the only float in play is the bit-exact BM25 expression the
+    hash-green search_bm25_topk already certifies. Runs on the cached
+    postings (one corpus scan per session); per-term candidate sets
+    are the 4-term postings slice, two same-partition windows rank
+    them, the aggregate is |terms|-rows."""
+    from pyspark.sql import Window as W
+
+    postings, doc_len = indexed_postings(spark, sf_dir)
+    avgdl_df = doc_len.agg(F.avg("dl").alias("avgdl"))
+    k1, b = 1.2, 0.75
+    hits = (
+        postings.filter(F.col("token").isin(*AGREEMENT_TERMS))
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
+        .select(
+            "token",
+            "doc_id",
+            "tf",
+            (
+                (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("bscore"),
+        )
+    )
+    ranked = hits.select(
+        "token",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("token").orderBy(F.col("tf").desc(), "doc_id"))
+        .alias("rank_tf"),
+        F.row_number()
+        .over(
+            W.partitionBy("token").orderBy(F.col("bscore").desc(), "doc_id")
+        )
+        .alias("rank_bm25"),
+    )
+    both = (F.col("rank_tf") <= 10) & (F.col("rank_bm25") <= 10)
+    return (
+        ranked.groupBy("token")
+        .agg(
+            F.sum(F.when(both, 1).otherwise(0)).cast("int").alias("n_overlap"),
+            F.sum(
+                F.when(
+                    both, F.abs(F.col("rank_tf") - F.col("rank_bm25"))
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("footrule"),
+        )
+        .orderBy("token")
     )

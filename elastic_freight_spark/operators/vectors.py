@@ -1838,3 +1838,222 @@ def power_iteration_portable(spark, sf_dir):
         F.col("v").cast("bigint").alias("component_fp"),
         F.round(F.col("v").cast("double") / F.col("d"), 9).alias("component"),
     )
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, label, vec,
+             list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ),
+    err AS (
+      SELECT label, scale,
+             sqrt(list_sum(list_transform(vec, x ->
+               (x - LEAST(GREATEST(floor(x / NULLIF(scale, 0) + 0.5),
+                                   -127.0), 127.0) * scale)
+               * (x - LEAST(GREATEST(floor(x / NULLIF(scale, 0) + 0.5),
+                                     -127.0), 127.0) * scale)))) AS qerr
+      FROM scaled
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(CAST(qerr AS DECIMAL(24,12))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_qerr,
+           ROUND(MAX(qerr), 9) AS max_qerr,
+           ROUND(CAST(SUM(CAST(scale AS DECIMAL(24,12))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_scale
+    FROM err
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization audit — the storage
+    decision every 100 TB vector corpus makes (4 bytes/dim float32 →
+    1 byte/dim int8 is a 4× footprint cut; this query prices the
+    reconstruction error of taking it). Per vector: scale =
+    max|x|/127, q_i = clamp(floor(x_i/scale + 0.5), ±127) (explicit
+    floor(+0.5) rounding so both engines share one rounding rule —
+    never engine ROUND on a .5-boundary quotient), L2 reconstruction
+    error ‖x − q·scale‖. Per label: count, mean/max error, mean
+    scale. ONE map-side pass of JVM higher-order functions — no
+    shuffle until the |labels|-row aggregate; per-row error folds are
+    fixed left-to-right in both engines, cross-vector means ride
+    DECIMAL (the embedding_dimension_stats discipline). Zero vectors
+    quantize through NULLIF(scale,0) → NULL qerr, excluded by SUM on
+    both sides identically."""
+    e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
+    scaled = e.withColumn(
+        "scale",
+        F.expr(
+            "aggregate(transform(vec, x -> abs(x)), cast(0.0 as double),"
+            " (acc, v) -> greatest(acc, v))"
+        )
+        / 127.0,
+    )
+    qrecon = (
+        "(x - least(greatest(floor(x / nullif(scale, 0) + 0.5),"
+        " cast(-127.0 as double)), cast(127.0 as double)) * scale)"
+    )
+    err = scaled.withColumn(
+        "qerr",
+        F.expr(
+            f"sqrt(aggregate(transform(vec, x -> {qrecon} * {qrecon}),"
+            " cast(0.0 as double), (acc, v) -> acc + v))"
+        ),
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("qerr").cast("decimal(24,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("avg_qerr"),
+            F.round(F.max("qerr"), 9).alias("max_qerr"),
+            F.round(
+                F.sum(F.col("scale").cast("decimal(24,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("avg_scale"),
+        )
+        .select("label", "n_vecs", "avg_qerr", "max_qerr", "avg_scale")
+        .orderBy("label")
+    )
+
+
+# Truncation levels for the dimension-reduction recall curve: how
+# much of full-64-dim top-5 cosine retrieval survives scoring on the
+# first k dims only (Matryoshka-style cheap first-stage ranking).
+TRUNC_DIMS = (8, 16, 32)
+
+
+@query(
+    "embedding_dim_truncation_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, vec AS cvec FROM e WHERE vec_id >= 10),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_SQL_DOT.format(a='qvec', b='cvec')}
+               / NULLIF({_SQL_NORM.format(a='qvec')}
+                        * {_SQL_NORM.format(a='cvec')}, 0) AS cos_full,
+             {_SQL_DOT.format(a='qvec[1:8]', b='cvec[1:8]')}
+               / NULLIF({_SQL_NORM.format(a='qvec[1:8]')}
+                        * {_SQL_NORM.format(a='cvec[1:8]')}, 0) AS cos_8,
+             {_SQL_DOT.format(a='qvec[1:16]', b='cvec[1:16]')}
+               / NULLIF({_SQL_NORM.format(a='qvec[1:16]')}
+                        * {_SQL_NORM.format(a='cvec[1:16]')}, 0) AS cos_16,
+             {_SQL_DOT.format(a='qvec[1:32]', b='cvec[1:32]')}
+               / NULLIF({_SQL_NORM.format(a='qvec[1:32]')}
+                        * {_SQL_NORM.format(a='cvec[1:32]')}, 0) AS cos_32
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY COALESCE(cos_full, -2.0) DESC, neighbor_id) AS rn_full,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY COALESCE(cos_8, -2.0) DESC, neighbor_id) AS rn_8,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY COALESCE(cos_16, -2.0) DESC, neighbor_id) AS rn_16,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY COALESCE(cos_32, -2.0) DESC, neighbor_id) AS rn_32
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rn_full <= 5 AND rn_8 <= 5 THEN 1 ELSE 0 END)
+                AS INT) AS hits_8,
+           CAST(SUM(CASE WHEN rn_full <= 5 AND rn_16 <= 5 THEN 1 ELSE 0 END)
+                AS INT) AS hits_16,
+           CAST(SUM(CASE WHEN rn_full <= 5 AND rn_32 <= 5 THEN 1 ELSE 0 END)
+                AS INT) AS hits_32
+    FROM ranked
+    GROUP BY query_id
+    ORDER BY query_id
+    """,
+)
+def embedding_dim_truncation_recall(spark, sf_dir):
+    """Recall@5 of truncated-dimension cosine retrieval vs the full
+    64-dim ranking, per query, at prefix lengths {8,16,32} — the
+    measurement behind the Matryoshka/two-stage serving decision
+    (score a cheap k-dim prefix first, re-rank survivors at full
+    width; this query prices the recall cost of each k). Evaluation
+    runs on the 10-query sample by design (the decision tool, not
+    the serving path — that is the ANN family). One broadcast
+    crossJoin pass computes all four cosines per pair inside
+    whole-stage codegen; four same-partition windows rank them;
+    overlap counts are pure integers, so the only float work is the
+    bit-exact IEEE fold both engines share. NULL cosines (zero-norm
+    prefixes) pin to -2.0 before ranking so neither engine's NULL
+    ordering is in play."""
+    from pyspark.sql import Window as W
+
+    e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec")
+    )
+
+    def cos(prefix: int | None) -> F.Column:
+        a = "qvec" if prefix is None else f"slice(qvec, 1, {prefix})"
+        b = "cvec" if prefix is None else f"slice(cvec, 1, {prefix})"
+        return F.coalesce(
+            F.expr(_DOT.format(a=a, b=b))
+            / F.expr(
+                f"nullif({_NORM.format(a=a)} * {_NORM.format(a=b)},"
+                " cast(0.0 as double))"
+            ),
+            F.lit(-2.0),
+        )
+
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        cos(None).alias("cos_full"),
+        *[cos(k).alias(f"cos_{k}") for k in TRUNC_DIMS],
+    )
+    ranked = scored.select(
+        "query_id",
+        *[
+            F.row_number()
+            .over(
+                W.partitionBy("query_id").orderBy(
+                    F.col(col).desc(), F.col("neighbor_id")
+                )
+            )
+            .alias(f"rn_{suffix}")
+            for col, suffix in [("cos_full", "full")]
+            + [(f"cos_{k}", str(k)) for k in TRUNC_DIMS]
+        ],
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        (F.col("rn_full") <= 5) & (F.col(f"rn_{k}") <= 5), 1
+                    ).otherwise(0)
+                )
+                .cast("int")
+                .alias(f"hits_{k}")
+                for k in TRUNC_DIMS
+            ]
+        )
+        .orderBy("query_id")
+    )

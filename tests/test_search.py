@@ -90,3 +90,63 @@ def test_search_scoring_single_corpus_scan(spark):
     dfp = registry.QUERIES["search_phrase_match"](spark, SF)
     text_scans = [s for s in executed_scans(dfp) if "text" in s]
     assert len(text_scans) == 1, text_scans
+
+
+def test_search_scorer_agreement_matches_python_recompute(spark):
+    """Recompute tf-vs-BM25 top-10 agreement per term in plain Python
+    (same tokenizer, same k1/b, same tie-breaks)."""
+    from collections import Counter, defaultdict
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.search import AGREEMENT_TERMS
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["token"]: (r["n_overlap"], r["footrule"])
+        for r in registry.QUERIES["search_scorer_agreement"](spark, sf).collect()
+    }
+    tf = defaultdict(Counter)  # token -> {doc: tf}
+    dl = Counter()
+    for row in load_tables(spark, sf)["documents"].collect():
+        toks = [t for t in row["text"].lower().split(" ") if t]
+        dl[row["doc_id"]] = len(toks)
+        for t, n in Counter(toks).items():
+            tf[t][row["doc_id"]] += n
+    avgdl = sum(dl.values()) / len(dl)
+    k1, b = 1.2, 0.75
+    want = {}
+    for term in AGREEMENT_TERMS:
+        docs = sorted(tf[term])
+        r_tf = {
+            d: i + 1
+            for i, d in enumerate(
+                sorted(docs, key=lambda d: (-tf[term][d], d))
+            )
+        }
+        r_bm = {
+            d: i + 1
+            for i, d in enumerate(
+                sorted(
+                    docs,
+                    key=lambda d: (
+                        -(
+                            tf[term][d]
+                            * (k1 + 1)
+                            / (
+                                tf[term][d]
+                                + k1 * (1 - b + b * dl[d] / avgdl)
+                            )
+                        ),
+                        d,
+                    ),
+                )
+            )
+        }
+        shared = [d for d in docs if r_tf[d] <= 10 and r_bm[d] <= 10]
+        want[term] = (
+            len(shared),
+            sum(abs(r_tf[d] - r_bm[d]) for d in shared),
+        )
+    assert got == want

@@ -799,3 +799,85 @@ def test_ann_ivfpq_portable_consistent_with_component_twins(spark):
         probed.setdefault(r["query_id"], set()).add(r["ccell"])
     for r in rows:
         assert cells[r["neighbor_id"]] in probed[r["query_id"]]
+
+
+def test_embedding_int8_quantize_matches_python_recompute(spark):
+    """Exact recompute of the symmetric int8 quantization report in
+    plain Python (same floor(+0.5) rounding, same clamp) — the
+    per-label rounded aggregates must match bit-for-bit."""
+    import math
+    from collections import defaultdict
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["label"]: (r["n_vecs"], r["avg_qerr"], r["max_qerr"], r["avg_scale"])
+        for r in registry.QUERIES["embedding_int8_quantize"](spark, sf).collect()
+    }
+    per_label = defaultdict(list)
+    for row in load_tables(spark, sf)["embeddings"].collect():
+        vec = [float(x) for x in row["embedding"]]
+        scale = max(abs(x) for x in vec) / 127.0
+        err2 = 0.0
+        for x in vec:
+            q = min(max(math.floor(x / scale + 0.5), -127.0), 127.0)
+            err2 += (x - q * scale) * (x - q * scale)
+        per_label[row["label"]].append((math.sqrt(err2), scale))
+    want = {
+        lab: (
+            len(v),
+            round(sum(e for e, _ in v) / len(v), 9),
+            round(max(e for e, _ in v), 9),
+            round(sum(s for _, s in v) / len(v), 9),
+        )
+        for lab, v in per_label.items()
+    }
+    assert set(got) == set(want)
+    for lab in want:
+        assert got[lab][0] == want[lab][0]
+        for i in (1, 2, 3):
+            assert abs(got[lab][i] - want[lab][i]) < 1e-9, (lab, i)
+
+
+def test_embedding_dim_truncation_recall_matches_python_recompute(spark):
+    """numpy recompute of the truncation recall curve: same ranking
+    rule (cosine desc, neighbor_id asc), same prefix lengths."""
+    import numpy as np
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.vectors import TRUNC_DIMS
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["embedding_dim_truncation_recall"](
+        spark, sf
+    ).collect()
+    vecs = {
+        r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+        for r in load_tables(spark, sf)["embeddings"].collect()
+    }
+    qids = sorted(v for v in vecs if v < 10)
+    cids = sorted(v for v in vecs if v >= 10)
+
+    def top5(qid, k=None):
+        scored = []
+        for cid in cids:
+            a = vecs[qid] if k is None else vecs[qid][:k]
+            b = vecs[cid] if k is None else vecs[cid][:k]
+            denom = float(np.linalg.norm(a)) * float(np.linalg.norm(b))
+            cos = float(a @ b) / denom if denom else -2.0
+            scored.append((-cos, cid))
+        return {cid for _, cid in sorted(scored)[:5]}
+
+    want = {}
+    for qid in qids:
+        full = top5(qid)
+        want[qid] = tuple(len(full & top5(qid, k)) for k in TRUNC_DIMS)
+    got = {
+        r["query_id"]: tuple(r[f"hits_{k}"] for k in TRUNC_DIMS) for r in rows
+    }
+    assert got == want
