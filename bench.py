@@ -125,6 +125,8 @@ def main() -> None:
         "embedding_int8_quantize",
         "embedding_dim_truncation_recall",
         "search_scorer_agreement",
+        "t_interval_coverage",
+        "graph_kcore_peel",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

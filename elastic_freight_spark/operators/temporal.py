@@ -1287,3 +1287,108 @@ def w_user_activity_streaks(spark, sf_dir):
         F.col("streak_len").cast("bigint").alias("longest_streak_days"),
         F.col("streak_start").cast("string").alias("streak_start"),
     )
+
+
+# Activity-interval half-life for the coverage metric: each event
+# opens a [ts, ts+5min) window; overlapping windows merge.
+COVERAGE_WINDOW_US = 300 * 1_000_000
+
+
+@query(
+    "t_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + {COVERAGE_WINDOW_US} AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island_id,
+             MIN(s) AS island_start, MAX(e) AS island_end
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS INT) AS n_islands,
+           CAST(SUM(island_end - island_start) AS BIGINT) AS covered_us,
+           CAST(MAX(island_end) - MIN(island_start) AS BIGINT) AS span_us
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def t_interval_coverage(spark, sf_dir):
+    """Interval-union coverage per user (gaps-and-islands over
+    half-open activity windows): every event opens [ts, ts+5min),
+    overlapping windows merge into islands, and the report is
+    n_islands / total covered time / first-to-last span — the "time
+    actually active" metric that raw event counts and sessionize-by-
+    gap both miss (a burst of 50 events in one minute covers 6
+    minutes, not 50×5). Classic running-max merge: an island starts
+    where start exceeds the max end among ALL prior intervals (not
+    just the previous row — intervals can nest under a long
+    predecessor). All arithmetic in integer microseconds
+    (unix_micros ↔ epoch_us, the repo's timestamp discipline), so
+    every output column is exact. One user-keyed shuffle; both
+    windows and the two aggregates share it."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(COVERAGE_WINDOW_US)).alias("e"),
+    )
+    prior_max_end = F.max("e").over(
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(
+            F.col("s")
+            > F.coalesce(prior_max_end, F.lit(-(1 << 63)).cast("long")),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            W.partitionBy("user_id")
+            .orderBy("s", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_islands"),
+            F.sum(F.col("island_end") - F.col("island_start"))
+            .cast("bigint")
+            .alias("covered_us"),
+            (F.max("island_end") - F.min("island_start"))
+            .cast("bigint")
+            .alias("span_us"),
+        )
+        .orderBy("user_id")
+    )

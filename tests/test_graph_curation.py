@@ -217,3 +217,41 @@ def test_link_prediction_matches_bruteforce(spark):
     assert got_t == want
     for r in got:
         assert (r["u"], r["v"]) not in edges  # strictly NON-edges
+
+
+def test_graph_kcore_peel_matches_python_recompute(spark):
+    """Peel the collected co-supply edge list in plain Python (same
+    k, same round count) and compare every round's (survivors,
+    edges) pair. The edge list is vertex-scale — a bounded pull."""
+    from collections import Counter
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        cosupply_edges,
+    )
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["round"], r["n_vertices"], r["n_edges"])
+        for r in registry.QUERIES["graph_kcore_peel"](spark, sf).collect()
+    ]
+    edges = {
+        (r["u"], r["v"]) for r in cosupply_edges(spark, sf).collect()
+    }
+    want = []
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = Counter()
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        surv = {x for x, d in deg.items() if d >= KCORE_K}
+        edges = {(u, v) for u, v in edges if u in surv and v in surv}
+        want.append((rnd, len(surv), len(edges)))
+    assert got == want
+    # the trajectory must be monotone non-increasing on both counts
+    assert all(
+        a[1] >= b[1] and a[2] >= b[2] for a, b in zip(want, want[1:])
+    )

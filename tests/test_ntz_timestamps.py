@@ -57,3 +57,43 @@ def test_epoch_arithmetic_queries_run_on_real_testdata(spark, name):
 
     registry.load_all()
     assert registry.QUERIES[name](spark, SF_DIR).count() > 0
+
+
+def test_t_interval_coverage_matches_python_recompute(spark):
+    """Merge the 5-minute activity intervals per user in plain Python
+    and compare n_islands / covered_us / span_us exactly."""
+    from collections import defaultdict
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.temporal import COVERAGE_WINDOW_US
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_islands"], r["covered_us"], r["span_us"])
+        for r in registry.QUERIES["t_interval_coverage"](spark, sf).collect()
+    }
+    per_user = defaultdict(list)
+    for row in (
+        load_tables(spark, sf)["events"]
+        .selectExpr("user_id", "unix_micros(ts) AS s")
+        .collect()
+    ):
+        per_user[row["user_id"]].append(row["s"])
+    want = {}
+    for uid, starts in per_user.items():
+        starts.sort()
+        islands = []
+        for s in starts:
+            e = s + COVERAGE_WINDOW_US
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        want[uid] = (
+            len(islands),
+            sum(e - s for s, e in islands),
+            islands[-1][1] - islands[0][0],
+        )
+    assert got == want
