@@ -127,6 +127,7 @@ def main() -> None:
         "search_scorer_agreement",
         "t_interval_coverage",
         "graph_kcore_peel",
+        "sample_weighted_reservoir",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

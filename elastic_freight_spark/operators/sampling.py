@@ -1096,3 +1096,75 @@ def sample_temperature_sweep(spark, sf_dir):
         F.floor(F.lit(10000) * mix).cast("bigint").alias("docs_per_epoch"),
         F.round(mix / share, 9).alias("upsample_factor"),
     )
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             0.1 + 0.8 * LEAST(1.0, n_chars / 500.0) AS weight,
+             (CAST(concat('0x', substr(md5(concat('aes:', CAST(doc_id AS VARCHAR))), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 AS frac
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, weight,
+             -ln(frac) / weight AS arrival
+      FROM w
+    )
+    SELECT source, doc_id, ROUND(arrival, 9) AS arrival
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY arrival, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= 3
+    ORDER BY source, arrival, doc_id
+    """,
+)
+def sample_weighted_reservoir(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, k=3 per source stratum,
+    by the Efraimidis–Spirakis exponential race: each doc draws
+    arrival time -ln(u)/w from a deterministic md5-keyed uniform (the
+    repo's portable-PRNG bridge, +0.5 offset so u ∈ (0,1) strictly —
+    ln(0) can never fire), and the k earliest arrivals win. Unlike
+    ``sample_quality_weighted`` (Bernoulli, random sample SIZE) this
+    yields exactly k per stratum with inclusion probability
+    proportional to weight — the "pick exactly 10k docs, favor
+    quality" selection a curation pipeline actually runs. Stable
+    under repartitioning/reruns/engine swaps/corpus growth (a doc's
+    arrival never changes; growth only adds competitors). One
+    source-keyed window on the doc-sized frame; at scale the same
+    race runs as a per-partition top-k + k·|strata| merge, no global
+    sort. ln is the IEEE-libm primitive every scoring query here
+    already certifies."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    weight = F.lit(0.1) + 0.8 * F.least(F.lit(1.0), F.col("n_chars") / 500.0)
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        (-F.log(frac) / weight).alias("arrival"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy("arrival", "doc_id")
+    )
+    return (
+        keyed.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select("source", "doc_id", F.round("arrival", 9).alias("arrival"))
+        .orderBy("source", "arrival", "doc_id")
+    )

@@ -104,3 +104,35 @@ def test_temperature_sweep_flattens_monotonically(spark):
     common_f = [by_alpha[a][common]["upsample_factor"] for a in alphas]
     assert rare_f == sorted(rare_f)  # rare lang upsampled more
     assert common_f == sorted(common_f, reverse=True)  # head shrinks
+
+
+def test_sample_weighted_reservoir_matches_python_recompute(spark):
+    """Exact recompute of the Efraimidis-Spirakis race: same md5
+    bridge, same weights, same top-3-per-source selection."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["sample_weighted_reservoir"](spark, sf).collect()
+    got = defaultdict(list)
+    for r in rows:
+        got[r["source"]].append((r["doc_id"], r["arrival"]))
+    racers = defaultdict(list)
+    for row in load_tables(spark, sf)["documents"].collect():
+        w = 0.1 + 0.8 * min(1.0, row["n_chars"] / 500.0)
+        raw = int(
+            hashlib.md5(f"aes:{row['doc_id']}".encode()).hexdigest()[:8], 16
+        )
+        u = (raw + 0.5) / 4294967296.0
+        racers[row["source"]].append((-math.log(u) / w, row["doc_id"]))
+    for src, lst in racers.items():
+        want = sorted(lst)[:3]
+        assert [d for _, d in want] == [d for d, _ in got[src]]
+        for (wa, _), (_, ga) in zip(want, got[src]):
+            assert abs(round(wa, 9) - ga) < 1e-9
+    assert set(got) == set(racers)

@@ -881,3 +881,57 @@ def test_embedding_dim_truncation_recall_matches_python_recompute(spark):
         r["query_id"]: tuple(r[f"hits_{k}"] for k in TRUNC_DIMS) for r in rows
     }
     assert got == want
+
+
+def test_embedding_int8_quantize_cross_engine_on_adversarial_vectors(
+    spark, tmp_path
+):
+    """Spark vs DuckDB on hand-built hostile vectors: exact .5
+    rounding-boundary quotients (positive and negative), a zero
+    vector (NULL-qerr path), and tiny magnitudes — the inputs where
+    an engine-rounding or NULL-handling divergence would hide. The
+    driver compares by value hash, so the assertion here is exact
+    equality of the rounded outputs."""
+    import duckdb
+
+    from elastic_freight_spark import registry
+
+    registry.load_all()
+    rows = [
+        # scale = 1.0 exactly; 63.5/1 and -63.5/1 sit ON the .5 boundary
+        (0, [127.0, 63.5, -63.5, -127.0], 0),
+        (1, [1.0, 0.5, -0.25, 0.125], 0),
+        (2, [0.0, 0.0, 0.0, 0.0], 1),  # zero vector: NULL qerr
+        (3, [2.0**-20, -(2.0**-20), 2.0**-24, 0.0], 1),
+        (4, [100.0, -50.0, 25.0, -12.5], 2),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+    # bypass the per-session table cache for this synthetic dir
+    got = sorted(
+        tuple(r)
+        for r in registry.QUERIES["embedding_int8_quantize"](
+            spark, sf_dir
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            registry.ORACLE["embedding_int8_quantize"]
+        ).fetchall()
+    )
+    assert len(got) == 3
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1]
+        for i in (2, 3, 4):
+            if g[i] is None or w[i] is None:
+                assert g[i] is None and w[i] is None
+            else:
+                assert g[i] == w[i], (g, w, i)
