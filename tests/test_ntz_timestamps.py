@@ -97,3 +97,70 @@ def test_t_interval_coverage_matches_python_recompute(spark):
             islands[-1][1] - islands[0][0],
         )
     assert got == want
+
+
+def test_t_interval_coverage_cross_engine_on_adversarial_events(
+    spark, tmp_path
+):
+    """Spark vs DuckDB on hand-built hostile event sequences:
+    duplicate (user, ts) pairs (the island-id cumsum must use the
+    same event_id tie order in both engines), exactly-adjacent
+    half-open windows (start == previous end merges), and an
+    interval fully nested under a long predecessor (the running max
+    must look past the immediately preceding row)."""
+    import datetime as dt
+
+    import duckdb
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.temporal import COVERAGE_WINDOW_US
+
+    registry.load_all()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    w_s = COVERAGE_WINDOW_US // 1_000_000
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: duplicate timestamps (event_id tie-break in play)
+        (10, ts(0), 1), (11, ts(0), 1), (12, ts(0), 1),
+        # user 2: exactly adjacent — second starts AT first's end
+        (20, ts(0), 2), (21, ts(w_s), 2),
+        # user 2: clear gap after
+        (22, ts(3 * w_s + 1), 2),
+        # user 3: nesting — long head, two intervals inside its span,
+        # then one that starts inside but extends past
+        (30, ts(0), 3), (31, ts(10), 3), (32, ts(20), 3),
+        (33, ts(w_s - 1), 3),
+        # user 4: strictly one microsecond past adjacency (new island)
+        (40, ts(0), 4),
+        (41, t0 + dt.timedelta(microseconds=COVERAGE_WINDOW_US + 1), 4),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(e, t, u, "click", 1.0, "{}") for e, t, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+    got = sorted(
+        tuple(r)
+        for r in registry.QUERIES["t_interval_coverage"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(registry.ORACLE["t_interval_coverage"]).fetchall()
+    )
+    assert got == want
+    by_user = {r[0]: r[1:] for r in got}
+    W = COVERAGE_WINDOW_US
+    assert by_user[1] == (1, W, W)  # three duplicates = one island
+    assert by_user[2] == (2, 3 * W, 4 * W + 1_000_000)  # adjacency merges
+    assert by_user[3] == (1, 2 * W - 1_000_000, 2 * W - 1_000_000)  # nesting
+    assert by_user[4] == (2, 2 * W, 2 * W + 1)  # 1 us past = new island
