@@ -1020,3 +1020,84 @@ def stream_interval_join(
         )
     )
     return lw.join(rw, cond, "inner")
+
+
+# --- streaming interval-union coverage (batch twin: t_interval_coverage) ---
+
+_COVERAGE_STATE_SCHEMA = (
+    "open_start LONG, open_end LONG, n_closed LONG,"
+    " covered_closed LONG, first_start LONG"
+)
+_COVERAGE_OUT_SCHEMA = (
+    "user_id LONG, n_islands INT, covered_us LONG, span_us LONG"
+)
+
+
+def _coverage_user_fn(key, pdfs, state):
+    import pandas as pd
+
+    from elastic_freight_spark.operators.temporal import COVERAGE_WINDOW_US
+
+    if state.exists:
+        open_start, open_end, n_closed, covered_closed, first_start = (
+            state.get
+        )
+    else:
+        open_start = open_end = first_start = None
+        n_closed = covered_closed = 0
+    starts = []
+    for pdf in pdfs:
+        starts.extend(int(v) for v in pdf["s"].tolist())
+    starts.sort()
+    for s in starts:
+        e = s + COVERAGE_WINDOW_US
+        if open_start is None:
+            open_start, open_end, first_start = s, e, s
+        elif s <= open_end:
+            if e > open_end:
+                open_end = e
+        else:
+            n_closed += 1
+            covered_closed += open_end - open_start
+            open_start, open_end = s, e
+    state.update(
+        (open_start, open_end, n_closed, covered_closed, first_start)
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_islands": [int(n_closed + 1)],
+            "covered_us": [covered_closed + (open_end - open_start)],
+            "span_us": [open_end - first_start],
+        }
+    )
+
+
+def stream_interval_coverage(events: DataFrame) -> DataFrame:
+    """Continuous interval-union activity coverage via
+    ``applyInPandasWithState`` — the streaming twin of
+    ``t_interval_coverage``. Per-user state is 5 longs (the open
+    island plus closed-island totals); each micro-batch merges its
+    (sorted) event times into the open island or closes it, and the
+    emitted row is the user's CURRENT (n_islands, covered_us,
+    span_us) — live "time actually active" without re-scanning
+    history, per-batch work batch-sized. Exactly like the funnel
+    state machine, the fold converges to the batch query when events
+    arrive time-ordered across batches (an event older than the open
+    island's end still merges; one older than its START would need
+    the closed history and is the same limitation every O(1)-state
+    coverage fold has). The differential test pins stream ≡ batch on
+    the 24-chunk in-order source."""
+    return (
+        events.select(
+            "user_id", F.unix_micros("ts").alias("s")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _coverage_user_fn,
+            outputStructType=_COVERAGE_OUT_SCHEMA,
+            stateStructType=_COVERAGE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1325,3 +1325,49 @@ def test_stream_interval_join_survives_restart(spark, chunked_events, tmp_path_f
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_stream_interval_coverage_matches_batch(spark, chunked_events):
+    """Folding the 24 in-order micro-batches through the stateful
+    coverage operator must converge to the batch t_interval_coverage
+    result for every user (same islands, same covered/span)."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.streaming.structured import (
+        read_parquet_stream,
+        stream_interval_coverage,
+    )
+
+    paths, schema, _ = chunked_events
+    import os as _os
+
+    flat = _os.path.dirname(paths[0])
+    stream = read_parquet_stream(spark, flat, schema, max_files_per_trigger=1)
+    q = (
+        stream_interval_coverage(stream)
+        .writeStream.format("memory")
+        .queryName("interval_coverage_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last emitted update per user = converged totals; updates arrive
+    # batch by batch, and coverage totals only grow, so max covered_us
+    # identifies the final row deterministically
+    final = {}
+    for r in spark.sql("SELECT * FROM interval_coverage_state").collect():
+        prev = final.get(r["user_id"])
+        if prev is None or r["covered_us"] >= prev[1]:
+            final[r["user_id"]] = (
+                r["n_islands"],
+                r["covered_us"],
+                r["span_us"],
+            )
+    registry.load_all()
+    want = {
+        r["user_id"]: (r["n_islands"], r["covered_us"], r["span_us"])
+        for r in registry.QUERIES["t_interval_coverage"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert final == want
