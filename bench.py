@@ -128,6 +128,8 @@ def main() -> None:
         "t_interval_coverage",
         "graph_kcore_peel",
         "sample_weighted_reservoir",
+        "dq_referential_integrity",
+        "events_audience_overlap",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

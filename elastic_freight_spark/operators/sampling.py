@@ -1168,3 +1168,78 @@ def sample_weighted_reservoir(spark, sf_dir):
         .select("source", "doc_id", F.round("arrival", 9).alias("arrival"))
         .orderBy("source", "arrival", "doc_id")
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    ORDER BY fk_edge
+    """,
+)
+def dq_referential_integrity(spark, sf_dir):
+    """Cross-table referential-integrity audit over the star schema —
+    the DQ family's missing member (the dq_*_constraints gates are
+    single-table): per FK edge, child row count and orphan count
+    (children whose key has no parent). Orphans via LEFT ANTI join —
+    for the dim-sided edges (part/supplier/nation/customer) the
+    parent key set broadcasts, so each check is ONE map-side pass
+    over the child table; counts are pure integers. A healthy
+    pipeline reports 0 orphans everywhere; after a partial backfill
+    or a late-arriving dimension this is the first query to fire."""
+    t = load_tables(spark, sf_dir)
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in edges:
+        c = t[child].select(F.col(ck).alias("k"))
+        p = t[parent].select(F.col(pk).alias("k")).distinct()
+        row = (
+            c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+            .crossJoin(
+                c.join(F.broadcast(p), "k", "left_anti").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+                )
+            )
+            .select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("fk_edge")

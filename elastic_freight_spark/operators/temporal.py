@@ -1392,3 +1392,85 @@ def t_interval_coverage(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH seg AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, COUNT(*) AS n_users FROM seg GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM seg a JOIN seg b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(sa.n_users AS BIGINT) AS n_a,
+           CAST(sb.n_users AS BIGINT) AS n_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           ROUND(p.n_both / CAST(sa.n_users + sb.n_users - p.n_both
+                                 AS DOUBLE), 9) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def events_audience_overlap(spark, sf_dir):
+    """Audience overlap between event-type segments: for every pair
+    of event types, the distinct-user counts and their Jaccard — the
+    segment-overlap matrix behind "do purchasers also search?"
+    targeting decisions. ONE distinct reduction (user, type) is the
+    only corpus-sized work; the pair join runs on the reduced
+    segment table keyed by user (|types| rows per user, so the
+    self-join fan-out is types², bounded by the FIXED event-type
+    vocabulary — not by corpus size), and the output is
+    |types|²-sized. Jaccard = both/(a+b-both) on exact integers,
+    rounded on both engines."""
+    seg = (
+        load_tables(spark, sf_dir)["events"]
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    a = seg.select(F.col("event_type").alias("type_a"), "user_id")
+    b = seg.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                ),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -164,3 +164,41 @@ def test_t_interval_coverage_cross_engine_on_adversarial_events(
     assert by_user[2] == (2, 3 * W, 4 * W + 1_000_000)  # adjacency merges
     assert by_user[3] == (1, 2 * W - 1_000_000, 2 * W - 1_000_000)  # nesting
     assert by_user[4] == (2, 2 * W, 2 * W + 1)  # 1 us past = new island
+
+
+def test_events_audience_overlap_matches_python_recompute(spark):
+    """Recompute the segment-overlap matrix from distinct (type,
+    user) sets in plain Python."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["n_a"], r["n_b"], r["n_both"], r["jaccard"]
+        )
+        for r in registry.QUERIES["events_audience_overlap"](spark, sf).collect()
+    }
+    segs = defaultdict(set)
+    for row in load_tables(spark, sf)["events"].select(
+        "event_type", "user_id"
+    ).collect():
+        segs[row["event_type"]].add(row["user_id"])
+    want = {}
+    for ta, tb in combinations(sorted(segs), 2):
+        both = len(segs[ta] & segs[tb])
+        if both:
+            want[(ta, tb)] = (
+                len(segs[ta]),
+                len(segs[tb]),
+                both,
+                round(both / (len(segs[ta]) + len(segs[tb]) - both), 9),
+            )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:3] == want[k][:3]
+        assert abs(got[k][3] - want[k][3]) < 1e-9

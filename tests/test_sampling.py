@@ -136,3 +136,47 @@ def test_sample_weighted_reservoir_matches_python_recompute(spark):
         for (wa, _), (_, ga) in zip(want, got[src]):
             assert abs(round(wa, 9) - ga) < 1e-9
     assert set(got) == set(racers)
+
+
+def test_dq_referential_integrity_clean_and_injected_orphans(spark, tmp_path):
+    """On the generated star schema every FK edge must report zero
+    orphans; on a synthetic dir with deliberate breaks, each edge
+    counts exactly its injected orphans (key-only tables are enough —
+    the query reads nothing but the key columns)."""
+    from elastic_freight_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["dq_referential_integrity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 5
+    assert all(r["n_orphans"] == 0 for r in rows)
+    assert all(r["n_child"] > 0 for r in rows)
+
+    sf = str(tmp_path)
+
+    def w(name, schema, data):
+        spark.createDataFrame(data, schema).coalesce(1).write.parquet(
+            f"{sf}/{name}.parquet"
+        )
+
+    w("lineitem", "l_orderkey long, l_partkey long, l_suppkey long",
+      [(1, 10, 100), (2, 11, 100), (99, 10, 999)])  # orderkey 99 + supp 999 orphaned
+    w("orders", "o_orderkey long, o_custkey long", [(1, 7), (2, 8)])  # cust 8 orphaned
+    w("customer", "c_custkey long, c_nationkey long", [(7, 0), (9, 5)])  # nation 5 orphaned
+    w("part", "p_partkey long", [(10,), (11,)])
+    w("supplier", "s_suppkey long", [(100,)])
+    w("nation", "n_nationkey long", [(0,)])
+    got = {
+        r["fk_edge"]: (r["n_child"], r["n_orphans"])
+        for r in registry.QUERIES["dq_referential_integrity"](
+            spark, sf
+        ).collect()
+    }
+    assert got == {
+        "lineitem.l_orderkey->orders": (3, 1),
+        "orders.o_custkey->customer": (2, 1),
+        "lineitem.l_partkey->part": (3, 0),
+        "lineitem.l_suppkey->supplier": (3, 1),
+        "customer.c_nationkey->nation": (2, 1),
+    }
