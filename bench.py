@@ -130,6 +130,8 @@ def main() -> None:
         "sample_weighted_reservoir",
         "dq_referential_integrity",
         "events_audience_overlap",
+        "search_fuzzy_suggest",
+        "search_more_like_this",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

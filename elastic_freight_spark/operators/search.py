@@ -659,3 +659,189 @@ def search_scorer_agreement(spark, sf_dir):
         )
         .orderBy("token")
     )
+
+
+# Misspelled inputs for the fuzzy suggester — chosen so the vocab
+# contains 1-edit and 2-edit candidates (ES `suggest` with
+# fuzziness=2 over the same analyzed token stream).
+SUGGEST_QUERIES = ("dat", "hask", "joim")
+
+
+@query(
+    "search_fuzzy_suggest",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text),' ')) AS token
+      FROM documents
+    ), v AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df
+      FROM toks WHERE token <> '' GROUP BY 1
+    ), q(query_term) AS (VALUES ('dat'), ('hask'), ('joim')),
+    cand AS (
+      SELECT q.query_term, v.token AS suggestion,
+             levenshtein(v.token, q.query_term) AS distance, v.df
+      FROM v CROSS JOIN q
+      WHERE levenshtein(v.token, q.query_term) <= 2
+        AND v.token <> q.query_term
+    )
+    SELECT query_term, suggestion,
+           CAST(distance AS INT) AS distance,
+           CAST(df AS BIGINT) AS df
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_term
+                 ORDER BY distance, df DESC, suggestion) AS rn
+      FROM cand
+    ) WHERE rn <= 3
+    ORDER BY query_term, distance, df DESC, suggestion
+    """,
+)
+def search_fuzzy_suggest(spark, sf_dir):
+    """Fuzzy term suggestion — the ES `suggest`/`fuzziness:2` feature
+    the reference's served index would answer: for each misspelled
+    input, the top-3 vocabulary terms within edit distance 2, ranked
+    by (distance, document frequency). The candidate scan runs on the
+    VOCABULARY (distinct tokens from the cached postings — vocab-sized,
+    not corpus-sized; Heaps' law keeps it sublinear in the corpus) with
+    the 3-term query side broadcast by construction (literal VALUES),
+    so this is one map pass + a |queries|-partition window. Both
+    engines implement classic Levenshtein (no transposition
+    discount), certified by f_fuzzy_levenshtein; df/distance are pure
+    integers."""
+    from pyspark.sql import Window as W
+
+    postings, _ = indexed_postings(spark, sf_dir)
+    vocab = postings.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    q = spark.createDataFrame(
+        [(t,) for t in SUGGEST_QUERIES], "query_term string"
+    )
+    cand = (
+        vocab.crossJoin(F.broadcast(q))
+        .withColumn("distance", F.levenshtein("token", "query_term"))
+        .filter(
+            (F.col("distance") <= 2) & (F.col("token") != F.col("query_term"))
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_term").orderBy(
+            "distance", F.col("df").desc(), "token"
+        )
+    )
+    return (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_term",
+            F.col("token").alias("suggestion"),
+            F.col("distance").cast("int").alias("distance"),
+            F.col("df").cast("bigint").alias("df"),
+        )
+        .orderBy("query_term", "distance", F.col("df").desc(), "suggestion")
+    )
+
+
+MLT_SEED_DOC = 0
+MLT_SEED_TERMS = 5
+
+
+@query(
+    "search_more_like_this",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text),' ')) AS token
+      FROM documents
+    ), postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY 1, 2
+    ), doc_len AS (
+      SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1
+    ), n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    avgdl AS (SELECT AVG(dl) AS avgdl FROM doc_len),
+    df AS (SELECT token, COUNT(*) AS df FROM postings GROUP BY 1),
+    seed AS (
+      SELECT p.token,
+             p.tf * ln(n / df.df) AS seed_score
+      FROM postings p JOIN df USING (token) CROSS JOIN n_docs
+      WHERE p.doc_id = {MLT_SEED_DOC}
+      ORDER BY seed_score DESC, p.token
+      LIMIT {MLT_SEED_TERMS}
+    ),
+    idf AS (
+      SELECT df.token, ln(1 + (n - df.df + 0.5) / (df.df + 0.5)) AS idf
+      FROM df CROSS JOIN n_docs
+      WHERE df.token IN (SELECT token FROM seed)
+    )
+    SELECT p.doc_id,
+           ROUND(SUM(idf.idf * (p.tf * (1.2 + 1))
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 9) AS score,
+           CAST(COUNT(*) AS INT) AS n_terms_hit
+    FROM postings p
+    JOIN idf USING (token) JOIN doc_len USING (doc_id) CROSS JOIN avgdl
+    WHERE p.doc_id <> {MLT_SEED_DOC}
+    GROUP BY p.doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def search_more_like_this(spark, sf_dir):
+    """ES `more_like_this` over the cached postings: extract the seed
+    document's top-{MLT_SEED_TERMS} terms by tf·ln(N/df) (the MLT
+    interestingness ranking), then BM25-score every OTHER document
+    over that derived term set, top-10. Everything derives from the
+    one persisted postings frame: the seed's term vector is
+    doc-sized, rides back in as a broadcast join (no driver pull —
+    the seed terms stay a DataFrame), and the scoring pass is the
+    same saturation-tf chain search_bm25_topk certifies, so the whole
+    feature is one extra broadcast join deep. At 100 TB the seed
+    extraction touches one posting partition per seed term, the
+    scoring join only the candidate postings of 5 terms."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    postings, doc_len = indexed_postings(spark, sf_dir)
+    n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    avgdl_df = doc_len.agg(F.avg("dl").alias("avgdl"))
+    df = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    seed = (
+        postings.filter(F.col("doc_id") == MLT_SEED_DOC)
+        .join(df, "token")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "token",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias(
+                "seed_score"
+            ),
+        )
+        .orderBy(F.col("seed_score").desc(), "token")
+        .limit(MLT_SEED_TERMS)
+        .select("token")
+    )
+    k1, b = 1.2, 0.75
+    idf = (
+        df.join(F.broadcast(seed), "token", "left_semi")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "token",
+            F.log(
+                1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        postings.filter(F.col("doc_id") != MLT_SEED_DOC)
+        .join(F.broadcast(idf), "token")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term_score"), 9).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(10)

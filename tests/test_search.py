@@ -150,3 +150,89 @@ def test_search_scorer_agreement_matches_python_recompute(spark):
             sum(abs(r_tf[d] - r_bm[d]) for d in shared),
         )
     assert got == want
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_search_fuzzy_suggest_matches_python_recompute(spark):
+    """Recompute the fuzzy suggester with a plain-Python Levenshtein
+    DP over the tokenized corpus vocabulary."""
+    from collections import defaultdict
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.search import SUGGEST_QUERIES
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = defaultdict(list)
+    for r in registry.QUERIES["search_fuzzy_suggest"](spark, sf).collect():
+        got[r["query_term"]].append((r["suggestion"], r["distance"], r["df"]))
+    vocab = defaultdict(set)
+    for row in load_tables(spark, sf)["documents"].collect():
+        for t in row["text"].lower().split(" "):
+            if t:
+                vocab[t].add(row["doc_id"])
+    want = defaultdict(list)
+    for q in SUGGEST_QUERIES:
+        cand = [
+            (d, -len(docs), tok)
+            for tok, docs in vocab.items()
+            if tok != q and (d := _lev(tok, q)) <= 2
+        ]
+        for d, negdf, tok in sorted(cand)[:3]:
+            want[q].append((tok, d, -negdf))
+    assert dict(got) == dict(want)
+
+
+def test_search_more_like_this_scores_docs_sharing_seed_terms(spark):
+    """The MLT result must exclude the seed doc, rank by descending
+    score, and every hit must share at least one of the seed's
+    top-tf·idf terms (seed set recomputed in Python)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.search import (
+        MLT_SEED_DOC,
+        MLT_SEED_TERMS,
+    )
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["search_more_like_this"](spark, sf).collect()
+    assert 0 < len(rows) <= 10
+    assert all(r["doc_id"] != MLT_SEED_DOC for r in rows)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    texts = {
+        r["doc_id"]: [t for t in r["text"].lower().split(" ") if t]
+        for r in load_tables(spark, sf)["documents"].collect()
+    }
+    df = defaultdict(int)
+    for toks in texts.values():
+        for t in set(toks):
+            df[t] += 1
+    n = len(texts)
+    seed_tf = Counter(texts[MLT_SEED_DOC])
+    seed = {
+        tok
+        for _, tok in sorted(
+            ((-tf * math.log(n / df[tok]), tok) for tok, tf in seed_tf.items())
+        )[:MLT_SEED_TERMS]
+    }
+    for r in rows:
+        hits = seed & set(texts[r["doc_id"]])
+        assert hits, r
+        assert r["n_terms_hit"] == len(hits)
