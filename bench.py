@@ -132,6 +132,8 @@ def main() -> None:
         "events_audience_overlap",
         "search_fuzzy_suggest",
         "search_more_like_this",
+        "search_bool_query",
+        "agg_composite_pagination",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -1753,3 +1753,55 @@ def orders_basket_size_distribution(spark, sf_dir):
             9,
         ).alias("frac_orders"),
     )
+
+
+# Composite-aggregation page cursor: the last bucket of page 1 when
+# buckets over (source, lang) are key-ordered with page size 5.
+COMPOSITE_AFTER = ("src1", "fr")
+COMPOSITE_PAGE_SIZE = 5
+
+
+@query(
+    "agg_composite_pagination",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_chars
+    FROM buckets
+    WHERE source > '{COMPOSITE_AFTER[0]}'
+       OR (source = '{COMPOSITE_AFTER[0]}' AND lang > '{COMPOSITE_AFTER[1]}')
+    ORDER BY source, lang
+    LIMIT {COMPOSITE_PAGE_SIZE}
+    """,
+)
+def agg_composite_pagination(spark, sf_dir):
+    """ES `composite` aggregation page-after-cursor: buckets over
+    (source, lang) in key order, resumed AFTER the cursor tuple with
+    a keyset predicate — the bucket-space twin of
+    ``keyset_pagination_page2`` (rows there, group-by buckets here).
+    The after-key predicate reaches the scan as a pushed filter on
+    ``source`` (only post-cursor sources are read when the layout is
+    source-partitioned), the aggregation is one map-combinable
+    group-by, and LIMIT lands in TakeOrderedAndProject — no earlier
+    page is recomputed, which is the entire point of composite
+    pagination over a 100 TB bucket space."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    after_src, after_lang = COMPOSITE_AFTER
+    return (
+        docs.filter(
+            (F.col("source") > after_src)
+            | ((F.col("source") == after_src) & (F.col("lang") > after_lang))
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source", "lang")
+        .limit(COMPOSITE_PAGE_SIZE)
+    )

@@ -845,3 +845,110 @@ def search_more_like_this(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
+
+
+# ES bool-query clauses for the composed-query demo: must all appear,
+# must_not excludes, should terms only boost.
+BOOL_MUST = ("data",)
+BOOL_MUST_NOT = ("dup",)
+BOOL_SHOULD = ("hash", "join")
+
+
+@query(
+    "search_bool_query",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text),' ')) AS token
+      FROM documents
+    ), postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY 1, 2
+    ), doc_len AS (
+      SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1
+    ), n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    avgdl AS (SELECT AVG(dl) AS avgdl FROM doc_len),
+    eligible AS (
+      SELECT doc_id FROM postings WHERE token = 'data'
+      EXCEPT
+      SELECT doc_id FROM postings WHERE token = 'dup'
+    ),
+    idf AS (
+      SELECT token, ln(1 + (n - COUNT(*) + 0.5) / (COUNT(*) + 0.5)) AS idf
+      FROM postings CROSS JOIN n_docs
+      WHERE token IN ('data', 'hash', 'join')
+      GROUP BY token, n
+    )
+    SELECT p.doc_id,
+           ROUND(SUM(idf.idf * (p.tf * (1.2 + 1))
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 9) AS score,
+           CAST(COUNT(*) AS INT) AS n_terms_hit
+    FROM postings p
+    JOIN idf USING (token) JOIN doc_len USING (doc_id) CROSS JOIN avgdl
+    WHERE p.doc_id IN (SELECT doc_id FROM eligible)
+    GROUP BY p.doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def search_bool_query(spark, sf_dir):
+    """ES `bool` query composition — must / must_not / should — as
+    postings algebra: eligibility = semi-join on every must term,
+    anti-join on every must_not term (set work on doc-id lists, the
+    text never rescans); scoring = the certified BM25 chain over
+    must+should terms restricted to eligible docs, so should terms
+    boost without gating, exactly ES semantics (minimum_should_match
+    = 0). Top-10 by (score, doc_id). The eligibility frames are
+    single-term posting slices — at 100 TB each is one posting-list
+    read, and the anti side is the smaller list by construction."""
+    from pyspark.sql import Window as W  # noqa: F401  (parity with siblings)
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    postings, doc_len = indexed_postings(spark, sf_dir)
+    n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    avgdl_df = doc_len.agg(F.avg("dl").alias("avgdl"))
+    terms = tuple(BOOL_MUST + BOOL_SHOULD)
+    eligible = postings.filter(
+        F.col("token") == BOOL_MUST[0]
+    ).select("doc_id")
+    for t in BOOL_MUST[1:]:
+        eligible = eligible.join(
+            postings.filter(F.col("token") == t).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    for t in BOOL_MUST_NOT:
+        eligible = eligible.join(
+            postings.filter(F.col("token") == t).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    idf = (
+        postings.filter(F.col("token").isin(*terms))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "token",
+            F.log(
+                1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    k1, b = 1.2, 0.75
+    scored = (
+        postings.join(F.broadcast(idf), "token")
+        .join(eligible, "doc_id", "left_semi")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term_score"), 9).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(10)

@@ -236,3 +236,34 @@ def test_search_more_like_this_scores_docs_sharing_seed_terms(spark):
         hits = seed & set(texts[r["doc_id"]])
         assert hits, r
         assert r["n_terms_hit"] == len(hits)
+
+
+def test_search_bool_query_clause_semantics(spark):
+    """Every hit must contain all must terms and no must_not term;
+    should terms only boost (hits without them allowed); n_terms_hit
+    counts distinct must+should terms present."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.search import (
+        BOOL_MUST,
+        BOOL_MUST_NOT,
+        BOOL_SHOULD,
+    )
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["search_bool_query"](spark, sf).collect()
+    assert rows
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    texts = {
+        r["doc_id"]: set(t for t in r["text"].lower().split(" ") if t)
+        for r in load_tables(spark, sf)["documents"].collect()
+    }
+    for r in rows:
+        toks = texts[r["doc_id"]]
+        assert all(t in toks for t in BOOL_MUST)
+        assert not any(t in toks for t in BOOL_MUST_NOT)
+        assert r["n_terms_hit"] == len(
+            toks & set(BOOL_MUST + BOOL_SHOULD)
+        )

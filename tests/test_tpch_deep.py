@@ -185,3 +185,37 @@ def test_q20_plans_semi_join_and_stays_jvm(spark):
         d = q(spark, SF_DIR)
         assert_no_python_in_plan(d)
         assert_broadcast_join(d)
+
+
+def test_agg_composite_pagination_resumes_after_cursor(spark):
+    """Page 2 must be exactly buckets 6..10 of the key-ordered full
+    bucket list (cursor = last bucket of page 1), with the same
+    counts as an unpaginated group-by."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.relational import (
+        COMPOSITE_AFTER,
+        COMPOSITE_PAGE_SIZE,
+    )
+    from elastic_freight_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["source"], r["lang"], r["n_docs"], r["total_chars"])
+        for r in registry.QUERIES["agg_composite_pagination"](
+            spark, sf
+        ).collect()
+    ]
+    full = sorted(
+        (r["source"], r["lang"], r["n_docs"], r["total_chars"])
+        for r in load_tables(spark, sf)["documents"]
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .collect()
+    )
+    after = [b for b in full if (b[0], b[1]) > COMPOSITE_AFTER]
+    assert got == after[:COMPOSITE_PAGE_SIZE]
