@@ -134,6 +134,7 @@ def main() -> None:
         "search_more_like_this",
         "search_bool_query",
         "agg_composite_pagination",
+        "embedding_variance_profile",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -2057,3 +2057,86 @@ def embedding_dim_truncation_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "embedding_variance_profile",
+    oracle="""
+    WITH dims AS (
+      SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    per_dim AS (
+      SELECT CAST(dim AS INT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(24,10))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x * x AS DECIMAL(24,10))) AS DOUBLE) AS s2
+      FROM dims GROUP BY dim
+    ),
+    stats AS (
+      SELECT dim, n,
+             ROUND(s1 / n, 9) AS mean_x,
+             ROUND((s2 - s1 * s1 / n) / n, 9) AS var_x
+      FROM per_dim
+    ),
+    tr AS (SELECT CAST(SUM(CAST(var_x AS DECIMAL(28,9))) AS DOUBLE) AS trace FROM stats)
+    SELECT dim, n, mean_x, var_x,
+           ROUND(var_x / trace, 9) AS var_share
+    FROM stats CROSS JOIN tr
+    ORDER BY dim
+    """,
+)
+def embedding_variance_profile(spark, sf_dir):
+    """Per-dimension mean/variance and each dimension's share of the
+    total variance (trace) — the input to every PCA-budget /
+    whitening / dead-dimension decision (`embedding_dimension_stats`
+    profiles ranges; this profiles ENERGY, which is what
+    ``embedding_dim_truncation_recall`` empirically prices and
+    ``embedding_top_component`` extracts the principal direction of).
+    One posexplode pass, dimension-keyed aggregate (map-side partials
+    carry |dims| rows per task); population variance from
+    DECIMAL-routed Σx/Σx² so cross-partition order can't leak into
+    the 9th decimal; the trace rides back as a broadcast 1-row
+    aggregate of the |dims|-row frame, and var_share divides the
+    already-rounded var_x by a DECIMAL-summed trace, so the quotient
+    sees bit-identical inputs on both engines."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    dims = e.select(
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("dim", "x")
+    )
+    per_dim = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(24,10)")).cast("double").alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(24,10)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    stats = per_dim.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("s1") / F.col("n"), 9).alias("mean_x"),
+        F.round(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / F.col("n"),
+            9,
+        ).alias("var_x"),
+    )
+    tr = stats.agg(
+        F.sum(F.col("var_x").cast("decimal(28,9)"))
+        .cast("double")
+        .alias("trace")
+    )
+    return (
+        stats.crossJoin(F.broadcast(tr))
+        .select(
+            "dim",
+            "n",
+            "mean_x",
+            "var_x",
+            F.round(F.col("var_x") / F.col("trace"), 9).alias("var_share"),
+        )
+        .orderBy("dim")
+    )

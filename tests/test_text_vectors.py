@@ -935,3 +935,34 @@ def test_embedding_int8_quantize_cross_engine_on_adversarial_vectors(
                 assert g[i] is None and w[i] is None
             else:
                 assert g[i] == w[i], (g, w, i)
+
+
+def test_embedding_variance_profile_matches_numpy(spark):
+    """numpy recompute of the per-dimension variance profile
+    (population variance, DECIMAL-routed sums on the Spark side)."""
+    import numpy as np
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["embedding_variance_profile"](spark, sf).collect()
+    m = np.array(
+        [
+            [float(x) for x in r["embedding"]]
+            for r in load_tables(spark, sf)["embeddings"].collect()
+        ]
+    )
+    mean = m.mean(axis=0)
+    var = m.var(axis=0)
+    var_r = np.round(var, 9)
+    share = var_r / var_r.sum()
+    assert len(rows) == m.shape[1]
+    for r in rows:
+        d = r["dim"]
+        assert r["n"] == m.shape[0]
+        assert abs(r["mean_x"] - round(float(mean[d]), 9)) < 1e-8
+        assert abs(r["var_x"] - round(float(var[d]), 9)) < 1e-8
+        assert abs(r["var_share"] - round(float(share[d]), 9)) < 1e-7
+    assert abs(sum(r["var_share"] for r in rows) - 1.0) < 1e-6
