@@ -135,6 +135,7 @@ def main() -> None:
         "search_bool_query",
         "agg_composite_pagination",
         "embedding_variance_profile",
+        "index_scd2_history",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -524,3 +524,66 @@ def shard_balance_report(spark, sf_dir):
             F.sum((F.col("n") - exp) * (F.col("n") - exp)) / F.first(exp), 9
         ).alias("chi_square"),
     )
+
+
+@query(
+    "index_scd2_history",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    versions AS (
+      SELECT user_id, ts, event_type,
+             LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM changes
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(next_ts) AS BIGINT) AS valid_to_us,
+           CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+    FROM versions
+    ORDER BY user_id, valid_from_us
+    """,
+)
+def index_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension TYPE-2 history build — the versioned
+    face of the upsert family (`index_upsert_latest` keeps only the
+    latest row per key, type 1; this materializes every state CHANGE
+    as a [valid_from, valid_to) row with an is_current flag), here
+    tracking each user's event-type state machine. Two same-partition
+    windows over ONE user-keyed shuffle: LAG collapses consecutive
+    duplicates into change rows, LEAD closes each version with the
+    next change's timestamp (NULL = open/current). Interval bounds
+    in integer microseconds per the timestamp discipline; a
+    time-travel reader slices history with
+    ``valid_from_us <= t < COALESCE(valid_to_us, +inf)``. At scale
+    the change-row frame is change-sized, not event-sized — the only
+    event-sized work is the first window pass."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn(
+        "prev_type", F.lag("event_type").over(wo)
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    wv = W.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = changes.withColumn("next_ts", F.lead("ts").over(wv))
+    return versions.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros("next_ts").alias("valid_to_us"),
+        F.when(F.col("next_ts").isNull(), 1).otherwise(0).cast("int").alias(
+            "is_current"
+        ),
+    ).orderBy("user_id", "valid_from_us")

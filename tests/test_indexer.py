@@ -885,3 +885,44 @@ def test_engine_blue_green_publish_cycle(spark, events, tmp_path_factory):
     # and re-publishing v1 flips back
     eng.publish(base_dir, "live", man_v1["path"])
     assert eng.serve(base_dir, "live").count() >= n_total
+
+
+def test_index_scd2_history_tiles_timeline_and_matches_recompute(spark):
+    """SCD2 invariants per user — versions tile the timeline
+    (valid_to == next valid_from), exactly one open/current row, no
+    consecutive rows with the same state — plus a full plain-Python
+    recompute."""
+    from collections import defaultdict
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    per_user = defaultdict(list)
+    for r in registry.QUERIES["index_scd2_history"](spark, sf).collect():
+        per_user[r["user_id"]].append(
+            (r["valid_from_us"], r["valid_to_us"], r["state"], r["is_current"])
+        )
+    events = defaultdict(list)
+    for row in (
+        load_tables(spark, sf)["events"]
+        .selectExpr("user_id", "event_id", "unix_micros(ts) AS s", "event_type")
+        .collect()
+    ):
+        events[row["user_id"]].append((row["s"], row["event_id"], row["event_type"]))
+    assert set(per_user) == set(events)
+    for uid, vs in per_user.items():
+        assert [v[:2] for v in vs] == sorted(v[:2] for v in vs)
+        assert sum(v[3] for v in vs) == 1 and vs[-1][3] == 1
+        assert vs[-1][1] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a[1] == b[0]  # tiling
+            assert a[2] != b[2]  # real change
+        seq = sorted(events[uid])
+        want = []
+        for s, _eid, typ in seq:
+            if not want or want[-1][1] != typ:
+                want.append((s, typ))
+        assert [(v[0], v[2]) for v in vs] == want
+        assert vs[0][0] == seq[0][0]
