@@ -136,6 +136,9 @@ def main() -> None:
         "agg_composite_pagination",
         "embedding_variance_profile",
         "index_scd2_history",
+        "graph_assortativity",
+        "er_blocking_efficiency",
+        "t_time_weighted_average",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

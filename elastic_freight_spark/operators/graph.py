@@ -489,3 +489,79 @@ def graph_kcore_peel(spark, sf_dir):
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("round")
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    deg AS (
+      SELECT x, COUNT(*) AS d FROM (
+        SELECT u AS x FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY x
+    ),
+    ends AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM edges e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+      UNION ALL
+      SELECT dv.d, du.d
+      FROM edges e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dx) AS BIGINT) AS sx,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy
+      FROM ends
+    )
+    SELECT n AS n_directed_ends,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 9) AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-supply graph — Newman's r, the
+    Pearson correlation of degrees across edge ends (positive: hubs
+    link hubs; negative: hub-and-spoke). Every moment (Σd, Σd²,
+    Σdxdy over the symmetrized end list) is an exact BIGINT — degrees
+    are integers — so the ONLY float operation is the final closed
+    form, computed from bit-identical integer inputs on both engines
+    (the thresholds-as-integers discipline applied to a correlation).
+    By symmetry Σdx = Σdy and Σdx² = Σdy², so the bivariate Pearson
+    collapses to one variance term. Edge list is the shared cached
+    frame; two vertex-sized joins + a 1-row reduce."""
+    edges = cosupply_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    joined = edges.join(du, "u").join(dv, "v")
+    ends = joined.select(
+        F.col("du").alias("dx"), F.col("dv").alias("dy")
+    ).unionAll(joined.select(F.col("dv").alias("dx"), F.col("du").alias("dy")))
+    m = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    return m.select(
+        F.col("n").alias("n_directed_ends"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            / (
+                F.col("n").cast("double") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sx")
+            ),
+            9,
+        ).alias("assortativity"),
+    )

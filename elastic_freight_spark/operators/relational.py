@@ -1805,3 +1805,107 @@ def agg_composite_pagination(spark, sf_dir):
         .orderBy("source", "lang")
         .limit(COMPOSITE_PAGE_SIZE)
     )
+
+
+@query(
+    "er_blocking_efficiency",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    k AS (
+      SELECT p_name,
+             string_split(p_name, ' ')[1] AS first_token,
+             string_split(p_name, ' ')[-1] AS last_token,
+             CAST(length(p_name) // 5 AS VARCHAR) AS length_band
+      FROM names
+    ),
+    strat AS (
+      SELECT 'first_token' AS strategy, p_name, first_token AS blk FROM k
+      UNION ALL
+      SELECT 'last_token', p_name, last_token FROM k
+      UNION ALL
+      SELECT 'length_band', p_name, length_band FROM k
+    ),
+    pairs AS (
+      SELECT a.strategy, a.p_name AS na, b.p_name AS nb,
+             levenshtein(a.p_name, b.p_name) AS lev
+      FROM strat a JOIN strat b
+        ON a.strategy = b.strategy AND a.blk = b.blk
+       AND a.p_name < b.p_name
+    )
+    SELECT s.strategy,
+           CAST(nb.n_blocks AS BIGINT) AS n_blocks,
+           CAST(COUNT(p.na) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(SUM(CASE WHEN p.lev BETWEEN 1 AND 4
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_matches
+    FROM (SELECT DISTINCT strategy FROM strat) s
+    LEFT JOIN pairs p ON p.strategy = s.strategy
+    JOIN (
+      SELECT strategy, COUNT(DISTINCT blk) AS n_blocks
+      FROM strat GROUP BY 1
+    ) nb ON nb.strategy = s.strategy
+    GROUP BY s.strategy, nb.n_blocks
+    ORDER BY s.strategy
+    """,
+)
+def er_blocking_efficiency(spark, sf_dir):
+    """Blocking-strategy audit for the entity-resolution tier: for
+    each candidate-generation policy (first-token block — the one
+    ``er_part_name_match`` ships — last-token block, and a
+    length-band block), the block count, the candidate-pair volume
+    (the COST a strategy commits the cluster to), and how many
+    candidates are true fuzzy matches (lev 1-4 — the YIELD). This is
+    the measurement behind choosing a blocking key before a 100 TB
+    ER run: candidates scale with Σ block_size², so the table makes
+    the cost/recall trade explicit. All outputs are integers; the
+    self-joins run on the DISTINCT-NAME frame (vocabulary-sized, not
+    row-sized), one per strategy, each block-keyed — never all
+    pairs."""
+    names = (
+        load_tables(spark, sf_dir)["part"].select("p_name").distinct()
+    )
+    k = names.selectExpr(
+        "p_name",
+        "split(p_name, ' ')[0] AS first_token",
+        "element_at(split(p_name, ' '), -1) AS last_token",
+        "CAST(length(p_name) div 5 AS STRING) AS length_band",
+    )
+    strat = None
+    for sname in ("first_token", "last_token", "length_band"):
+        part = k.select(
+            F.lit(sname).alias("strategy"),
+            "p_name",
+            F.col(sname).alias("blk"),
+        )
+        strat = part if strat is None else strat.unionAll(part)
+    a = strat.select("strategy", F.col("p_name").alias("na"), "blk")
+    b = strat.select("strategy", F.col("p_name").alias("nb"), "blk")
+    pairs = (
+        a.join(b, ["strategy", "blk"])
+        .filter(F.col("na") < F.col("nb"))
+        .withColumn("lev", F.levenshtein("na", "nb"))
+    )
+    per_pairs = pairs.groupBy("strategy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(
+            ((F.col("lev") >= 1) & (F.col("lev") <= 4)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_matches"),
+    )
+    n_blocks = strat.groupBy("strategy").agg(
+        F.countDistinct("blk").cast("bigint").alias("n_blocks")
+    )
+    return (
+        n_blocks.join(per_pairs, "strategy", "left")
+        .select(
+            "strategy",
+            "n_blocks",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_matches"), F.lit(0))
+            .cast("bigint")
+            .alias("n_matches"),
+        )
+        .orderBy("strategy")
+    )

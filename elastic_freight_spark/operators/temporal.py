@@ -1474,3 +1474,74 @@ def events_audience_overlap(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "t_time_weighted_average",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             epoch_us(ts) AS s,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS s_next
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MAX(s) - MIN(s) AS BIGINT) AS span_us,
+             CAST(SUM(CAST(value * (s_next - s) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS area
+      FROM seq GROUP BY user_id
+    )
+    SELECT user_id, n_events, span_us,
+           ROUND(area / CAST(NULLIF(span_us, 0) AS DOUBLE), 9)
+             AS twa_value
+    FROM agg
+    ORDER BY user_id
+    """,
+)
+def t_time_weighted_average(spark, sf_dir):
+    """Time-weighted average of each user's event value — the
+    irregular-series mean that plain AVG gets wrong (a value held for
+    a week must weigh more than one held a minute; the metering/IoT/
+    finance standard): step-function interpolation, value_i held over
+    [t_i, t_{i+1}), last observation carries zero width, normalized
+    by the user's observed span. Weights are exact integer
+    microseconds (unix_micros ↔ epoch_us); the value·Δt products
+    route through DECIMAL so cross-partition sum order can't leak
+    into the 9th decimal; zero-span (single-event) users yield NULL
+    via the shared NULLIF guard instead of an engine-specific
+    inf/NaN. One user-keyed shuffle shared by the LEAD window and
+    the aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("s"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    seq = ev.withColumn("s_next", F.lead("s").over(w))
+    agg = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("s") - F.min("s")).cast("bigint").alias("span_us"),
+        F.sum(
+            (F.col("value") * (F.col("s_next") - F.col("s"))).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("area"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "span_us",
+        F.round(
+            F.col("area")
+            / F.expr("cast(nullif(span_us, 0) as double)"),
+            9,
+        ).alias("twa_value"),
+    ).orderBy("user_id")

@@ -255,3 +255,28 @@ def test_graph_kcore_peel_matches_python_recompute(spark):
     assert all(
         a[1] >= b[1] and a[2] >= b[2] for a, b in zip(want, want[1:])
     )
+
+
+def test_graph_assortativity_matches_numpy_pearson(spark):
+    """Newman's r recomputed as numpy's Pearson over the symmetrized
+    end-degree pairs of the collected edge list."""
+    import numpy as np
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.graph import cosupply_edges
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    row = registry.QUERIES["graph_assortativity"](spark, sf).collect()[0]
+    edges = [(r["u"], r["v"]) for r in cosupply_edges(spark, sf).collect()]
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    assert row["n_directed_ends"] == 2 * len(edges)
+    want = float(np.corrcoef(np.array(xs), np.array(ys))[0, 1])
+    assert abs(row["assortativity"] - round(want, 9)) < 1e-8

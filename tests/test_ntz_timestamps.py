@@ -202,3 +202,40 @@ def test_events_audience_overlap_matches_python_recompute(spark):
     for k in want:
         assert got[k][:3] == want[k][:3]
         assert abs(got[k][3] - want[k][3]) < 1e-9
+
+
+def test_t_time_weighted_average_matches_python_recompute(spark):
+    """Step-function TWA recomputed in plain Python; single-event
+    users must be NULL (zero span), never inf/NaN."""
+    from collections import defaultdict
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["span_us"], r["twa_value"])
+        for r in registry.QUERIES["t_time_weighted_average"](spark, sf).collect()
+    }
+    per_user = defaultdict(list)
+    for row in (
+        load_tables(spark, sf)["events"]
+        .selectExpr("user_id", "event_id", "unix_micros(ts) AS s", "value")
+        .collect()
+    ):
+        per_user[row["user_id"]].append((row["s"], row["event_id"], row["value"]))
+    assert set(got) == set(per_user)
+    for uid, evs in per_user.items():
+        evs.sort()
+        span = evs[-1][0] - evs[0][0]
+        if span == 0:
+            assert got[uid][2] is None
+            continue
+        area = sum(
+            v * (evs[i + 1][0] - s)
+            for i, (s, _, v) in enumerate(evs[:-1])
+        )
+        assert got[uid][0] == len(evs)
+        assert got[uid][1] == span
+        assert abs(got[uid][2] - round(area / span, 9)) < 1e-8

@@ -219,3 +219,53 @@ def test_agg_composite_pagination_resumes_after_cursor(spark):
     )
     after = [b for b in full if (b[0], b[1]) > COMPOSITE_AFTER]
     assert got == after[:COMPOSITE_PAGE_SIZE]
+
+
+def test_er_blocking_efficiency_matches_python_recompute(spark):
+    """Recompute all three blocking strategies' block/candidate/match
+    counts in plain Python over the distinct part names."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["strategy"]: (r["n_blocks"], r["n_candidates"], r["n_matches"])
+        for r in registry.QUERIES["er_blocking_efficiency"](spark, sf).collect()
+    }
+    names = sorted(
+        r["p_name"]
+        for r in load_tables(spark, sf)["part"].select("p_name").distinct().collect()
+    )
+    keys = {
+        "first_token": lambda n: n.split(" ")[0],
+        "last_token": lambda n: n.split(" ")[-1],
+        "length_band": lambda n: str(len(n) // 5),
+    }
+    want = {}
+    for sname, keyf in keys.items():
+        blocks = defaultdict(list)
+        for n in names:
+            blocks[keyf(n)].append(n)
+        cand = matches = 0
+        for blk in blocks.values():
+            for a, b in combinations(sorted(blk), 2):
+                cand += 1
+                if 1 <= lev(a, b) <= 4:
+                    matches += 1
+        want[sname] = (len(blocks), cand, matches)
+    assert got == want
