@@ -1101,3 +1101,77 @@ def stream_interval_coverage(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming SCD2 history (batch twin: index_scd2_history) --------------
+
+_SCD2_STATE_SCHEMA = "cur_state STRING, valid_from LONG"
+_SCD2_OUT_SCHEMA = (
+    "user_id LONG, state STRING, valid_from_us LONG, valid_to_us LONG,"
+    " is_current INT"
+)
+
+
+def _scd2_user_fn(key, pdfs, state):
+    import pandas as pd
+
+    if state.exists:
+        cur_state, valid_from = state.get
+    else:
+        cur_state = valid_from = None
+    rows = []
+    events = []
+    for pdf in pdfs:
+        events.extend(
+            (int(s), int(e), str(t))
+            for s, e, t in zip(pdf["s"], pdf["event_id"], pdf["event_type"])
+        )
+    events.sort()
+    out = []
+    for s, _eid, typ in events:
+        if cur_state is None:
+            cur_state, valid_from = typ, s
+        elif typ != cur_state:
+            out.append((cur_state, valid_from, s, 0))  # closed version
+            cur_state, valid_from = typ, s
+    state.update((cur_state, valid_from))
+    out.append((cur_state, valid_from, None, 1))  # open/current version
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out),
+            "state": [o[0] for o in out],
+            "valid_from_us": [o[1] for o in out],
+            "valid_to_us": [o[2] for o in out],
+            "is_current": [o[3] for o in out],
+        }
+    )
+
+
+def stream_scd2_history(events: DataFrame) -> DataFrame:
+    """Streaming SCD type-2 maintenance — the CDC face of
+    ``index_scd2_history``: per-user state is just (current_state,
+    valid_from); each micro-batch folds its (sorted) events through
+    the change detector, emits every version CLOSED in this batch
+    (is_current=0, final — safe to append to the history sink) plus
+    the user's refreshed open version (is_current=1, superseded by a
+    later emission). Converges to the batch history exactly when
+    events arrive time-ordered across batches, like every O(1)-state
+    fold here; per-batch work is batch-sized, state is 2 fields per
+    user regardless of history length — the reason to stream SCD2
+    instead of rebuilding it."""
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("s"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_user_fn,
+            outputStructType=_SCD2_OUT_SCHEMA,
+            stateStructType=_SCD2_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1371,3 +1371,53 @@ def test_stream_interval_coverage_matches_batch(spark, chunked_events):
         ).collect()
     }
     assert final == want
+
+
+def test_stream_scd2_history_matches_batch(spark, chunked_events):
+    """Folding the 24 in-order micro-batches through the streaming
+    SCD2 operator must reproduce the batch history exactly: closed
+    versions (is_current=0) are append-final and must equal the batch
+    query's closed rows; the LAST open emission per user must equal
+    the batch current row."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.streaming.structured import (
+        read_parquet_stream,
+        stream_scd2_history,
+    )
+
+    paths, schema, _ = chunked_events
+    import os as _os
+
+    flat = _os.path.dirname(paths[0])
+    stream = read_parquet_stream(spark, flat, schema, max_files_per_trigger=1)
+    q = (
+        stream_scd2_history(stream)
+        .writeStream.format("memory")
+        .queryName("scd2_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    closed = set()
+    open_latest = {}
+    for r in spark.sql("SELECT * FROM scd2_state").collect():
+        row = (r["user_id"], r["state"], r["valid_from_us"], r["valid_to_us"])
+        if r["is_current"] == 0:
+            closed.add(row)
+        else:
+            prev = open_latest.get(r["user_id"])
+            # later open emissions have later (or equal) valid_from
+            if prev is None or r["valid_from_us"] >= prev[2]:
+                open_latest[r["user_id"]] = row
+    registry.load_all()
+    batch_closed = set()
+    batch_open = {}
+    for r in registry.QUERIES["index_scd2_history"](spark, SF_DIR).collect():
+        row = (r["user_id"], r["state"], r["valid_from_us"], r["valid_to_us"])
+        if r["is_current"] == 0:
+            batch_closed.add(row)
+        else:
+            batch_open[r["user_id"]] = row
+    assert closed == batch_closed
+    assert open_latest == batch_open
