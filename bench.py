@@ -139,6 +139,7 @@ def main() -> None:
         "graph_assortativity",
         "er_blocking_efficiency",
         "t_time_weighted_average",
+        "sketch_kmv_intersection",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

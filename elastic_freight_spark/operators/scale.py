@@ -1565,3 +1565,170 @@ def skew_key_profile(spark, sf_dir):
             " + max(total) - 1) div max(total) as bigint)"
         ).alias("suggested_salts"),
     )
+
+
+@query(
+    "sketch_kmv_intersection",
+    oracle=f"""
+    WITH seg AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (
+      SELECT event_type AS sg,
+             md5('kmv:' || CAST(user_id AS VARCHAR)) AS h
+      FROM seg
+    ),
+    sk AS (
+      SELECT sg, h FROM (
+        SELECT sg, h, ROW_NUMBER() OVER (PARTITION BY sg ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= {KMV_K}
+    ),
+    prs AS (
+      SELECT a.sg AS type_a, b.sg AS type_b
+      FROM (SELECT DISTINCT sg FROM sk) a
+      JOIN (SELECT DISTINCT sg FROM sk) b ON a.sg < b.sg
+    ),
+    uni AS (
+      SELECT p.type_a, p.type_b, s.h
+      FROM prs p JOIN sk s ON s.sg IN (p.type_a, p.type_b)
+      GROUP BY 1, 2, 3
+    ),
+    L AS (
+      SELECT type_a, type_b, h FROM (
+        SELECT type_a, type_b, h,
+               ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                                  ORDER BY h) AS rn
+        FROM uni
+      ) WHERE rn <= {KMV_K}
+    ),
+    lstats AS (
+      SELECT type_a, type_b, MAX(h) AS kth,
+             CAST(COUNT(*) AS BIGINT) AS n_sketch
+      FROM L GROUP BY 1, 2
+    ),
+    rho AS (
+      SELECT l.type_a, l.type_b, CAST(COUNT(*) AS BIGINT) AS rho
+      FROM L l
+      JOIN sk sa ON sa.sg = l.type_a AND sa.h = l.h
+      JOIN sk sb ON sb.sg = l.type_b AND sb.h = l.h
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS true_both
+      FROM seg a JOIN seg b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT s.type_a, s.type_b,
+           COALESCE(r.rho, 0) AS rho,
+           s.n_sketch,
+           COALESCE(e.true_both, 0) AS true_both,
+           ROUND(COALESCE(r.rho, 0) * (s.n_sketch - 1)
+                 / NULLIF(CAST(s.n_sketch AS DOUBLE)
+                          * ({kmv_hex_value_sql('s.kth')}
+                             / {16 ** KMV_HEX}.0), 0.0), 9) AS est_both
+    FROM lstats s
+    LEFT JOIN rho r ON r.type_a = s.type_a AND r.type_b = s.type_b
+    LEFT JOIN exact e ON e.type_a = s.type_a AND e.type_b = s.type_b
+    ORDER BY s.type_a, s.type_b
+    """,
+)
+def sketch_kmv_intersection(spark, sf_dir):
+    """Segment-intersection estimation from KMV sketches — the
+    theta-sketch set algebra that answers `events_audience_overlap`'s
+    question when the segments are too big to intersect exactly: for
+    each event-type pair, combine the two k=32 sketches, keep the k
+    smallest of the union (threshold theta = kth min as a hash-space
+    fraction), count the survivors present in BOTH input sketches
+    (rho), and estimate |A∩B| = rho/k · (k-1)/theta (Beyer et al.'s
+    KMV union estimator scaled by the intersection fraction). The
+    exact intersection rides along as `true_both`, so the query is
+    its own calibration report. Everything is deterministic md5
+    order statistics — integers and hex compares until the final
+    ROUND(...,9) — and the sketches are 32 strings per segment: what
+    a coordinator would exchange instead of user sets. One distinct
+    reduction over events is the only data-sized stage."""
+    from pyspark.sql import Window as W
+
+    seg = (
+        load_tables(spark, sf_dir)["events"]
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hashed = seg.select(
+        F.col("event_type").alias("sg"),
+        F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    sk = kmv_topk(hashed, ["sg"]).select("sg", "h")
+    segs = sk.select("sg").distinct()
+    prs = (
+        segs.select(F.col("sg").alias("type_a"))
+        .join(segs.select(F.col("sg").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    uni = (
+        F.broadcast(prs)
+        .join(
+            sk,
+            (F.col("sg") == F.col("type_a")) | (F.col("sg") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "h")
+        .distinct()
+    )
+    wL = W.partitionBy("type_a", "type_b").orderBy("h")
+    L = (
+        uni.withColumn("rn", F.row_number().over(wL))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    lstats = L.groupBy("type_a", "type_b").agg(
+        F.max("h").alias("kth"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+    )
+    sa = sk.select(F.col("sg").alias("type_a"), F.col("h"))
+    sb = sk.select(F.col("sg").alias("type_b"), F.col("h"))
+    rho = (
+        L.join(sa, ["type_a", "h"], "left_semi")
+        .join(sb, ["type_b", "h"], "left_semi")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rho"))
+    )
+    exact = (
+        seg.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            seg.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_both"))
+    )
+    theta = F.expr(kmv_hex_value_sql("kth")) / float(16**KMV_HEX)
+    return (
+        lstats.join(rho, ["type_a", "type_b"], "left")
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce(F.col("rho"), F.lit(0)).cast("bigint").alias("rho"),
+            "n_sketch",
+            F.coalesce(F.col("true_both"), F.lit(0))
+            .cast("bigint")
+            .alias("true_both"),
+            F.round(
+                F.coalesce(F.col("rho"), F.lit(0))
+                * (F.col("n_sketch") - 1)
+                / F.expr(
+                    "nullif(cast(n_sketch as double) * ({t}), 0.0)".format(
+                        t=f"({kmv_hex_value_sql('kth')}) / {float(16 ** KMV_HEX)}"
+                    )
+                ),
+                9,
+            ).alias("est_both"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -589,3 +589,59 @@ def test_skew_key_profile_matches_python_recompute(spark):
     assert row["top10_n"] == sum(ns[:10])
     assert row["suggested_salts"] == (ns[0] * k + total - 1) // total
     assert row["skew_ratio"] == round(ns[0] * k / total, 9)
+
+
+def test_sketch_kmv_intersection_estimates_partial_overlap(spark, tmp_path):
+    """Synthetic segments with known overlap: A = users 0..199,
+    B = 100..299 (true ∩ = 100), C = 0..49 (⊂ A, disjoint B tail).
+    The KMV estimate must land within the k=32 sampling band, rho
+    must equal the Python-recomputed |S_A ∩ S_B ∩ L|, and the exact
+    column must be exact."""
+    import datetime as dt
+    import hashlib
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.scale import KMV_K
+
+    registry.load_all()
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2024, 1, 1)
+    for u in range(0, 200):
+        rows.append((eid, t0, u, "segA", 1.0, "{}")); eid += 1
+    for u in range(100, 300):
+        rows.append((eid, t0, u, "segB", 1.0, "{}")); eid += 1
+    for u in range(0, 50):
+        rows.append((eid, t0, u, "segC", 1.0, "{}")); eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in registry.QUERIES["sketch_kmv_intersection"](spark, sf).collect()
+    }
+    ab = got[("segA", "segB")]
+    ac = got[("segA", "segC")]
+    bc = got[("segB", "segC")]
+    assert ab["true_both"] == 100
+    assert ac["true_both"] == 50
+    assert bc["true_both"] == 0
+    # disjoint-ish pair: C ∩ B = ∅ so rho and the estimate are 0
+    assert bc["rho"] == 0 and bc["est_both"] == 0.0
+    # KMV sampling band: sigma ~ true/sqrt(k); allow 3 sigma + slack
+    for r, true in ((ab, 100), (ac, 50)):
+        assert r["rho"] > 0
+        assert abs(r["est_both"] - true) < true * 1.2 + 20, (r, true)
+
+    # recompute rho for (A, B) from first principles
+    def h(u):
+        return hashlib.md5(f"kmv:{u}".encode()).hexdigest()
+
+    sa = sorted(h(u) for u in range(0, 200))[:KMV_K]
+    sb = sorted(h(u) for u in range(100, 300))[:KMV_K]
+    L = sorted(set(sa) | set(sb))[:KMV_K]
+    want_rho = len(set(L) & set(sa) & set(sb))
+    assert ab["rho"] == want_rho
