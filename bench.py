@@ -140,6 +140,7 @@ def main() -> None:
         "er_blocking_efficiency",
         "t_time_weighted_average",
         "sketch_kmv_intersection",
+        "join_asof_nearest",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

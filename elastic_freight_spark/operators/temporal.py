@@ -1545,3 +1545,99 @@ def t_time_weighted_average(spark, sf_dir):
             9,
         ).alias("twa_value"),
     ).orderBy("user_id")
+
+
+# Tolerance for the nearest-direction as-of join: a click farther
+# than this from the purchase (either side) doesn't attribute.
+ASOF_NEAREST_TOL_US = 2 * 3600 * 1_000_000  # 2 hours
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, epoch_us(ts) AS cs, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ps FROM events
+      WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT p.user_id, p.event_id, p.ps, c.cs, c.click_value,
+             abs(p.ps - c.cs) AS gap_us
+      FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+      WHERE abs(p.ps - c.cs) <= {ASOF_NEAREST_TOL_US}
+    ),
+    best AS (
+      SELECT user_id, event_id, ps, cs, click_value, gap_us FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_id ORDER BY gap_us, cs) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )
+    SELECT p.user_id, p.event_id,
+           CAST(p.ps AS BIGINT) AS purchase_us,
+           CAST(b.cs AS BIGINT) AS nearest_click_us,
+           CAST(b.gap_us AS BIGINT) AS gap_us,
+           b.click_value
+    FROM purchases p
+    LEFT JOIN best b ON b.event_id = p.event_id
+    ORDER BY p.user_id, p.event_id
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """As-of join, direction=NEAREST with tolerance — the pandas
+    ``merge_asof(direction='nearest', tolerance=2h)`` semantics the
+    backward-only ``join_asof_click_before_purchase`` can't express
+    (a click seconds AFTER the purchase should beat one hours
+    before). Each purchase takes the minimum-|gap| click within ±2h,
+    ties broken toward the EARLIER click; unmatched purchases keep a
+    NULL row (left semantics). Implementation is the tolerance-banded
+    candidate join — the per-user candidate set is bounded by the
+    tolerance window, so the join never degenerates to per-user
+    cross products the way an unbounded nearest would; gap arithmetic
+    is exact integer microseconds. At scale this is the same
+    range-join shape as `join_interval_binned` and would bucket by
+    (user, time-band) the same way."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id", F.unix_micros("ts").alias("cs"), "click_value"
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ps")
+    )
+    cand = (
+        purchases.join(clicks, "user_id")
+        .withColumn("gap_us", F.abs(F.col("ps") - F.col("cs")))
+        .filter(F.col("gap_us") <= ASOF_NEAREST_TOL_US)
+    )
+    best = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_id").orderBy("gap_us", "cs")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_id", "cs", "gap_us", "click_value")
+    )
+    return (
+        purchases.join(best, "event_id", "left")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ps").cast("bigint").alias("purchase_us"),
+            F.col("cs").cast("bigint").alias("nearest_click_us"),
+            F.col("gap_us").cast("bigint").alias("gap_us"),
+            "click_value",
+        )
+        .orderBy("user_id", "event_id")
+    )

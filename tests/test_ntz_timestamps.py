@@ -239,3 +239,48 @@ def test_t_time_weighted_average_matches_python_recompute(spark):
         assert got[uid][0] == len(evs)
         assert got[uid][1] == span
         assert abs(got[uid][2] - round(area / span, 9)) < 1e-8
+
+
+def test_join_asof_nearest_matches_python_recompute(spark):
+    """merge_asof(direction='nearest', tolerance=2h) semantics
+    recomputed in plain Python: min |gap| within tolerance, ties to
+    the earlier click, left rows preserved."""
+    from collections import defaultdict
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.temporal import ASOF_NEAREST_TOL_US
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_id"]: (r["nearest_click_us"], r["gap_us"], r["click_value"])
+        for r in registry.QUERIES["join_asof_nearest"](spark, sf).collect()
+    }
+    clicks = defaultdict(dict)  # user -> {cs: max value}
+    purchases = []
+    for row in (
+        load_tables(spark, sf)["events"]
+        .selectExpr("user_id", "event_id", "unix_micros(ts) AS s",
+                    "event_type", "value")
+        .collect()
+    ):
+        if row["event_type"] == "click":
+            cur = clicks[row["user_id"]].get(row["s"])
+            clicks[row["user_id"]][row["s"]] = (
+                row["value"] if cur is None else max(cur, row["value"])
+            )
+        elif row["event_type"] == "purchase":
+            purchases.append((row["user_id"], row["event_id"], row["s"]))
+    want = {}
+    for uid, eid, ps in purchases:
+        best = None
+        for cs, val in clicks.get(uid, {}).items():
+            gap = abs(ps - cs)
+            if gap <= ASOF_NEAREST_TOL_US and (
+                best is None or (gap, cs) < (best[1], best[0])
+            ):
+                best = (cs, gap, val)
+        want[eid] = best if best else (None, None, None)
+    assert got == want
+    assert any(v[0] is not None for v in got.values())
