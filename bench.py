@@ -141,6 +141,8 @@ def main() -> None:
         "t_time_weighted_average",
         "sketch_kmv_intersection",
         "join_asof_nearest",
+        "supplier_herfindahl",
+        "part_substitution_candidates",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -1909,3 +1909,169 @@ def er_blocking_efficiency(spark, sf_dir):
         )
         .orderBy("strategy")
     )
+
+
+@query(
+    "supplier_herfindahl",
+    oracle="""
+    WITH vol AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT s_nationkey, SUM(rev) AS nation_rev,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM vol GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           t.n_suppliers,
+           CAST(t.nation_rev AS DOUBLE) AS nation_rev,
+           ROUND(CAST(SUM(CAST(POWER(CAST(v.rev AS DOUBLE)
+                           / CAST(t.nation_rev AS DOUBLE), 2)
+                          AS DECIMAL(28,18))) AS DOUBLE), 9) AS hhi
+    FROM vol v
+    JOIN tot t ON t.s_nationkey = v.s_nationkey
+    JOIN nation n ON n.n_nationkey = v.s_nationkey
+    GROUP BY n.n_name, t.n_suppliers, t.nation_rev
+    ORDER BY nation
+    """,
+)
+def supplier_herfindahl(spark, sf_dir):
+    """Herfindahl–Hirschman concentration index of supplier revenue
+    per nation — the antitrust/procurement-risk metric that Gini
+    (`customer_value_gini`) and ABC (`part_abc_classification`) don't
+    give: HHI = Σ share² over suppliers, 1/n for perfect competition,
+    1.0 for monopoly; a nation whose supply concentrates in two
+    suppliers is a resilience risk no matter how long the tail is.
+    Revenue sums ride DECIMAL (exact, order-independent); both
+    engines square bit-identical share quotients, and the squared
+    shares are cast back to DECIMAL before the cross-supplier SUM so
+    aggregation order can't leak into the 9th decimal. The per-nation
+    aggregate is |suppliers|-sized after the first reduce."""
+    t = load_tables(spark, sf_dir)
+    vol = (
+        t["lineitem"]
+        .join(
+            t["supplier"].select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "rev"
+            )
+        )
+    )
+    tot = vol.groupBy("s_nationkey").agg(
+        F.sum("rev").alias("nation_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    return (
+        vol.join(tot, "s_nationkey")
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .groupBy("nation", "n_suppliers", "nation_rev")
+        .agg(
+            F.round(
+                F.sum(
+                    F.pow(
+                        F.col("rev").cast("double")
+                        / F.col("nation_rev").cast("double"),
+                        2,
+                    ).cast("decimal(28,18)")
+                ).cast("double"),
+                9,
+            ).alias("hhi")
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            F.col("nation_rev").cast("double").alias("nation_rev"),
+            "hhi",
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "part_substitution_candidates",
+    oracle="""
+    WITH alt AS (
+      SELECT a.p_partkey, a.p_brand, a.p_retailprice,
+             b.p_partkey AS alt_partkey, b.p_brand AS alt_brand,
+             b.p_retailprice AS alt_price
+      FROM part a JOIN part b
+        ON a.p_type = b.p_type AND a.p_size = b.p_size
+       AND a.p_brand <> b.p_brand
+       AND b.p_retailprice < a.p_retailprice
+    )
+    SELECT p_partkey, p_brand,
+           ROUND(p_retailprice, 2) AS retailprice,
+           alt_partkey, alt_brand,
+           ROUND(alt_price, 2) AS alt_price,
+           ROUND(p_retailprice - alt_price, 2) AS saving
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY p_partkey
+        ORDER BY alt_price, alt_partkey) AS rn
+      FROM alt
+    ) WHERE rn = 1
+    ORDER BY saving DESC, p_partkey
+    LIMIT 25
+    """,
+)
+def part_substitution_candidates(spark, sf_dir):
+    """Cheapest same-spec substitute per part — the procurement query
+    behind "can we source this cheaper": for each part, the
+    lowest-priced part of the SAME (type, size) from a DIFFERENT
+    brand that undercuts it, ranked by saving, top-25. The self-join
+    is blocked on (type, size) — the same equi-blocking discipline as
+    the ER tier, so candidates are block-bounded, never all-pairs —
+    and the per-part argmin lands in one window over block-keyed
+    partitions. Prices round to cents on both sides (they are exact
+    2-decimal values in the data), so every output column is
+    effectively exact."""
+    from pyspark.sql import Window as W
+
+    part = load_tables(spark, sf_dir)["part"]
+    a = part.select(
+        "p_partkey", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+    b = part.select(
+        F.col("p_partkey").alias("alt_partkey"),
+        F.col("p_brand").alias("alt_brand"),
+        F.col("p_type").alias("p_type"),
+        F.col("p_size").alias("p_size"),
+        F.col("p_retailprice").alias("alt_price"),
+    )
+    alt = a.join(b, ["p_type", "p_size"]).filter(
+        (F.col("p_brand") != F.col("alt_brand"))
+        & (F.col("alt_price") < F.col("p_retailprice"))
+    )
+    w = W.partitionBy("p_partkey").orderBy("alt_price", "alt_partkey")
+    return (
+        alt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("retailprice"),
+            "alt_partkey",
+            "alt_brand",
+            F.round("alt_price", 2).alias("alt_price"),
+            F.round(F.col("p_retailprice") - F.col("alt_price"), 2).alias(
+                "saving"
+            ),
+        )
+        .orderBy(F.col("saving").desc(), "p_partkey")
+        .limit(25)
+    )

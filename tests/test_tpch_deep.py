@@ -269,3 +269,73 @@ def test_er_blocking_efficiency_matches_python_recompute(spark):
                     matches += 1
         want[sname] = (len(blocks), cand, matches)
     assert got == want
+
+
+def test_supplier_herfindahl_matches_python_recompute(spark):
+    """HHI per nation recomputed in plain Python from exact cent
+    revenues."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["nation"]: (r["n_suppliers"], r["nation_rev"], r["hhi"])
+        for r in registry.QUERIES["supplier_herfindahl"](spark, sf).collect()
+    }
+    t = load_tables(spark, sf)
+    nation = {
+        r["n_nationkey"]: r["n_name"] for r in t["nation"].collect()
+    }
+    supp_nation = {
+        r["s_suppkey"]: r["s_nationkey"] for r in t["supplier"].collect()
+    }
+    rev = defaultdict(lambda: defaultdict(Decimal))
+    for r in t["lineitem"].select("l_suppkey", "l_extendedprice").collect():
+        nk = supp_nation[r["l_suppkey"]]
+        rev[nk][r["l_suppkey"]] += Decimal(str(round(r["l_extendedprice"], 2)))
+    for nk, sup in rev.items():
+        total = sum(sup.values())
+        hhi = sum(
+            (float(v) / float(total)) ** 2 for v in sup.values()
+        )
+        g = got[nation[nk]]
+        assert g[0] == len(sup)
+        assert abs(g[1] - float(total)) < 0.01
+        assert abs(g[2] - round(hhi, 9)) < 1e-8
+        assert 1.0 / len(sup) - 1e-9 <= g[2] <= 1.0
+
+
+def test_part_substitution_candidates_semantics(spark):
+    """Every suggested substitute shares (type, size), differs in
+    brand, undercuts the price, and is the cheapest such alternative
+    (ties to lowest partkey); savings are positive and sorted."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["part_substitution_candidates"](spark, sf).collect()
+    assert rows
+    savings = [r["saving"] for r in rows]
+    assert savings == sorted(savings, reverse=True)
+    parts = {
+        r["p_partkey"]: (r["p_brand"], r["p_type"], r["p_size"], r["p_retailprice"])
+        for r in load_tables(spark, sf)["part"].collect()
+    }
+    for r in rows:
+        brand, ptype, size, price = parts[r["p_partkey"]]
+        abrand, atype, asize, aprice = parts[r["alt_partkey"]]
+        assert (ptype, size) == (atype, asize)
+        assert brand != abrand
+        assert aprice < price
+        assert r["saving"] > 0
+        best = min(
+            (p, k)
+            for k, (b2, t2, s2, p) in parts.items()
+            if t2 == ptype and s2 == size and b2 != brand and p < price
+        )
+        assert (round(best[0], 2), best[1]) == (r["alt_price"], r["alt_partkey"])
