@@ -143,6 +143,7 @@ def main() -> None:
         "join_asof_nearest",
         "supplier_herfindahl",
         "part_substitution_candidates",
+        "events_survival_km",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -1641,3 +1641,129 @@ def join_asof_nearest(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS first_us,
+             MAX(epoch_us(ts)) AS last_us,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS first_purchase_us
+      FROM events GROUP BY user_id
+    ),
+    durations AS (
+      SELECT user_id,
+             CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END
+               AS converted,
+             CAST(CASE WHEN first_purchase_us IS NOT NULL
+                       THEN (first_purchase_us - first_us) // 86400000000
+                       ELSE (last_us - first_us) // 86400000000
+                  END AS BIGINT) AS dur_days
+      FROM spans
+    ),
+    event_days AS (
+      SELECT dur_days AS day,
+             CAST(SUM(converted) AS BIGINT) AS n_events,
+             CAST(SUM(1 - converted) AS BIGINT) AS n_censored
+      FROM durations GROUP BY dur_days
+    ),
+    at_risk AS (
+      SELECT d.day, d.n_events, d.n_censored,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM durations x
+              WHERE x.dur_days >= d.day) AS n_at_risk
+      FROM event_days d
+      WHERE d.n_events > 0
+    )
+    SELECT day, n_at_risk, n_events, n_censored,
+           ROUND(exp(SUM(ln(GREATEST(
+                       1.0 - CAST(n_events AS DOUBLE) / n_at_risk,
+                       1e-300)))
+                     OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 9) AS km_survival
+    FROM at_risk
+    ORDER BY day
+    """,
+)
+def events_survival_km(spark, sf_dir):
+    """Kaplan–Meier survival curve for time-to-first-purchase with
+    right censoring — the estimator conversion analytics needs when
+    not every user has converted yet (naive conversion-by-day
+    undercounts late converters; KM handles censored users
+    correctly). Duration = whole days from a user's first event to
+    first purchase (event) or last event (censored); per event-day:
+    n_at_risk (duration ≥ d), n_events, n_censored — ALL exact
+    integers, so the only float work is the survival product,
+    computed as exp(Σ ln(max(1 − d/n, 1e-300))) — the floor makes a
+    fully-converted day contribute -690.7, whose exp ROUNDs to the
+    exact 0.0 KM assigns, without tripping either engine's ln(0) —
+    with both engines folding the
+    SAME ordered per-day terms (a windowed cumulative over the
+    day-keyed frame, deterministic order by day). Scale shape: one
+    user-keyed reduce to durations (the only data-sized stage), then
+    everything is day-keyed; the at-risk counts come from a
+    theta-join of the day frame against the duration distribution —
+    both day-sized after the reduce."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.unix_micros("ts")
+            )
+        ).alias("first_purchase_us"),
+    )
+    durations = spans.select(
+        F.when(F.col("first_purchase_us").isNotNull(), 1)
+        .otherwise(0)
+        .alias("converted"),
+        F.when(
+            F.col("first_purchase_us").isNotNull(),
+            F.expr("(first_purchase_us - first_us) div 86400000000"),
+        )
+        .otherwise(F.expr("(last_us - first_us) div 86400000000"))
+        .cast("bigint")
+        .alias("dur_days"),
+    )
+    event_days = durations.groupBy(F.col("dur_days").alias("day")).agg(
+        F.sum("converted").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("converted")).cast("bigint").alias("n_censored"),
+    )
+    dur_counts = durations.groupBy("dur_days").agg(
+        F.count(F.lit(1)).alias("n_dur")
+    )
+    at_risk = (
+        event_days.filter(F.col("n_events") > 0)
+        .join(dur_counts, F.col("dur_days") >= F.col("day"))
+        .groupBy("day", "n_events", "n_censored")
+        .agg(F.sum("n_dur").cast("bigint").alias("n_at_risk"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        at_risk.withColumn(
+            "km_survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.greatest(
+                                1.0
+                                - F.col("n_events").cast("double")
+                                / F.col("n_at_risk"),
+                                F.lit(1e-300),
+                            )
+                        )
+                    ).over(w)
+                ),
+                9,
+            ),
+        )
+        .select("day", "n_at_risk", "n_events", "n_censored", "km_survival")
+        .orderBy("day")
+    )

@@ -284,3 +284,55 @@ def test_join_asof_nearest_matches_python_recompute(spark):
         want[eid] = best if best else (None, None, None)
     assert got == want
     assert any(v[0] is not None for v in got.values())
+
+
+def test_events_survival_km_matches_python_recompute(spark):
+    """Kaplan-Meier recomputed in plain Python with the textbook
+    product form; censoring taken at each user's last event."""
+    from collections import Counter, defaultdict
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["day"], r["n_at_risk"], r["n_events"], r["n_censored"],
+         r["km_survival"])
+        for r in registry.QUERIES["events_survival_km"](spark, sf).collect()
+    ]
+    first = {}
+    last = {}
+    first_purchase = {}
+    for row in (
+        load_tables(spark, sf)["events"]
+        .selectExpr("user_id", "unix_micros(ts) AS s", "event_type")
+        .collect()
+    ):
+        u, s_us = row["user_id"], row["s"]
+        first[u] = min(first.get(u, s_us), s_us)
+        last[u] = max(last.get(u, s_us), s_us)
+        if row["event_type"] == "purchase":
+            first_purchase[u] = min(first_purchase.get(u, s_us), s_us)
+    durations = []
+    for u in first:
+        if u in first_purchase:
+            durations.append(((first_purchase[u] - first[u]) // 86400000000, 1))
+        else:
+            durations.append(((last[u] - first[u]) // 86400000000, 0))
+    ev_days = Counter(d for d, c in durations if c == 1)
+    cens_days = Counter(d for d, c in durations if c == 0)
+    surv = 1.0
+    want = []
+    for d in sorted(ev_days):
+        n_risk = sum(1 for dd, _ in durations if dd >= d)
+        n_ev = ev_days[d]
+        surv *= max(1.0 - n_ev / n_risk, 1e-300)
+        want.append((d, n_risk, n_ev, cens_days.get(d, 0), round(surv, 9)))
+    assert [g[:4] for g in got] == [w[:4] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[4] - w[4]) < 1e-8
+    # survival is monotone non-increasing and starts below 1
+    kms = [g[4] for g in got]
+    assert all(a >= b for a, b in zip(kms, kms[1:]))
+    assert kms[0] < 1.0
