@@ -144,6 +144,7 @@ def main() -> None:
         "supplier_herfindahl",
         "part_substitution_candidates",
         "events_survival_km",
+        "events_ab_test_report",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

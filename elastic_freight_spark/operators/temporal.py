@@ -1767,3 +1767,106 @@ def events_survival_km(spark, sf_dir):
         .select("day", "n_at_risk", "n_events", "n_censored", "km_survival")
         .orderBy("day")
     )
+
+
+@query(
+    "events_ab_test_report",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id,
+             CASE WHEN md5('ab:' || CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events
+      GROUP BY user_id
+    ),
+    per_arm AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM arms GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'treatment' THEN n_users END) AS n_t,
+        MAX(CASE WHEN arm = 'treatment' THEN n_converted END) AS c_t,
+        MAX(CASE WHEN arm = 'control' THEN n_users END) AS n_c,
+        MAX(CASE WHEN arm = 'control' THEN n_converted END) AS c_c
+      FROM per_arm
+    )
+    SELECT n_t, c_t, n_c, c_c,
+           ROUND(CAST(c_t AS DOUBLE) / n_t, 9) AS cr_treatment,
+           ROUND(CAST(c_c AS DOUBLE) / n_c, 9) AS cr_control,
+           ROUND(CAST(c_t AS DOUBLE) / n_t
+                 - CAST(c_c AS DOUBLE) / n_c, 9) AS lift_abs,
+           ROUND((CAST(c_t AS DOUBLE) / n_t - CAST(c_c AS DOUBLE) / n_c)
+                 / NULLIF(sqrt(
+                     (CAST(c_t + c_c AS DOUBLE) / (n_t + n_c))
+                     * (1.0 - CAST(c_t + c_c AS DOUBLE) / (n_t + n_c))
+                     * (1.0 / n_t + 1.0 / n_c)), 0.0), 9) AS z_score
+    FROM wide
+    """,
+)
+def events_ab_test_report(spark, sf_dir):
+    """A/B experiment readout with DETERMINISTIC hash assignment —
+    the md5 bridge as a bucketing function (the way real experiment
+    platforms assign: stable per user, no assignment table to join,
+    reproducible across engines/reruns): arm = first hex nibble of
+    md5('ab:'‖user) < '8', i.e. a 50/50 split; metric = user-level
+    purchase conversion; readout = per-arm counts (exact integers),
+    conversion rates, absolute lift, and the pooled two-proportion
+    z-score — every float a closed form over four integers, so both
+    engines compute from bit-identical inputs. One user-keyed reduce
+    is the only data-sized stage; the report is one row. On this
+    synthetic corpus the arms are A/A (no real treatment), so |z|
+    small is itself the correctness signal the test pins."""
+    ev = load_tables(spark, sf_dir)["events"]
+    arms = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    ).select(
+        F.when(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
+            < "8",
+            "treatment",
+        )
+        .otherwise("control")
+        .alias("arm"),
+        "converted",
+    )
+    per_arm = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == "treatment", F.col("n_users"))).alias(
+            "n_t"
+        ),
+        F.max(
+            F.when(F.col("arm") == "treatment", F.col("n_converted"))
+        ).alias("c_t"),
+        F.max(F.when(F.col("arm") == "control", F.col("n_users"))).alias(
+            "n_c"
+        ),
+        F.max(
+            F.when(F.col("arm") == "control", F.col("n_converted"))
+        ).alias("c_c"),
+    )
+    p_t = F.col("c_t").cast("double") / F.col("n_t")
+    p_c = F.col("c_c").cast("double") / F.col("n_c")
+    return wide.select(
+        "n_t",
+        "c_t",
+        "n_c",
+        "c_c",
+        F.round(p_t, 9).alias("cr_treatment"),
+        F.round(p_c, 9).alias("cr_control"),
+        F.round(p_t - p_c, 9).alias("lift_abs"),
+        F.round(
+            (p_t - p_c)
+            / F.expr("nullif({se}, 0.0)".format(se="sqrt((cast(c_t + c_c as double) / (n_t + n_c)) * (1.0 - cast(c_t + c_c as double) / (n_t + n_c)) * (1.0 / n_t + 1.0 / n_c))")),
+            9,
+        ).alias("z_score"),
+    )

@@ -336,3 +336,77 @@ def test_events_survival_km_matches_python_recompute(spark):
     kms = [g[4] for g in got]
     assert all(a >= b for a, b in zip(kms, kms[1:]))
     assert kms[0] < 1.0
+
+
+def test_events_ab_test_report_matches_python_recompute(spark):
+    """Hash-assignment A/A readout recomputed in plain Python; on a
+    null experiment |z| must be small (the assignment is independent
+    of behavior by construction)."""
+    import hashlib
+    import math
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    r = registry.QUERIES["events_ab_test_report"](spark, sf).collect()[0]
+    users = {}
+    for row in (
+        load_tables(spark, sf)["events"]
+        .selectExpr("user_id", "event_type")
+        .collect()
+    ):
+        users[row["user_id"]] = users.get(row["user_id"], 0) or int(
+            row["event_type"] == "purchase"
+        )
+    n_t = c_t = n_c = c_c = 0
+    for u, conv in users.items():
+        if hashlib.md5(f"ab:{u}".encode()).hexdigest() < "8":
+            n_t += 1
+            c_t += conv
+        else:
+            n_c += 1
+            c_c += conv
+    assert (r["n_t"], r["c_t"], r["n_c"], r["c_c"]) == (n_t, c_t, n_c, c_c)
+    p_t, p_c = c_t / n_t, c_c / n_c
+    pooled = (c_t + c_c) / (n_t + n_c)
+    se = math.sqrt(pooled * (1 - pooled) * (1 / n_t + 1 / n_c))
+    z = (p_t - p_c) / se if se else None
+    assert abs(r["lift_abs"] - round(p_t - p_c, 9)) < 1e-9
+    if z is None:
+        # degenerate pooled rate (0 or 1): both sides must agree NULL
+        assert r["z_score"] is None
+    else:
+        assert abs(r["z_score"] - round(z, 9)) < 1e-8
+        assert abs(r["z_score"]) < 4.0  # A/A: no real effect
+
+
+def test_events_ab_test_report_detects_synthetic_effect(spark, tmp_path):
+    """A constructed corpus where hash-assigned treatment users
+    convert far more often must yield a large positive z."""
+    import datetime as dt
+    import hashlib
+
+    from elastic_freight_spark import registry
+
+    registry.load_all()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(400):
+        treated = hashlib.md5(f"ab:{u}".encode()).hexdigest() < "8"
+        rows.append((eid, t0, u, "view", 1.0, "{}")); eid += 1
+        # treatment converts ~80% (u % 5 != 0), control ~20% (u % 5 == 0)
+        if (treated and u % 5 != 0) or (not treated and u % 5 == 0):
+            rows.append((eid, t0, u, "purchase", 1.0, "{}")); eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    r = registry.QUERIES["events_ab_test_report"](spark, sf).collect()[0]
+    assert r["n_t"] + r["n_c"] == 400
+    assert r["cr_treatment"] > 0.7 and r["cr_control"] < 0.3
+    assert r["z_score"] > 5.0
