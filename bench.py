@@ -145,6 +145,7 @@ def main() -> None:
         "part_substitution_candidates",
         "events_survival_km",
         "events_ab_test_report",
+        "graph_modularity",
     ]
 
     # warm up JVM + file listing once (excluded from timings)

@@ -565,3 +565,128 @@ def graph_assortativity(spark, sf_dir):
             9,
         ).alias("assortativity"),
     )
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    nat AS (SELECT s_suppkey, s_nationkey FROM supplier),
+    lab AS (
+      SELECT e.u, e.v, a.s_nationkey AS cu, b.s_nationkey AS cv
+      FROM edges e
+      JOIN nat a ON a.s_suppkey = e.u
+      JOIN nat b ON b.s_suppkey = e.v
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    deg AS (
+      SELECT x, COUNT(*) AS d FROM (
+        SELECT u AS x FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY x
+    ),
+    comm AS (
+      SELECT n.s_nationkey AS c,
+             CAST(SUM(d.d) AS BIGINT) AS d_c
+      FROM deg d JOIN nat n ON n.s_suppkey = d.x
+      GROUP BY 1
+    ),
+    intra AS (
+      SELECT cu AS c, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM lab WHERE cu = cv GROUP BY 1
+    ),
+    terms AS (
+      SELECT comm.c,
+             COALESCE(intra.e_c, 0) AS e_c,
+             comm.d_c
+      FROM comm LEFT JOIN intra ON intra.c = comm.c
+    )
+    SELECT (SELECT m FROM m) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(e_c) AS BIGINT) AS intra_edges,
+           ROUND(SUM(CAST(e_c AS DOUBLE) / (SELECT m FROM m)
+                     - POWER(CAST(d_c AS DOUBLE)
+                             / (2.0 * (SELECT m FROM m)), 2)), 9)
+             AS modularity
+    FROM terms
+    """,
+)
+def graph_modularity(spark, sf_dir):
+    """Newman modularity Q of the NATION partition over the co-supply
+    graph — "do suppliers co-supply within their nation more than a
+    random graph with these degrees would?" (Q = Σ_c [e_c/m −
+    (d_c/2m)²]; positive = national clustering, ~0 = nationality
+    irrelevant — with TPC-H's random part assignment the expected
+    answer, which makes this the null-hypothesis companion to
+    `graph_assortativity`). Every input to the float form is an
+    exact BIGINT (edge counts, intra-community counts, degree
+    volumes), the community frame is |nations|-sized, and the per-
+    community terms sum over 25 rows — integer-exact until the final
+    closed form, computed from bit-identical inputs on both
+    engines. Edge list is the shared cached frame."""
+    edges = cosupply_edges(spark, sf_dir)
+    nat = load_tables(spark, sf_dir)["supplier"].select(
+        "s_suppkey", "s_nationkey"
+    )
+    lab = (
+        edges.join(
+            F.broadcast(
+                nat.select(
+                    F.col("s_suppkey").alias("u"),
+                    F.col("s_nationkey").alias("cu"),
+                )
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("s_suppkey").alias("v"),
+                    F.col("s_nationkey").alias("cv"),
+                )
+            ),
+            "v",
+        )
+    )
+    m_df = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    comm = (
+        deg.join(
+            F.broadcast(nat.select(F.col("s_suppkey").alias("x"), "s_nationkey")),
+            "x",
+        )
+        .groupBy(F.col("s_nationkey").alias("c"))
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    intra = (
+        lab.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    terms = comm.join(intra, "c", "left").select(
+        "c",
+        F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias("e_c"),
+        "d_c",
+    )
+    return (
+        terms.crossJoin(F.broadcast(m_df))
+        .agg(
+            F.max("m").alias("n_edges"),
+            F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+            F.sum("e_c").cast("bigint").alias("intra_edges"),
+            F.round(
+                F.sum(
+                    F.col("e_c").cast("double") / F.col("m")
+                    - F.pow(
+                        F.col("d_c").cast("double") / (2.0 * F.col("m")), 2
+                    )
+                ),
+                9,
+            ).alias("modularity"),
+        )
+        .select("n_edges", "n_communities", "intra_edges", "modularity")
+    )

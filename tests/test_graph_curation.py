@@ -280,3 +280,42 @@ def test_graph_assortativity_matches_numpy_pearson(spark):
     assert row["n_directed_ends"] == 2 * len(edges)
     want = float(np.corrcoef(np.array(xs), np.array(ys))[0, 1])
     assert abs(row["assortativity"] - round(want, 9)) < 1e-8
+
+
+def test_graph_modularity_matches_python_recompute(spark):
+    """Newman modularity of the nation partition recomputed in plain
+    Python from the collected edge list; Q bounded in [-1, 1]."""
+    from collections import Counter
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.graph import cosupply_edges
+    from elastic_freight_spark.session import load_tables
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    r = registry.QUERIES["graph_modularity"](spark, sf).collect()[0]
+    edges = [(e["u"], e["v"]) for e in cosupply_edges(spark, sf).collect()]
+    nat = {
+        s["s_suppkey"]: s["s_nationkey"]
+        for s in load_tables(spark, sf)["supplier"].collect()
+    }
+    m = len(edges)
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    d_c = Counter()
+    for x, d in deg.items():
+        d_c[nat[x]] += d
+    e_c = Counter()
+    for u, v in edges:
+        if nat[u] == nat[v]:
+            e_c[nat[u]] += 1
+    q = sum(
+        e_c.get(c, 0) / m - (dc / (2 * m)) ** 2 for c, dc in d_c.items()
+    )
+    assert r["n_edges"] == m
+    assert r["n_communities"] == len(d_c)
+    assert r["intra_edges"] == sum(e_c.values())
+    assert abs(r["modularity"] - round(q, 9)) < 1e-8
+    assert -1.0 <= r["modularity"] <= 1.0
