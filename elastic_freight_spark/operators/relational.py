@@ -2075,3 +2075,286 @@ def part_substitution_candidates(spark, sf_dir):
         .orderBy(F.col("saving").desc(), "p_partkey")
         .limit(25)
     )
+
+
+@query(
+    "stats_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS priority, c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT priority, segment, n_obs,
+             SUM(n_obs) OVER (PARTITION BY priority) AS row_tot,
+             SUM(n_obs) OVER (PARTITION BY segment) AS col_tot,
+             SUM(n_obs) OVER () AS n
+      FROM obs
+    ),
+    cells AS (
+      SELECT priority, segment, n_obs,
+             CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+               / CAST(n AS DOUBLE) AS expected
+      FROM tot
+    )
+    SELECT priority, segment, n_obs,
+           ROUND(expected, 9) AS expected,
+           ROUND((n_obs - expected) * (n_obs - expected) / expected, 9)
+             AS contrib,
+           ROUND(SUM((n_obs - expected) * (n_obs - expected) / expected)
+                   OVER (), 6) AS chi2_total
+    FROM cells
+    ORDER BY priority, segment
+    """,
+)
+def stats_chi_square_independence(spark, sf_dir):
+    """Chi-square test of independence (order priority x customer
+    market segment): the reference delegates analytics like this to
+    ES `significant_terms`-style endpoints; here the full contingency
+    table, expected counts, and per-cell contributions come from one
+    fact join + one aggregate + window totals — no second pass over
+    the data. Per-cell `expected` and `contrib` are a fixed IEEE
+    expression over exact integer counts, so they are bit-identical
+    across engines; only `chi2_total` sums 25 doubles and is rounded
+    at 6 (the regr_r2 precedent) to absorb summation order."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    obs = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    expected = (
+        F.sum("n_obs").over(W.partitionBy("priority")).cast("double")
+        * F.sum("n_obs").over(W.partitionBy("segment")).cast("double")
+        / F.sum("n_obs").over(W.partitionBy()).cast("double")
+    )
+    cells = obs.withColumn("expected", expected)
+    diff = F.col("n_obs") - F.col("expected")
+    contrib = diff * diff / F.col("expected")
+    return (
+        cells.select(
+            "priority",
+            "segment",
+            "n_obs",
+            F.round("expected", 9).alias("expected"),
+            F.round(contrib, 9).alias("contrib"),
+            F.round(F.sum(contrib).over(W.partitionBy()), 6).alias(
+                "chi2_total"
+            ),
+        )
+        .orderBy("priority", "segment")
+    )
+
+
+@query(
+    "stats_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS s,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(18,4))) AS DOUBLE) AS q
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT flag, n, s / n AS mean,
+             (q - s * s / n) / (n - 1) AS var FROM g
+    ),
+    w AS (
+      SELECT a.n AS n_r, b.n AS n_n,
+             a.mean AS mean_r, b.mean AS mean_n,
+             a.var / a.n AS va, b.var / b.n AS vb
+      FROM m a, m b WHERE a.flag = 'R' AND b.flag = 'N'
+    )
+    SELECT n_r, n_n,
+           ROUND(mean_r, 6) AS mean_r,
+           ROUND(mean_n, 6) AS mean_n,
+           ROUND((mean_r - mean_n) / SQRT(va + vb), 6) AS t_stat,
+           ROUND((va + vb) * (va + vb)
+                 / (va * va / (n_r - 1) + vb * vb / (n_n - 1)), 6)
+             AS welch_df
+    FROM w
+    """,
+)
+def stats_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test (returned vs normal line-item
+    price): per-group n/sum/sum-of-squares in one map-side-combined
+    aggregate — the 100 TB cost is exactly one scan + a 2-row shuffle
+    — then the t statistic and Welch-Satterthwaite df as driver-free
+    scalar expressions. Sums route through DECIMAL (2dp prices, 4dp
+    squares) so the inputs to the float math are exact and identical
+    across engines; the scalar IEEE expression tree is mirrored in
+    the oracle verbatim."""
+    t = load_tables(spark, sf_dir)
+    g = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag").isin("R", "N"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("s"),
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("q"),
+        )
+        .select(
+            "flag",
+            "n",
+            (F.col("s") / F.col("n")).alias("mean"),
+            (
+                (F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("var"),
+        )
+    )
+    a = g.filter(F.col("flag") == "R").select(
+        F.col("n").alias("n_r"),
+        F.col("mean").alias("mean_r"),
+        (F.col("var") / F.col("n")).alias("va"),
+    )
+    b = g.filter(F.col("flag") == "N").select(
+        F.col("n").alias("n_n"),
+        F.col("mean").alias("mean_n"),
+        (F.col("var") / F.col("n")).alias("vb"),
+    )
+    w = a.crossJoin(b)
+    va, vb = F.col("va"), F.col("vb")
+    return w.select(
+        "n_r",
+        "n_n",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_n", 6).alias("mean_n"),
+        F.round(
+            (F.col("mean_r") - F.col("mean_n")) / F.sqrt(va + vb), 6
+        ).alias("t_stat"),
+        F.round(
+            (va + vb) * (va + vb)
+            / (
+                va * va / (F.col("n_r") - 1)
+                + vb * vb / (F.col("n_n") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "stats_corr_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity      AS DECIMAL(18,6))) AS DOUBLE) AS s_q,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s_p,
+        CAST(SUM(CAST(l_discount      AS DECIMAL(18,6))) AS DOUBLE) AS s_d,
+        CAST(SUM(CAST(l_tax           AS DECIMAL(18,6))) AS DOUBLE) AS s_t,
+        CAST(SUM(CAST(l_quantity * l_quantity           AS DECIMAL(18,6))) AS DOUBLE) AS s_qq,
+        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s_pp,
+        CAST(SUM(CAST(l_discount * l_discount           AS DECIMAL(18,6))) AS DOUBLE) AS s_dd,
+        CAST(SUM(CAST(l_tax * l_tax                     AS DECIMAL(18,6))) AS DOUBLE) AS s_tt,
+        CAST(SUM(CAST(l_quantity * l_extendedprice      AS DECIMAL(18,6))) AS DOUBLE) AS s_qp,
+        CAST(SUM(CAST(l_quantity * l_discount           AS DECIMAL(18,6))) AS DOUBLE) AS s_qd,
+        CAST(SUM(CAST(l_quantity * l_tax                AS DECIMAL(18,6))) AS DOUBLE) AS s_qt,
+        CAST(SUM(CAST(l_extendedprice * l_discount      AS DECIMAL(18,6))) AS DOUBLE) AS s_pd,
+        CAST(SUM(CAST(l_extendedprice * l_tax           AS DECIMAL(18,6))) AS DOUBLE) AS s_pt,
+        CAST(SUM(CAST(l_discount * l_tax                AS DECIMAL(18,6))) AS DOUBLE) AS s_dt
+      FROM lineitem
+    )
+    SELECT var_x, var_y, corr FROM (
+      SELECT 'discount' AS var_x, 'extendedprice' AS var_y,
+        ROUND((n*s_pd - s_p*s_d)
+          / (SQRT(n*s_dd - s_d*s_d) * SQRT(n*s_pp - s_p*s_p)), 9) AS corr
+      FROM s
+      UNION ALL SELECT 'discount', 'quantity',
+        ROUND((n*s_qd - s_q*s_d)
+          / (SQRT(n*s_dd - s_d*s_d) * SQRT(n*s_qq - s_q*s_q)), 9) FROM s
+      UNION ALL SELECT 'discount', 'tax',
+        ROUND((n*s_dt - s_d*s_t)
+          / (SQRT(n*s_dd - s_d*s_d) * SQRT(n*s_tt - s_t*s_t)), 9) FROM s
+      UNION ALL SELECT 'extendedprice', 'quantity',
+        ROUND((n*s_qp - s_q*s_p)
+          / (SQRT(n*s_pp - s_p*s_p) * SQRT(n*s_qq - s_q*s_q)), 9) FROM s
+      UNION ALL SELECT 'extendedprice', 'tax',
+        ROUND((n*s_pt - s_p*s_t)
+          / (SQRT(n*s_pp - s_p*s_p) * SQRT(n*s_tt - s_t*s_t)), 9) FROM s
+      UNION ALL SELECT 'quantity', 'tax',
+        ROUND((n*s_qt - s_q*s_t)
+          / (SQRT(n*s_qq - s_q*s_q) * SQRT(n*s_tt - s_t*s_t)), 9) FROM s
+    ) ORDER BY var_x, var_y
+    """,
+)
+def stats_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the four lineitem
+    measures in ONE pass: all 14 moment sums (4 sums, 4 squares, 6
+    cross-products) are exact DECIMAL aggregates computed in a single
+    map-side-combined scan — the classic one-pass corr-matrix trick —
+    then each coefficient is a fixed IEEE expression over those exact
+    inputs, mirrored verbatim in the oracle. At 100 TB this is one
+    scan and a 1-row shuffle regardless of how many measure pairs are
+    requested; built-in `corr()` would cost the same scan but its
+    float partials are summation-order-dependent across engines,
+    which is why the moments route through DECIMAL."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    cols = {
+        "q": F.col("l_quantity"),
+        "p": F.col("l_extendedprice"),
+        "d": F.col("l_discount"),
+        "t": F.col("l_tax"),
+    }
+    names = {"q": "quantity", "p": "extendedprice", "d": "discount", "t": "tax"}
+
+    def dec_sum(expr, alias):
+        return F.sum(expr.cast("decimal(18,6)")).cast("double").alias(alias)
+
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [dec_sum(c, f"s_{k}") for k, c in cols.items()]
+    aggs += [dec_sum(c * c, f"s_{k}{k}") for k, c in cols.items()]
+    pairs = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+    aggs += [dec_sum(cols[a] * cols[b], f"s_{a}{b}") for a, b in pairs]
+    s = li.agg(*aggs)
+
+    n = F.col("n")
+
+    # build the 6 pair rows; var_x/var_y in lexicographic order
+    out = []
+    for a, b in pairs:
+        sxy = F.col(f"s_{a}{b}")
+        sa, sb = F.col(f"s_{a}"), F.col(f"s_{b}")
+        saa, sbb = F.col(f"s_{a}{a}"), F.col(f"s_{b}{b}")
+        x, y = sorted([names[a], names[b]])
+        # keep the numerator orientation identical to the oracle:
+        # (n*sxy - sx*sy) with x=the lexicographically-first variable
+        if x == names[a]:
+            num = n * sxy - sa * sb
+            den = F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        else:
+            num = n * sxy - sb * sa
+            den = F.sqrt(n * sbb - sb * sb) * F.sqrt(n * saa - sa * sa)
+        out.append(
+            s.select(
+                F.lit(x).alias("var_x"),
+                F.lit(y).alias("var_y"),
+                F.round(num / den, 9).alias("corr"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("var_x", "var_y")

@@ -1870,3 +1870,151 @@ def events_ab_test_report(spark, sf_dir):
             9,
         ).alias("z_score"),
     )
+
+
+def _acf_term_sql(lag: int) -> str:
+    """One output row of the ACF oracle: a fixed IEEE expression over
+    the exact integer moment sums (shared between the 7 UNION ALL
+    arms so Spark and DuckDB evaluate identical scalar trees)."""
+    l = lag
+    return f"""
+      SELECT {l} AS lag, CAST(m{l} AS BIGINT) AS n_pairs,
+        ROUND((n * n * p{l} - n * s * (h{l} + t{l}) + (n - {l}) * s * s)
+              / (n * (n * q - s * s)), 9) AS acf
+      FROM moments"""
+
+
+@query(
+    "t_autocorrelation_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS lo,
+             CAST(date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS DATE) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    counts AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    series AS (
+      SELECT CAST(s.day AS DATE) AS day, COALESCE(c.x, 0) AS x
+      FROM spine s LEFT JOIN counts c ON CAST(s.day AS DATE) = c.day
+    ),
+    led AS (
+      SELECT x,
+             LEAD(x, 1) OVER (ORDER BY day) AS y1,
+             LEAD(x, 2) OVER (ORDER BY day) AS y2,
+             LEAD(x, 3) OVER (ORDER BY day) AS y3,
+             LEAD(x, 4) OVER (ORDER BY day) AS y4,
+             LEAD(x, 5) OVER (ORDER BY day) AS y5,
+             LEAD(x, 6) OVER (ORDER BY day) AS y6,
+             LEAD(x, 7) OVER (ORDER BY day) AS y7
+      FROM series
+    ),
+    moments AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS s,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DOUBLE) AS q,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y1 AS DECIMAL(19,0))) AS DOUBLE) AS p1,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y2 AS DECIMAL(19,0))) AS DOUBLE) AS p2,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y3 AS DECIMAL(19,0))) AS DOUBLE) AS p3,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y4 AS DECIMAL(19,0))) AS DOUBLE) AS p4,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y5 AS DECIMAL(19,0))) AS DOUBLE) AS p5,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y6 AS DECIMAL(19,0))) AS DOUBLE) AS p6,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y7 AS DECIMAL(19,0))) AS DOUBLE) AS p7,
+             CAST(SUM(CASE WHEN y1 IS NOT NULL THEN x END) AS DOUBLE) AS h1,
+             CAST(SUM(CASE WHEN y2 IS NOT NULL THEN x END) AS DOUBLE) AS h2,
+             CAST(SUM(CASE WHEN y3 IS NOT NULL THEN x END) AS DOUBLE) AS h3,
+             CAST(SUM(CASE WHEN y4 IS NOT NULL THEN x END) AS DOUBLE) AS h4,
+             CAST(SUM(CASE WHEN y5 IS NOT NULL THEN x END) AS DOUBLE) AS h5,
+             CAST(SUM(CASE WHEN y6 IS NOT NULL THEN x END) AS DOUBLE) AS h6,
+             CAST(SUM(CASE WHEN y7 IS NOT NULL THEN x END) AS DOUBLE) AS h7,
+             CAST(SUM(y1) AS DOUBLE) AS t1, CAST(SUM(y2) AS DOUBLE) AS t2,
+             CAST(SUM(y3) AS DOUBLE) AS t3, CAST(SUM(y4) AS DOUBLE) AS t4,
+             CAST(SUM(y5) AS DOUBLE) AS t5, CAST(SUM(y6) AS DOUBLE) AS t6,
+             CAST(SUM(y7) AS DOUBLE) AS t7,
+             CAST(COUNT(y1) AS BIGINT) AS m1, CAST(COUNT(y2) AS BIGINT) AS m2,
+             CAST(COUNT(y3) AS BIGINT) AS m3, CAST(COUNT(y4) AS BIGINT) AS m4,
+             CAST(COUNT(y5) AS BIGINT) AS m5, CAST(COUNT(y6) AS BIGINT) AS m6,
+             CAST(COUNT(y7) AS BIGINT) AS m7
+      FROM led
+    )
+    SELECT lag, n_pairs, acf FROM (
+    """
+    + "\n      UNION ALL".join(_acf_term_sql(l) for l in range(1, 8))
+    + """
+    ) ORDER BY lag
+    """,
+)
+def t_autocorrelation_daily(spark, sf_dir):
+    """Sample autocorrelation (lags 1-7) of the daily event-count
+    series, zero-filled over the calendar spine. The series itself is
+    calendar-bounded (one row per day — thousands of rows at ANY data
+    scale), so the single-partition ordered window over it is safe by
+    construction; the data-sized work is exactly one groupBy-day scan
+    of events. ACF_l is expanded algebraically to integer moment sums
+    (n² Σxy − nS(H+T) + (n−l)S²) / (n(nΣx² − S²)) so every input to
+    the float math is exact (cross-products through DECIMAL(19,0)²,
+    immune to count overflow at 100 TB) and the scalar IEEE tree is
+    mirrored verbatim in the oracle — full-series mean, the
+    statsmodels convention."""
+    from pyspark.sql import Window as W
+
+    events = load_tables(spark, sf_dir)["events"]
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("lo"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    counts = events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    series = spine.join(counts, "day", "left").select(
+        "day", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    w = W.orderBy("day")
+    led = series.select(
+        "x", *[F.lead("x", l).over(w).alias(f"y{l}") for l in range(1, 8)]
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("s"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("q"),
+    ]
+    for l in range(1, 8):
+        aggs += [
+            F.sum(dec("x") * dec(f"y{l}")).cast("double").alias(f"p{l}"),
+            F.sum(F.when(F.col(f"y{l}").isNotNull(), F.col("x")))
+            .cast("double")
+            .alias(f"h{l}"),
+            F.sum(f"y{l}").cast("double").alias(f"t{l}"),
+            F.count(f"y{l}").cast("bigint").alias(f"m{l}"),
+        ]
+    m = led.agg(*aggs)
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    rows = []
+    for l in range(1, 8):
+        p, h, t_, cnt = (F.col(f"p{l}"), F.col(f"h{l}"), F.col(f"t{l}"),
+                         F.col(f"m{l}"))
+        acf = (n * n * p - n * s * (h + t_) + (n - l) * s * s) / (
+            n * (n * q - s * s)
+        )
+        rows.append(
+            m.select(
+                F.lit(l).alias("lag"),
+                cnt.alias("n_pairs"),
+                F.round(acf, 9).alias("acf"),
+            )
+        )
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionAll(r)
+    return res.orderBy("lag")

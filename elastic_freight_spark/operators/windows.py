@@ -553,3 +553,53 @@ def w_sliding_distinct_users(spark, sf_dir):
         .select(F.col("day").cast("string").alias("day"), "users_7d")
         .orderBy("day")
     )
+
+
+@query(
+    "w_rolling_median_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+           median(n_events) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS med7
+    FROM daily
+    ORDER BY event_type, day
+    """,
+)
+def w_rolling_median_daily(spark, sf_dir):
+    """Exact trailing-7-day rolling MEDIAN of per-type daily event
+    counts — the robust-smoothing twin of `w_moving_avg_events`
+    (means hide spikes; medians don't). Spark has no `median` window
+    function; the exact `percentile(x, 0.5)` aggregate runs as a
+    window over the rows frame instead. Both engines interpolate an
+    even frame as the midpoint of the two middle values, and a
+    midpoint of two BIGINTs is exactly representable, so no rounding
+    is needed. The windowed series is one row per (type, day) —
+    calendar-bounded, never data-sized — while the data-sized work is
+    the single groupBy scan."""
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return (
+        daily.select(
+            "event_type",
+            date_str("day", "day"),
+            "n_events",
+            F.expr("percentile(n_events, 0.5)").over(w).alias("med7"),
+        )
+        .orderBy("event_type", "day")
+    )

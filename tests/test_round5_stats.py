@@ -1,0 +1,140 @@
+"""Round-5 statistics tier: semantic pins recomputed in plain Python
+(the oracle parity is checked by tools/drive_contract.py; these tests
+pin that the FORMULAS are the standard ones, not just engine-equal)."""
+import math
+
+from elastic_freight_spark import registry
+from elastic_freight_spark.session import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name, sf=SF):
+    registry.load_all()
+    return registry.QUERIES[name](spark, sf)
+
+
+def test_chi_square_matches_python_recompute(spark):
+    rows = _q(spark, "stats_chi_square_independence").collect()
+    obs = {(r["priority"], r["segment"]): r["n_obs"] for r in rows}
+    n = sum(obs.values())
+    rtot = {}
+    ctot = {}
+    for (p, s), v in obs.items():
+        rtot[p] = rtot.get(p, 0) + v
+        ctot[s] = ctot.get(s, 0) + v
+    chi2 = 0.0
+    for (p, s), v in obs.items():
+        exp = rtot[p] * ctot[s] / n
+        chi2 += (v - exp) ** 2 / exp
+    for r in rows:
+        exp = rtot[r["priority"]] * ctot[r["segment"]] / n
+        assert abs(r["expected"] - exp) < 1e-6
+        assert abs(r["contrib"] - (r["n_obs"] - exp) ** 2 / exp) < 1e-6
+        assert abs(r["chi2_total"] - chi2) < 1e-4
+    # independence by construction in the generator: chi2 should not
+    # be astronomically large relative to df=(R-1)(C-1)
+    df = (len(rtot) - 1) * (len(ctot) - 1)
+    assert df > 0 and chi2 < 50 * df
+
+
+def test_welch_ttest_matches_python_recompute(spark):
+    r = _q(spark, "stats_welch_ttest").collect()[0]
+    li = load_tables(spark, SF)["lineitem"]
+    vals = {"R": [], "N": []}
+    for row in li.select("l_returnflag", "l_extendedprice").collect():
+        if row["l_returnflag"] in vals:
+            vals[row["l_returnflag"]].append(row["l_extendedprice"])
+    xr, xn = vals["R"], vals["N"]
+    mr, mn = sum(xr) / len(xr), sum(xn) / len(xn)
+    vr = sum((v - mr) ** 2 for v in xr) / (len(xr) - 1)
+    vn = sum((v - mn) ** 2 for v in xn) / (len(xn) - 1)
+    va, vb = vr / len(xr), vn / len(xn)
+    t = (mr - mn) / math.sqrt(va + vb)
+    df = (va + vb) ** 2 / (va * va / (len(xr) - 1) + vb * vb / (len(xn) - 1))
+    assert (r["n_r"], r["n_n"]) == (len(xr), len(xn))
+    assert abs(r["mean_r"] - mr) < 1e-3
+    assert abs(r["t_stat"] - t) < 1e-4
+    assert abs(r["welch_df"] - df) < max(1e-3 * df, 1e-3)
+    # same-distribution groups: t should be unremarkable
+    assert abs(r["t_stat"]) < 6
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    rows = _q(spark, "stats_corr_matrix").collect()
+    li = load_tables(spark, SF)["lineitem"]
+    pdf = li.select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).toPandas()
+    name_to_col = {
+        "quantity": "l_quantity",
+        "extendedprice": "l_extendedprice",
+        "discount": "l_discount",
+        "tax": "l_tax",
+    }
+    assert len(rows) == 6
+    for r in rows:
+        expect = np.corrcoef(
+            pdf[name_to_col[r["var_x"]]], pdf[name_to_col[r["var_y"]]]
+        )[0, 1]
+        assert abs(r["corr"] - expect) < 1e-7, (r, expect)
+    # independent uniform generator columns: all |corr| small
+    assert all(abs(r["corr"]) < 0.2 for r in rows)
+
+
+def test_autocorrelation_matches_python_recompute(spark):
+    import datetime as dt
+
+    rows = _q(spark, "t_autocorrelation_daily").collect()
+    events = load_tables(spark, SF)["events"]
+    days = {}
+    for row in events.selectExpr(
+        "cast(date_trunc('day', ts) as date) AS d"
+    ).collect():
+        days[row["d"]] = days.get(row["d"], 0) + 1
+    lo, hi = min(days), max(days)
+    x = []
+    d = lo
+    while d <= hi:
+        x.append(days.get(d, 0))
+        d += dt.timedelta(days=1)
+    n = len(x)
+    mu = sum(x) / n
+    den = sum((v - mu) ** 2 for v in x)
+    assert len(rows) == 7
+    for r in rows:
+        l = r["lag"]
+        num = sum((x[t] - mu) * (x[t + l] - mu) for t in range(n - l))
+        assert r["n_pairs"] == n - l
+        assert abs(r["acf"] - num / den) < 1e-7, (l, r["acf"], num / den)
+
+
+def test_rolling_median_synthetic(spark, tmp_path):
+    import datetime as dt
+
+    registry.load_all()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # one event type, counts 1..10 over 10 days (i events on day i)
+    for day in range(1, 11):
+        for _ in range(day):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day - 1), 7, "click", 1.0, "{}")
+            )
+            eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    out = registry.QUERIES["w_rolling_median_daily"](spark, sf).collect()
+    # trailing-7 median of 1..10 on day d is median(max(1,d-6)..d)
+    meds = {r["day"]: r["med7"] for r in out}
+    assert meds["2024-01-01"] == 1.0
+    assert meds["2024-01-02"] == 1.5
+    assert meds["2024-01-07"] == 4.0   # median(1..7)
+    assert meds["2024-01-10"] == 7.0   # median(4..10)
