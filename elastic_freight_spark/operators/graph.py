@@ -690,3 +690,86 @@ def graph_modularity(spark, sf_dir):
         )
         .select("n_edges", "n_communities", "intra_edges", "modularity")
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    tri AS (
+      SELECT w.a, w.b, w.c
+      FROM (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM edges e1 JOIN edges e2 ON e1.v = e2.u) w
+      JOIN edges e3 ON e3.u = w.a AND e3.v = w.c
+    ),
+    tri_per_node AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS x FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY x
+    ),
+    deg AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT u AS x FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY x
+    )
+    SELECT x AS suppkey, degree, n_tri,
+           ROUND(CASE WHEN degree >= 2
+                 THEN 2.0 * n_tri / (degree * (degree - 1))
+                 ELSE 0.0 END, 9) AS lcc
+    FROM (
+      SELECT d.x, d.degree, COALESCE(t.n_tri, 0) AS n_tri
+      FROM deg d LEFT JOIN tri_per_node t ON t.x = d.x
+    )
+    ORDER BY lcc DESC, suppkey
+    LIMIT 25
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per supplier (top-25): how close
+    each node's neighborhood is to a clique — the node-level
+    transitivity signal procurement risk analysis reads as "my
+    substitutes are substitutes of each other" (single-point-of-
+    failure detection). Reuses the census triangle enumeration (each
+    a<b<c triangle credits all three vertices) and the degree
+    aggregate over the SAME cached edge list — wedge fan-out stays
+    k²-bounded per node, so the whole query is node-linear at 100 TB.
+    lcc = 2t/(d(d-1)) is a fixed IEEE expression on integers (zeroed
+    below d=2), deterministically tie-broken on suppkey."""
+    edges = cosupply_edges(spark, sf_dir)
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+    )
+    tri_per_node = (
+        tri.select(F.col("a").alias("x"))
+        .unionAll(tri.select(F.col("b").alias("x")))
+        .unionAll(tri.select(F.col("c").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    joined = deg.join(tri_per_node, "x", "left").select(
+        F.col("x").alias("suppkey"),
+        "degree",
+        F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+    )
+    lcc = F.when(
+        F.col("degree") >= 2,
+        2.0 * F.col("n_tri") / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(0.0)
+    return (
+        joined.select(
+            "suppkey", "degree", "n_tri", F.round(lcc, 9).alias("lcc")
+        )
+        .orderBy(F.col("lcc").desc(), "suppkey")
+        .limit(25)
+    )

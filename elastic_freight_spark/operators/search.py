@@ -952,3 +952,112 @@ def search_bool_query(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
+
+
+@query(
+    "search_rrf_fusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text),' ')) AS token
+      FROM documents
+    ), postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY 1, 2
+    ), doc_len AS (
+      SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1
+    ), avgdl AS (SELECT AVG(dl) AS avgdl FROM doc_len),
+    hits AS (
+      SELECT p.token, p.doc_id, p.tf,
+             (p.tf * (1.2 + 1))
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS bscore
+      FROM postings p JOIN doc_len USING (doc_id) CROSS JOIN avgdl
+      WHERE p.token IN ('data', 'hash', 'join', 'table')
+    ),
+    ranked AS (
+      SELECT token, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY token
+                                ORDER BY tf DESC, doc_id) AS rank_tf,
+             ROW_NUMBER() OVER (PARTITION BY token
+                                ORDER BY bscore DESC, doc_id) AS rank_bm25
+      FROM hits
+    ),
+    fused AS (
+      SELECT token, doc_id, rank_tf, rank_bm25,
+             1.0 / (60 + rank_tf) + 1.0 / (60 + rank_bm25) AS rrf
+      FROM ranked
+    )
+    SELECT token, doc_id, rank_tf, rank_bm25, ROUND(rrf, 9) AS rrf,
+           CAST(fused_rank AS INT) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY token
+                                   ORDER BY rrf DESC, doc_id) AS fused_rank
+      FROM fused
+    )
+    WHERE fused_rank <= 5
+    ORDER BY token, fused_rank
+    """,
+)
+def search_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (k=60, the Cormack/Clarke constant) of
+    the raw-tf and BM25 rankings per query term — the standard way ES
+    8 combines lexical and secondary scorers without score
+    calibration. Both input rankings are integer row_numbers with
+    doc_id tie-breaks, so the only float is 1/(60+r1) + 1/(60+r2) —
+    a 3-flop fixed IEEE expression, bit-identical across engines;
+    ties in the fused score (symmetric rank pairs) break on doc_id.
+    Runs on the session-cached postings: candidate sets are the
+    4-term postings slice, three same-partition windows, output is
+    (terms x 5) rows."""
+    from pyspark.sql import Window as W
+
+    postings, doc_len = indexed_postings(spark, sf_dir)
+    avgdl_df = doc_len.agg(F.avg("dl").alias("avgdl"))
+    k1, b = 1.2, 0.75
+    hits = (
+        postings.filter(F.col("token").isin(*AGREEMENT_TERMS))
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
+        .select(
+            "token",
+            "doc_id",
+            "tf",
+            (
+                (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("bscore"),
+        )
+    )
+    ranked = hits.select(
+        "token",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("token").orderBy(F.col("tf").desc(), "doc_id"))
+        .alias("rank_tf"),
+        F.row_number()
+        .over(
+            W.partitionBy("token").orderBy(F.col("bscore").desc(), "doc_id")
+        )
+        .alias("rank_bm25"),
+    )
+    fused = ranked.withColumn(
+        "rrf",
+        F.lit(1.0) / (60 + F.col("rank_tf"))
+        + F.lit(1.0) / (60 + F.col("rank_bm25")),
+    )
+    wf = W.partitionBy("token").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "token",
+            "doc_id",
+            "rank_tf",
+            "rank_bm25",
+            F.round("rrf", 9).alias("rrf"),
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+        .orderBy("token", "fused_rank")
+    )

@@ -2889,3 +2889,82 @@ def bpe_merge_pairs(spark, sf_dir):
         .filter(F.col("rk") <= BPE_PAIR_TOPK)
         .select("pair", F.col("n_occurrences").cast("bigint").alias("n_occurrences"))
     )
+
+
+@query(
+    "text_oov_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    st AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok WHERE token <> '' GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token,
+               ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, token) AS rk
+        FROM st GROUP BY token
+      ) WHERE rk <= 500
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN n ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(SUM(CASE WHEN v.token IS NULL THEN n ELSE 0 END)
+                 / CAST(SUM(n) AS DOUBLE), 9) AS oov_rate
+    FROM st LEFT JOIN vocab v ON st.token = v.token
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per source against the corpus top-500
+    token vocabulary — the tokenizer-coverage signal a training
+    pipeline reads before committing a vocab budget (a source with
+    high OOV either needs vocab room or gets shredded into bytes).
+    Plan shape for 100 TB: tokens collapse to per-(source, token)
+    counts at the map side BEFORE any join (the explode never crosses
+    a shuffle raw), the vocabulary is a 500-row broadcast built from
+    the same compacted frame, and the final aggregate is
+    sources-sized. Vocabulary selection is deterministic: total count
+    desc, token asc."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    st = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = (
+        st.groupBy("token")
+        .agg(F.sum("n").alias("tot"))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.col("tot").desc(), "token")),
+        )
+        .filter(F.col("rk") <= 500)
+        .select("token")
+    )
+    joined = st.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "token", "left"
+    )
+    oov_n = F.sum(
+        F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(0)
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            oov_n.cast("bigint").alias("n_oov"),
+            F.round(oov_n / F.sum("n").cast("double"), 9).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

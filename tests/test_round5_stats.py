@@ -138,3 +138,57 @@ def test_rolling_median_synthetic(spark, tmp_path):
     assert meds["2024-01-02"] == 1.5
     assert meds["2024-01-07"] == 4.0   # median(1..7)
     assert meds["2024-01-10"] == 7.0   # median(4..10)
+
+
+def test_rrf_fusion_consistency(spark):
+    rows = _q(spark, "search_rrf_fusion", "/root/testdata/sf0.01").collect()
+    by_tok = {}
+    for r in rows:
+        by_tok.setdefault(r["token"], []).append(r)
+    for tok, rs in by_tok.items():
+        rs.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) == 5
+        for r in rs:
+            expect = 1.0 / (60 + r["rank_tf"]) + 1.0 / (60 + r["rank_bm25"])
+            assert abs(r["rrf"] - expect) < 1e-9
+        # fused score non-increasing down the fused ranking
+        assert all(
+            rs[i]["rrf"] >= rs[i + 1]["rrf"] - 1e-12
+            for i in range(len(rs) - 1)
+        )
+
+
+def test_clustering_coefficient_formula_and_range(spark):
+    rows = _q(spark, "graph_clustering_coefficient").collect()
+    assert rows
+    for r in rows:
+        d, t = r["degree"], r["n_tri"]
+        expect = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        assert abs(r["lcc"] - expect) < 1e-9
+        assert 0.0 <= r["lcc"] <= 1.0 + 1e-9
+        # a node cannot have more triangles than wedges
+        assert t <= d * (d - 1) // 2
+
+
+def test_oov_rate_matches_python_recompute(spark):
+    rows = _q(spark, "text_oov_rate").collect()
+    docs = load_tables(spark, SF)["documents"]
+    counts = {}
+    per_source = {}
+    for row in docs.select("source", "text").collect():
+        for tok in row["text"].lower().split(" "):
+            if not tok:
+                continue
+            counts[tok] = counts.get(tok, 0) + 1
+            s = per_source.setdefault(row["source"], {})
+            s[tok] = s.get(tok, 0) + 1
+    vocab = set(
+        t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:500]
+    )
+    for r in rows:
+        s = per_source[r["source"]]
+        tot = sum(s.values())
+        oov = sum(n for t, n in s.items() if t not in vocab)
+        assert (r["n_tokens"], r["n_oov"]) == (tot, oov)
+        assert abs(r["oov_rate"] - oov / tot) < 1e-9
