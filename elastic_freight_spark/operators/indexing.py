@@ -526,10 +526,10 @@ def shard_balance_report(spark, sf_dir):
     )
 
 
-@query(
-    "index_scd2_history",
-    oracle="""
-    WITH changes AS (
+# Shared SCD2 version-interval definition (spliced after WITH in both
+# scd2 oracles) — ONE fragment so the history builder and the
+# point-in-time lookup can never desynchronize on what a "version" is.
+_SCD2_VERSIONS_SQL = """changes AS (
       SELECT user_id, event_id, ts, event_type,
              LAG(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -541,7 +541,30 @@ def shard_balance_report(spark, sf_dir):
                PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
       FROM changes
       WHERE prev_type IS NULL OR event_type <> prev_type
+    )"""
+
+
+def scd2_versions(spark, sf_dir):
+    """Spark twin of _SCD2_VERSIONS_SQL: the user state-change
+    version frame both scd2 queries are built from."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(wo))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .withColumn("next_ts", F.lead("ts").over(wo))
     )
+
+
+@query(
+    "index_scd2_history",
+    oracle=f"""
+    WITH {_SCD2_VERSIONS_SQL}
     SELECT user_id,
            event_type AS state,
            CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
@@ -566,18 +589,7 @@ def index_scd2_history(spark, sf_dir):
     ``valid_from_us <= t < COALESCE(valid_to_us, +inf)``. At scale
     the change-row frame is change-sized, not event-sized — the only
     event-sized work is the first window pass."""
-    from pyspark.sql import Window as W
-
-    ev = load_tables(spark, sf_dir)["events"]
-    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = ev.withColumn(
-        "prev_type", F.lag("event_type").over(wo)
-    ).filter(
-        F.col("prev_type").isNull()
-        | (F.col("event_type") != F.col("prev_type"))
-    )
-    wv = W.partitionBy("user_id").orderBy("ts", "event_id")
-    versions = changes.withColumn("next_ts", F.lead("ts").over(wv))
+    versions = scd2_versions(spark, sf_dir)
     return versions.select(
         "user_id",
         F.col("event_type").alias("state"),
@@ -587,3 +599,77 @@ def index_scd2_history(spark, sf_dir):
             "is_current"
         ),
     ).orderBy("user_id", "valid_from_us")
+
+
+@query(
+    "scd2_asof_lookup",
+    oracle=f"""
+    WITH {_SCD2_VERSIONS_SQL},
+    bounds AS (
+      SELECT CAST(epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS BIGINT) AS lo,
+             CAST(epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS BIGINT) AS hi
+      FROM events
+    ),
+    probes AS (
+      SELECT k, lo + (hi - lo) * k // 4 AS probe_us
+      FROM bounds, (SELECT unnest([1, 2, 3]) AS k)
+    )
+    SELECT CAST(p.k AS INT) AS probe_k, p.probe_us,
+           v.event_type AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM probes p
+    JOIN versions v
+      ON CAST(epoch_us(v.ts) AS BIGINT) <= p.probe_us
+     AND (v.next_ts IS NULL
+          OR CAST(epoch_us(v.next_ts) AS BIGINT) > p.probe_us)
+    GROUP BY 1, 2, 3
+    ORDER BY probe_k, state
+    """,
+)
+def scd2_asof_lookup(spark, sf_dir):
+    """Point-in-time state census over the SCD2 history — the
+    feature-store PIT read: "how many users were in each state at
+    time t" for the three quartile instants of the event-time range.
+    Shares the version-interval definition with `index_scd2_history`
+    via ONE fragment (`_SCD2_VERSIONS_SQL` / `scd2_versions`), so the
+    lookup can never disagree with the history it reads. Probe times
+    are integer-microsecond arithmetic (lo + (hi−lo)·k div 4) per the
+    thresholds-as-integers discipline; the interval predicate is a
+    3-row broadcast against the change-sized version frame, and each
+    user matches at most one version per probe by construction
+    (intervals partition the timeline), so n_users is a plain
+    count."""
+    versions = scd2_versions(spark, sf_dir)
+    ev = load_tables(spark, sf_dir)["events"]
+    bounds = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    )
+    probes = bounds.select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        "lo",
+        "hi",
+    ).select(
+        "k",
+        # integer `div`, not double /: exact past 2^53 microseconds
+        F.expr("lo + (hi - lo) * k div 4").cast("bigint").alias("probe_us"),
+    )
+    v = versions.select(
+        "event_type",
+        F.unix_micros("ts").alias("from_us"),
+        F.unix_micros("next_ts").alias("to_us"),
+    )
+    joined = F.broadcast(probes).join(
+        v,
+        (F.col("from_us") <= F.col("probe_us"))
+        & (F.col("to_us").isNull() | (F.col("to_us") > F.col("probe_us"))),
+    )
+    return (
+        joined.groupBy(
+            F.col("k").cast("int").alias("probe_k"),
+            "probe_us",
+            F.col("event_type").alias("state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("probe_k", "state")
+    )

@@ -2140,3 +2140,204 @@ def embedding_variance_profile(spark, sf_dir):
         )
         .orderBy("dim")
     )
+
+
+def _mmr_oracle(k: int = 5, n_cand: int = 20, lam: str = "0.7") -> str:
+    """Unrolled greedy-MMR oracle: selection step i is a repeated CTE
+    block (max-sim-to-selected → argmax of the MMR score), so both
+    engines evaluate the identical fixed-depth plan."""
+    dot_qc = _SQL_DOT.format(a="q.embedding", b="c.embedding")
+    dot_ab = _SQL_DOT.format(a="a.vec", b="b.vec")
+    steps = []
+    for i in range(2, k + 1):
+        prev = "sel1" if i == 2 else f"sel{i-1}"
+        steps.append(f"""
+    ms{i} AS (
+      SELECT s.query_id, s.ca AS cid, MAX(s.sim) AS maxsim
+      FROM sims s JOIN {prev} p
+        ON p.query_id = s.query_id AND p.cid = s.cb
+      GROUP BY 1, 2
+    ),
+    pick{i} AS (
+      SELECT query_id, cid, rel, {i} AS pick_rank, mmr FROM (
+        SELECT c.query_id, c.cid, c.rel,
+               {lam} * c.rel - (1 - {lam}) * m.maxsim AS mmr,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY {lam} * c.rel - (1 - {lam}) * m.maxsim DESC, c.cid
+               ) AS rn2
+        FROM cand c
+        JOIN ms{i} m ON m.query_id = c.query_id AND m.cid = c.cid
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} p
+                          WHERE p.query_id = c.query_id AND p.cid = c.cid)
+      ) WHERE rn2 = 1
+    ),
+    sel{i} AS (SELECT * FROM {prev} UNION ALL
+               SELECT query_id, cid, rel, pick_rank, mmr FROM pick{i})""")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {_SQL_NORM.format(a='embedding')} AS norm
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    c AS (SELECT * FROM e WHERE vec_id >= 10),
+    cand AS (
+      SELECT query_id, cid, rel, vec, norm, rn FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cid,
+               {dot_qc} / (q.norm * c.norm) AS rel,
+               c.embedding AS vec, c.norm AS norm,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {dot_qc} / (q.norm * c.norm) DESC, c.vec_id
+               ) AS rn
+        FROM q, c
+      ) WHERE rn <= {n_cand}
+    ),
+    sims AS (
+      SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+             {dot_ab} / (a.norm * b.norm) AS sim
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.cid <> b.cid
+    ),
+    sel1 AS (
+      SELECT query_id, cid, rel, 1 AS pick_rank, {lam} * rel AS mmr
+      FROM cand WHERE rn = 1
+    ),{','.join(steps)}
+    SELECT query_id, CAST(pick_rank AS INT) AS pick_rank,
+           cid AS neighbor_id,
+           ROUND(rel, 9) AS cosine, ROUND(mmr, 9) AS mmr
+    FROM sel{k}
+    ORDER BY query_id, pick_rank
+    """
+
+
+@query("vector_mmr_diversify", oracle=_mmr_oracle())
+def vector_mmr_diversify(spark, sf_dir, k: int = 5, n_cand: int = 20):
+    """Maximal-marginal-relevance re-ranking (Carbonell-Goldstein,
+    λ=0.7): pick 5 diverse neighbors per query from its top-20 cosine
+    candidates — the de-duplicating re-rank layer retrieval systems
+    put on top of plain k-NN so near-identical hits don't crowd the
+    result page. Greedy selection is unrolled to a FIXED depth (k−1
+    joins over the per-query candidate set), never a data-sized loop:
+    candidate lists are 20 rows per query by construction, pairwise
+    candidate sims are ≤ 20²·|Q| rows, and every step's work is
+    candidates-sized regardless of corpus scale — the corpus is
+    touched exactly once, by the relevance scan. All comparisons run
+    on raw doubles computed by the same portable fold both engines
+    use (knn_bruteforce_cosine's hash-green dot), with cid
+    tie-breaks; rounding only at the output edge."""
+    from pyspark.sql import Window as W
+
+    lam = 0.7
+    e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    rel = (
+        F.expr(_DOT.format(a="qvec", b="cvec"))
+        / (F.col("qnorm") * F.col("cnorm"))
+    )
+    wq = W.partitionBy("query_id")
+    # rank ids WITHOUT the vector payload (the window would otherwise
+    # sort-shuffle a 64-double array per scored pair — the knn plan's
+    # lesson), then re-join vectors for just the selected 20/query.
+    cand_ids = (
+        F.broadcast(q)
+        .crossJoin(c.select("cid", "cvec", "cnorm"))
+        .select("query_id", "cid", rel.alias("rel"))
+        .withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.col("rel").desc(), "cid")),
+        )
+        .filter(F.col("rn") <= n_cand)
+    )
+    cand = (
+        F.broadcast(cand_ids)
+        .join(c, "cid")
+        .select("query_id", "cid", "rel", "rn", "cvec", "cnorm")
+        .persist()
+    )
+    # eagerly materialize the two bounded frames (20 rows/query and
+    # <=20^2 rows/query): the unrolled greedy plan references them
+    # O(k) times each, and without a materialization barrier the
+    # nested references re-derive the corpus-sized relevance scan
+    # combinatorially. count() is an aggregate, not a driver pull.
+    cand.count()
+    a = cand.select(
+        "query_id",
+        F.col("cid").alias("ca"),
+        F.col("cvec").alias("avec"),
+        F.col("cnorm").alias("anorm"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("cid").alias("cb"),
+        F.col("cvec").alias("bvec"),
+        F.col("cnorm").alias("bnorm"),
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "query_id",
+            "ca",
+            "cb",
+            (
+                F.expr(_DOT.format(a="avec", b="bvec"))
+                / (F.col("anorm") * F.col("bnorm"))
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    sims.count()
+    sel = cand.filter(F.col("rn") == 1).select(
+        "query_id",
+        "cid",
+        "rel",
+        F.lit(1).alias("pick_rank"),
+        (F.lit(lam) * F.col("rel")).alias("mmr"),
+    )
+    for i in range(2, k + 1):
+        ms = (
+            sims.join(
+                sel.select("query_id", F.col("cid").alias("cb")),
+                ["query_id", "cb"],
+            )
+            .groupBy("query_id", F.col("ca").alias("cid"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        mmr = F.lit(lam) * F.col("rel") - (1 - lam) * F.col("maxsim")
+        pool = (
+            cand.join(sel.select("query_id", "cid"), ["query_id", "cid"], "left_anti")
+            .join(ms, ["query_id", "cid"])
+            .select("query_id", "cid", "rel", mmr.alias("mmr"))
+        )
+        pick = (
+            pool.withColumn(
+                "rn2",
+                F.row_number().over(wq.orderBy(F.col("mmr").desc(), "cid")),
+            )
+            .filter(F.col("rn2") == 1)
+            .select(
+                "query_id", "cid", "rel", F.lit(i).alias("pick_rank"), "mmr"
+            )
+        )
+        sel = sel.unionAll(pick)
+    return (
+        sel.select(
+            "query_id",
+            F.col("pick_rank").cast("int").alias("pick_rank"),
+            F.col("cid").alias("neighbor_id"),
+            F.round("rel", 9).alias("cosine"),
+            F.round("mmr", 9).alias("mmr"),
+        )
+        .orderBy("query_id", "pick_rank")
+    )

@@ -192,3 +192,79 @@ def test_oov_rate_matches_python_recompute(spark):
         oov = sum(n for t, n in s.items() if t not in vocab)
         assert (r["n_tokens"], r["n_oov"]) == (tot, oov)
         assert abs(r["oov_rate"] - oov / tot) < 1e-9
+
+
+def test_mmr_diversify_matches_python_greedy(spark):
+    import numpy as np
+
+    rows = _q(spark, "vector_mmr_diversify").collect()
+    emb = load_tables(spark, SF)["embeddings"].select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    lam = 0.7
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid in got:
+        qv = vecs[qid]
+        qn = np.sqrt((qv * qv).sum())
+        cands = sorted(
+            (
+                (
+                    -(qv @ vecs[c]) / (qn * np.sqrt((vecs[c] ** 2).sum())),
+                    c,
+                )
+                for c in vecs
+                if c >= 10
+            )
+        )[:20]
+        rel = {c: -negrel for negrel, c in cands}
+        ids = [c for _, c in cands]
+        sel = [ids[0]]
+        while len(sel) < 5:
+            best = None
+            for c in ids:
+                if c in sel:
+                    continue
+                cn = np.sqrt((vecs[c] ** 2).sum())
+                maxsim = max(
+                    (vecs[c] @ vecs[s])
+                    / (cn * np.sqrt((vecs[s] ** 2).sum()))
+                    for s in sel
+                )
+                score = lam * rel[c] - (1 - lam) * maxsim
+                # tie-break: smaller cid wins => strictly-greater test
+                if best is None or score > best[0] + 1e-12:
+                    best = (score, c)
+            sel.append(best[1])
+        assert got[qid] == sel, (qid, got[qid], sel)
+
+
+def test_scd2_asof_lookup_matches_python_recompute(spark):
+    rows = _q(spark, "scd2_asof_lookup").collect()
+    ev = (
+        load_tables(spark, SF)["events"]
+        .selectExpr("user_id", "unix_micros(ts) AS us", "event_type", "event_id")
+        .collect()
+    )
+    lo = min(r["us"] for r in ev)
+    hi = max(r["us"] for r in ev)
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for k in (1, 2, 3):
+        probe = lo + (hi - lo) * k // 4
+        # state at probe = event_type of the last event at/before probe
+        census = {}
+        for u, rs in by_user.items():
+            past = [r for r in rs if r["us"] <= probe]
+            if not past:
+                continue
+            past.sort(key=lambda r: (r["us"], r["event_id"]))
+            census[past[-1]["event_type"]] = (
+                census.get(past[-1]["event_type"], 0) + 1
+            )
+        got = {
+            r["state"]: r["n_users"] for r in rows if r["probe_k"] == k
+        }
+        assert got == census, (k, got, census)
+        assert all(r["probe_us"] == probe for r in rows if r["probe_k"] == k)
