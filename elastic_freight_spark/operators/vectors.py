@@ -2259,18 +2259,21 @@ def vector_mmr_diversify(spark, sf_dir, k: int = 5, n_cand: int = 20):
         )
         .filter(F.col("rn") <= n_cand)
     )
+    # localCheckpoint TRUNCATES the logical plan, not just caches
+    # data (persist+count left Catalyst re-analyzing the nested
+    # lineage every iteration — measured 6s/step of pure planning at
+    # sf0.1): the two bounded frames (20 rows/query; <=20 rows/query
+    # squared) become flat scans for everything downstream. Eager,
+    # executor-resident, no driver round-trip. (On a real cluster a
+    # lost executor can't recompute a localCheckpoint partition — for
+    # a <=10k-row frame the accepted trade; reliable alternative is
+    # checkpoint() to the cluster FS.)
     cand = (
         F.broadcast(cand_ids)
         .join(c, "cid")
         .select("query_id", "cid", "rel", "rn", "cvec", "cnorm")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    # eagerly materialize the two bounded frames (20 rows/query and
-    # <=20^2 rows/query): the unrolled greedy plan references them
-    # O(k) times each, and without a materialization barrier the
-    # nested references re-derive the corpus-sized relevance scan
-    # combinatorially. count() is an aggregate, not a driver pull.
-    cand.count()
     a = cand.select(
         "query_id",
         F.col("cid").alias("ca"),
@@ -2295,9 +2298,8 @@ def vector_mmr_diversify(spark, sf_dir, k: int = 5, n_cand: int = 20):
                 / (F.col("anorm") * F.col("bnorm"))
             ).alias("sim"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    sims.count()
     sel = cand.filter(F.col("rn") == 1).select(
         "query_id",
         "cid",
@@ -2330,7 +2332,11 @@ def vector_mmr_diversify(spark, sf_dir, k: int = 5, n_cand: int = 20):
                 "query_id", "cid", "rel", F.lit(i).alias("pick_rank"), "mmr"
             )
         )
-        sel = sel.unionAll(pick)
+        # pick_i references sel_{i-1} three times (max-sim join,
+        # anti-join, union): an unmaterialized recurrence nests 3^k
+        # subplans and Catalyst re-analyzes the whole tree per step.
+        # Truncate per round — the selection frame is <=10k rows.
+        sel = sel.unionAll(pick).localCheckpoint(eager=True)
     return (
         sel.select(
             "query_id",
