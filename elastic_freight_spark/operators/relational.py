@@ -2358,3 +2358,228 @@ def stats_corr_matrix(spark, sf_dir):
     for o in out[1:]:
         res = res.unionAll(o)
     return res.orderBy("var_x", "var_y")
+
+
+# Pooled two-sample price ECDF (returned vs normal): ONE fragment
+# shared by the KS and Mann-Whitney oracles so the two tests can
+# never disagree on the sample or the cumulative definition.
+_PRICE_ECDF_SQL = """counts AS (
+      SELECT l_extendedprice AS v,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_r, CAST(SUM(cb) AS BIGINT) AS n_n
+      FROM counts
+    ),
+    cum AS (
+      SELECT v, ca, cb,
+             SUM(ca) OVER (ORDER BY v) AS cuma,
+             SUM(cb) OVER (ORDER BY v) AS cumb
+      FROM counts
+    )"""
+
+
+def pooled_price_cum(spark, sf_dir):
+    """Spark twin of _PRICE_ECDF_SQL: per-distinct-value two-sample
+    counts with exact pooled cumulatives, built with the bucketed
+    distributed-prefix-sum plan — per-value windows run inside
+    price-range buckets (floor(v) div 100: bounded by the value
+    DOMAIN, not the data volume) and a bucket-offset frame adds the
+    across-bucket prefix, so the only single-partition window is over
+    the ~1k bucket totals (the windows.skewed_running_sum plan).
+    Returns (cum_frame[v, ca, cb, cuma, cumb], totals_frame)."""
+    from pyspark.sql import Window as W
+
+    li = load_tables(spark, sf_dir)["lineitem"].filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    counts = (
+        li.groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+        .withColumn("bucket", F.expr("cast(floor(v) as bigint) div 100"))
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("bigint").alias("n_r"),
+        F.sum("cb").cast("bigint").alias("n_n"),
+    )
+    win_in = (
+        W.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = counts.select(
+        "bucket",
+        "v",
+        "ca",
+        "cb",
+        F.sum("ca").over(win_in).alias("ca_in"),
+        F.sum("cb").over(win_in).alias("cb_in"),
+    )
+    btot = counts.groupBy("bucket").agg(
+        F.sum("ca").alias("ba"), F.sum("cb").alias("bb")
+    )
+    win_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("ba").over(win_b), F.lit(0)).alias("offa"),
+        F.coalesce(F.sum("bb").over(win_b), F.lit(0)).alias("offb"),
+    )
+    cum = within.join(F.broadcast(offsets), "bucket").select(
+        "v",
+        "ca",
+        "cb",
+        (F.col("offa") + F.col("ca_in")).alias("cuma"),
+        (F.col("offb") + F.col("cb_in")).alias("cumb"),
+    )
+    return cum, tot
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle=f"""
+    WITH {_PRICE_ECDF_SQL},
+    d AS (
+      SELECT MAX(ABS(CAST(cuma AS DECIMAL(19,0)) * (SELECT n_n FROM tot)
+                   - CAST(cumb AS DECIMAL(19,0)) * (SELECT n_r FROM tot)))
+               AS d_num
+      FROM cum
+    )
+    SELECT n_r, n_n, CAST(d_num AS BIGINT) AS d_num,
+           ROUND(CAST(d_num AS DOUBLE)
+                 / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE)), 9) AS d_stat,
+           ROUND(1.358 * SQRT((CAST(n_r AS DOUBLE) + CAST(n_n AS DOUBLE))
+                 / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE))), 9)
+             AS crit_005,
+           (CAST(d_num AS DOUBLE)
+                 / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE))
+            > 1.358 * SQRT((CAST(n_r AS DOUBLE) + CAST(n_n AS DOUBLE))
+                 / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE)))) AS reject_005
+    FROM tot, d
+    """,
+)
+def stats_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test (returned vs normal price
+    DISTRIBUTIONS — the shape-sensitive complement of
+    `stats_welch_ttest`'s mean test). The D statistic is computed in
+    EXACT integer arithmetic: D·n_r·n_n = max over pooled values of
+    |cumA·n_n − cumB·n_r| (DECIMAL(19,0) products, overflow-proof at
+    100 TB counts); floats appear only at the output edge with the
+    oracle-mirrored expression. ECDF cumulatives come from the shared
+    `pooled_price_cum` distributed-prefix-sum frame."""
+    cum, tot = pooled_price_cum(spark, sf_dir)
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("cuma").cast("decimal(19,0)") * F.col("n_n")
+                - F.col("cumb").cast("decimal(19,0)") * F.col("n_r")
+            )
+        ).alias("d_num")
+    )
+    nr, nn = F.col("n_r").cast("double"), F.col("n_n").cast("double")
+    d_stat = F.col("d_num").cast("double") / (nr * nn)
+    crit = 1.358 * F.sqrt((nr + nn) / (nr * nn))
+    return tot.crossJoin(F.broadcast(d)).select(
+        "n_r",
+        "n_n",
+        F.col("d_num").cast("bigint").alias("d_num"),
+        F.round(d_stat, 9).alias("d_stat"),
+        F.round(crit, 9).alias("crit_005"),
+        (d_stat > crit).alias("reject_005"),
+    )
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle=f"""
+    WITH {_PRICE_ECDF_SQL},
+    ranksum AS (
+      SELECT
+        CAST(SUM(CAST(ca AS DECIMAL(19,0))
+                 * (2 * ((cuma - ca) + (cumb - cb)) + (ca + cb) + 1))
+             AS DECIMAL(38,0)) AS r2,
+        CAST(SUM(CAST(ca + cb AS DECIMAL(19,0)) * (ca + cb) * (ca + cb)
+                 - (ca + cb)) AS DECIMAL(38,0)) AS ties
+      FROM cum
+    ),
+    u AS (
+      SELECT n_r, n_n,
+             r2 - CAST(n_r AS DECIMAL(19,0)) * (n_r + 1) AS u2,
+             ties
+      FROM tot, ranksum
+    )
+    SELECT n_r, n_n,
+           ROUND(CAST(u2 AS DOUBLE) / 2, 1) AS u_stat,
+           ROUND((CAST(u2 AS DOUBLE) - CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE))
+             / (2 * SQRT((CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE) / 12)
+                * ((CAST(n_r AS DOUBLE) + CAST(n_n AS DOUBLE) + 1)
+                   - CAST(ties AS DOUBLE)
+                     / ((CAST(n_r AS DOUBLE) + CAST(n_n AS DOUBLE))
+                        * (CAST(n_r AS DOUBLE) + CAST(n_n AS DOUBLE) - 1))))),
+             6) AS z_score
+    FROM u
+    """,
+)
+def stats_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) test on the same two price
+    samples — the nonparametric companion to `stats_welch_ttest`
+    (rank-based, so immune to the heavy right tail that a t-test on
+    prices technically assumes away). Average ranks with ties are
+    computed DOUBLED so everything stays integral: 2·R_A =
+    Σ ca·(2·c_prev + t + 1) over the shared ECDF frame
+    (`_PRICE_ECDF_SQL` / `pooled_price_cum` — the KS test reads the
+    identical cumulative definition), with DECIMAL(38,0) products
+    that survive 100 TB counts; the tie-corrected normal
+    approximation z is a fixed IEEE tree over those exact integers,
+    mirrored verbatim in the oracle. u_stat carries an exact .5 grain
+    (u2 is integral), so ROUND(...,1) is lossless."""
+    cum, tot = pooled_price_cum(spark, sf_dir)
+    t = F.col("ca") + F.col("cb")
+    c_prev = (F.col("cuma") - F.col("ca")) + (F.col("cumb") - F.col("cb"))
+    ranksum = cum.agg(
+        F.sum(
+            F.col("ca").cast("decimal(19,0)") * (2 * c_prev + t + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("r2"),
+        F.sum(t.cast("decimal(19,0)") * t * t - t)
+        .cast("decimal(38,0)")
+        .alias("ties"),
+    )
+    u = tot.crossJoin(F.broadcast(ranksum)).select(
+        "n_r",
+        "n_n",
+        (
+            F.col("r2")
+            - F.col("n_r").cast("decimal(19,0)") * (F.col("n_r") + 1)
+        ).alias("u2"),
+        "ties",
+    )
+    nr, nn = F.col("n_r").cast("double"), F.col("n_n").cast("double")
+    z = (F.col("u2").cast("double") - nr * nn) / (
+        2
+        * F.sqrt(
+            (nr * nn / 12)
+            * (
+                (nr + nn + 1)
+                - F.col("ties").cast("double") / ((nr + nn) * (nr + nn - 1))
+            )
+        )
+    )
+    return u.select(
+        "n_r",
+        "n_n",
+        F.round(F.col("u2").cast("double") / 2, 1).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -268,3 +268,71 @@ def test_scd2_asof_lookup_matches_python_recompute(spark):
         }
         assert got == census, (k, got, census)
         assert all(r["probe_us"] == probe for r in rows if r["probe_k"] == k)
+
+
+def _price_samples(spark):
+    li = load_tables(spark, SF)["lineitem"]
+    a, b = [], []
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        if r["l_returnflag"] == "R":
+            a.append(r["l_extendedprice"])
+        elif r["l_returnflag"] == "N":
+            b.append(r["l_extendedprice"])
+    return a, b
+
+
+def test_ks_two_sample_matches_python_recompute(spark):
+    r = _q(spark, "stats_ks_two_sample").collect()[0]
+    a, b = _price_samples(spark)
+    na, nb = len(a), len(b)
+    vals = sorted(set(a) | set(b))
+    ca = cb = 0
+    from collections import Counter
+
+    cnta, cntb = Counter(a), Counter(b)
+    d_num = 0
+    for v in vals:
+        ca += cnta.get(v, 0)
+        cb += cntb.get(v, 0)
+        d_num = max(d_num, abs(ca * nb - cb * na))
+    assert (r["n_r"], r["n_n"]) == (na, nb)
+    assert r["d_num"] == d_num
+    assert abs(r["d_stat"] - d_num / (na * nb)) < 1e-9
+    # same generator for both groups: KS should not reject at 5%
+    assert r["reject_005"] is False
+
+
+def test_mann_whitney_matches_python_recompute(spark):
+    r = _q(spark, "stats_mann_whitney_u").collect()[0]
+    a, b = _price_samples(spark)
+    na, nb = len(a), len(b)
+    n = na + nb
+    pooled = sorted([(v, 0) for v in a] + [(v, 1) for v in b])
+    # average ranks with ties
+    import itertools
+    import math
+
+    r_a = 0.0
+    ties = 0
+    i = 0
+    rank = 1
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        t = j - i
+        avg = rank + (t - 1) / 2
+        ties += t**3 - t
+        r_a += avg * sum(1 for k in range(i, j) if pooled[k][1] == 0)
+        rank += t
+        i = j
+    u_a = r_a - na * (na + 1) / 2
+    mu = na * nb / 2
+    sigma = math.sqrt(
+        (na * nb / 12) * ((n + 1) - ties / (n * (n - 1)))
+    )
+    z = (u_a - mu) / sigma
+    assert (r["n_r"], r["n_n"]) == (na, nb)
+    assert abs(r["u_stat"] - u_a) < 0.51
+    assert abs(r["z_score"] - z) < 1e-4
+    assert abs(r["z_score"]) < 6  # same-distribution samples
