@@ -2180,9 +2180,9 @@ def stats_chi_square_independence(spark, sf_dir):
     SELECT n_r, n_n,
            ROUND(mean_r, 6) AS mean_r,
            ROUND(mean_n, 6) AS mean_n,
-           ROUND((mean_r - mean_n) / SQRT(va + vb), 6) AS t_stat,
+           ROUND((mean_r - mean_n) / NULLIF(SQRT(va + vb), 0), 6) AS t_stat,
            ROUND((va + vb) * (va + vb)
-                 / (va * va / (n_r - 1) + vb * vb / (n_n - 1)), 6)
+                 / NULLIF(va * va / (n_r - 1) + vb * vb / (n_n - 1), 0), 6)
              AS welch_df
     FROM w
     """,
@@ -2241,14 +2241,20 @@ def stats_welch_ttest(spark, sf_dir):
         "n_n",
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_n", 6).alias("mean_n"),
+        # NULLIF guards: zero pooled variance (degenerate constant
+        # samples) must yield NULL in both engines, not an ANSI
+        # DIVIDE_BY_ZERO error.
         F.round(
-            (F.col("mean_r") - F.col("mean_n")) / F.sqrt(va + vb), 6
+            (F.col("mean_r") - F.col("mean_n"))
+            / F.nullif(F.sqrt(va + vb), F.lit(0.0)),
+            6,
         ).alias("t_stat"),
         F.round(
             (va + vb) * (va + vb)
-            / (
+            / F.nullif(
                 va * va / (F.col("n_r") - 1)
-                + vb * vb / (F.col("n_n") - 1)
+                + vb * vb / (F.col("n_n") - 1),
+                F.lit(0.0),
             ),
             6,
         ).alias("welch_df"),
@@ -2279,23 +2285,23 @@ def stats_welch_ttest(spark, sf_dir):
     SELECT var_x, var_y, corr FROM (
       SELECT 'discount' AS var_x, 'extendedprice' AS var_y,
         ROUND((n*s_pd - s_p*s_d)
-          / (SQRT(n*s_dd - s_d*s_d) * SQRT(n*s_pp - s_p*s_p)), 9) AS corr
+          / NULLIF(SQRT(n*s_dd - s_d*s_d) * SQRT(n*s_pp - s_p*s_p), 0), 9) AS corr
       FROM s
       UNION ALL SELECT 'discount', 'quantity',
         ROUND((n*s_qd - s_q*s_d)
-          / (SQRT(n*s_dd - s_d*s_d) * SQRT(n*s_qq - s_q*s_q)), 9) FROM s
+          / NULLIF(SQRT(n*s_dd - s_d*s_d) * SQRT(n*s_qq - s_q*s_q), 0), 9) FROM s
       UNION ALL SELECT 'discount', 'tax',
         ROUND((n*s_dt - s_d*s_t)
-          / (SQRT(n*s_dd - s_d*s_d) * SQRT(n*s_tt - s_t*s_t)), 9) FROM s
+          / NULLIF(SQRT(n*s_dd - s_d*s_d) * SQRT(n*s_tt - s_t*s_t), 0), 9) FROM s
       UNION ALL SELECT 'extendedprice', 'quantity',
         ROUND((n*s_qp - s_q*s_p)
-          / (SQRT(n*s_pp - s_p*s_p) * SQRT(n*s_qq - s_q*s_q)), 9) FROM s
+          / NULLIF(SQRT(n*s_pp - s_p*s_p) * SQRT(n*s_qq - s_q*s_q), 0), 9) FROM s
       UNION ALL SELECT 'extendedprice', 'tax',
         ROUND((n*s_pt - s_p*s_t)
-          / (SQRT(n*s_pp - s_p*s_p) * SQRT(n*s_tt - s_t*s_t)), 9) FROM s
+          / NULLIF(SQRT(n*s_pp - s_p*s_p) * SQRT(n*s_tt - s_t*s_t), 0), 9) FROM s
       UNION ALL SELECT 'quantity', 'tax',
         ROUND((n*s_qt - s_q*s_t)
-          / (SQRT(n*s_qq - s_q*s_q) * SQRT(n*s_tt - s_t*s_t)), 9) FROM s
+          / NULLIF(SQRT(n*s_qq - s_q*s_q) * SQRT(n*s_tt - s_t*s_t), 0), 9) FROM s
     ) ORDER BY var_x, var_y
     """,
 )
@@ -2343,10 +2349,16 @@ def stats_corr_matrix(spark, sf_dir):
         # (n*sxy - sx*sy) with x=the lexicographically-first variable
         if x == names[a]:
             num = n * sxy - sa * sb
-            den = F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+            den = F.nullif(
+                F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb),
+                F.lit(0.0),
+            )
         else:
             num = n * sxy - sb * sa
-            den = F.sqrt(n * sbb - sb * sb) * F.sqrt(n * saa - sa * sa)
+            den = F.nullif(
+                F.sqrt(n * sbb - sb * sb) * F.sqrt(n * saa - sa * sa),
+                F.lit(0.0),
+            )
         out.append(
             s.select(
                 F.lit(x).alias("var_x"),
@@ -2458,14 +2470,16 @@ def pooled_price_cum(spark, sf_dir):
     )
     SELECT n_r, n_n, CAST(d_num AS BIGINT) AS d_num,
            ROUND(CAST(d_num AS DOUBLE)
-                 / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE)), 9) AS d_stat,
+                 / NULLIF(CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE), 0), 9)
+             AS d_stat,
            ROUND(1.358 * SQRT((CAST(n_r AS DOUBLE) + CAST(n_n AS DOUBLE))
-                 / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE))), 9)
+                 / NULLIF(CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE), 0)), 9)
              AS crit_005,
            (CAST(d_num AS DOUBLE)
-                 / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE))
+                 / NULLIF(CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE), 0)
             > 1.358 * SQRT((CAST(n_r AS DOUBLE) + CAST(n_n AS DOUBLE))
-                 / (CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE)))) AS reject_005
+                 / NULLIF(CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE), 0)))
+             AS reject_005
     FROM tot, d
     """,
 )
@@ -2488,8 +2502,11 @@ def stats_ks_two_sample(spark, sf_dir):
         ).alias("d_num")
     )
     nr, nn = F.col("n_r").cast("double"), F.col("n_n").cast("double")
-    d_stat = F.col("d_num").cast("double") / (nr * nn)
-    crit = 1.358 * F.sqrt((nr + nn) / (nr * nn))
+    # NULLIF guard: an empty sample (n=0) yields NULL, not an ANSI
+    # DIVIDE_BY_ZERO error — mirrored in the oracle.
+    nrnn = F.nullif(nr * nn, F.lit(0.0))
+    d_stat = F.col("d_num").cast("double") / nrnn
+    crit = 1.358 * F.sqrt((nr + nn) / nrnn)
     return tot.crossJoin(F.broadcast(d)).select(
         "n_r",
         "n_n",
@@ -2522,11 +2539,12 @@ def stats_ks_two_sample(spark, sf_dir):
     SELECT n_r, n_n,
            ROUND(CAST(u2 AS DOUBLE) / 2, 1) AS u_stat,
            ROUND((CAST(u2 AS DOUBLE) - CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE))
-             / (2 * SQRT((CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE) / 12)
+             / NULLIF(2 * SQRT((CAST(n_r AS DOUBLE) * CAST(n_n AS DOUBLE) / 12)
                 * ((CAST(n_r AS DOUBLE) + CAST(n_n AS DOUBLE) + 1)
                    - CAST(ties AS DOUBLE)
                      / ((CAST(n_r AS DOUBLE) + CAST(n_n AS DOUBLE))
-                        * (CAST(n_r AS DOUBLE) + CAST(n_n AS DOUBLE) - 1))))),
+                        * (CAST(n_r AS DOUBLE) + CAST(n_n AS DOUBLE) - 1)))),
+               0),
              6) AS z_score
     FROM u
     """,
@@ -2567,7 +2585,9 @@ def stats_mann_whitney_u(spark, sf_dir):
         "ties",
     )
     nr, nn = F.col("n_r").cast("double"), F.col("n_n").cast("double")
-    z = (F.col("u2").cast("double") - nr * nn) / (
+    # NULLIF guard: sigma is zero when every pooled value ties —
+    # NULL in both engines rather than an ANSI DIVIDE_BY_ZERO.
+    z = (F.col("u2").cast("double") - nr * nn) / F.nullif(
         2
         * F.sqrt(
             (nr * nn / 12)
@@ -2575,7 +2595,8 @@ def stats_mann_whitney_u(spark, sf_dir):
                 (nr + nn + 1)
                 - F.col("ties").cast("double") / ((nr + nn) * (nr + nn - 1))
             )
-        )
+        ),
+        F.lit(0.0),
     )
     return u.select(
         "n_r",

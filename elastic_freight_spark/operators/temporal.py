@@ -1880,7 +1880,7 @@ def _acf_term_sql(lag: int) -> str:
     return f"""
       SELECT {l} AS lag, CAST(m{l} AS BIGINT) AS n_pairs,
         ROUND((n * n * p{l} - n * s * (h{l} + t{l}) + (n - {l}) * s * s)
-              / (n * (n * q - s * s)), 9) AS acf
+              / NULLIF(n * (n * q - s * s), 0), 9) AS acf
       FROM moments"""
 
 
@@ -2004,8 +2004,11 @@ def t_autocorrelation_daily(spark, sf_dir):
     for l in range(1, 8):
         p, h, t_, cnt = (F.col(f"p{l}"), F.col(f"h{l}"), F.col(f"t{l}"),
                          F.col(f"m{l}"))
-        acf = (n * n * p - n * s * (h + t_) + (n - l) * s * s) / (
-            n * (n * q - s * s)
+        # NULLIF guard: a constant series has zero variance — both
+        # engines must return NULL, and ANSI Spark would otherwise
+        # throw DIVIDE_BY_ZERO (the round-4 ADVICE zero-guard rule).
+        acf = (n * n * p - n * s * (h + t_) + (n - l) * s * s) / F.nullif(
+            n * (n * q - s * s), F.lit(0.0)
         )
         rows.append(
             m.select(

@@ -336,3 +336,26 @@ def test_mann_whitney_matches_python_recompute(spark):
     assert abs(r["u_stat"] - u_a) < 0.51
     assert abs(r["z_score"] - z) < 1e-4
     assert abs(r["z_score"]) < 6  # same-distribution samples
+
+
+def test_acf_constant_series_yields_null_not_error(spark, tmp_path):
+    """Zero-variance daily series: ANSI Spark must not throw
+    DIVIDE_BY_ZERO — the NULLIF guard returns NULL (matching DuckDB)."""
+    import datetime as dt
+
+    registry.load_all()
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "view", 1.0, "{}")
+        for i in range(10)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    out = registry.QUERIES["t_autocorrelation_daily"](spark, sf).collect()
+    assert len(out) == 7
+    assert all(r["acf"] is None for r in out)
+    assert [r["n_pairs"] for r in out] == [10 - l for l in range(1, 8)]
