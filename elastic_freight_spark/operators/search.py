@@ -1061,3 +1061,225 @@ def search_rrf_fusion(spark, sf_dir):
         )
         .orderBy("token", "fused_rank")
     )
+
+
+# Portable doc→shard routing for the sharded-aggregation simulations:
+# 16 hex chars of md5 fold evenly onto 8 shards. (The engine's REAL
+# routing is ES murmur3 — sharding.py — but murmur3 has no DuckDB
+# twin, so oracle-paired shard simulations use this md5 face.)
+_SHARD8_SQL = (
+    "(instr('0123456789abcdef', "
+    "substr(md5(concat('sh:', cast(doc_id as string))), 1, 1)) - 1) % 8"
+)
+
+
+@query(
+    "search_terms_agg_error_bound",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SHARD8_SQL} AS shard,
+             unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    pershard AS (
+      SELECT shard, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE token <> '' GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT shard, token, n,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY n DESC, token) AS rk
+      FROM pershard
+    ),
+    reported AS (SELECT shard, token, n FROM ranked WHERE rk <= 5),
+    kth AS (
+      SELECT shard, MIN(n) AS kth_n FROM reported GROUP BY shard
+    ),
+    tot_kth AS (SELECT CAST(SUM(kth_n) AS BIGINT) AS all_kth FROM kth),
+    merged AS (
+      SELECT r.token,
+             CAST(SUM(r.n) AS BIGINT) AS est_count,
+             CAST(SUM(k.kth_n) AS BIGINT) AS reported_kth
+      FROM reported r JOIN kth k ON k.shard = r.shard
+      GROUP BY r.token
+    ),
+    truth AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM toks WHERE token <> '' GROUP BY token
+    )
+    SELECT m.token, m.est_count,
+           CAST((SELECT all_kth FROM tot_kth) - m.reported_kth AS BIGINT)
+             AS err_bound,
+           t.true_count,
+           CAST(t.true_count - m.est_count AS BIGINT) AS underestimate
+    FROM merged m JOIN truth t ON t.token = m.token
+    ORDER BY m.est_count DESC, m.token
+    LIMIT 10
+    """,
+)
+def search_terms_agg_error_bound(spark, sf_dir):
+    """ES `terms` aggregation accuracy contract, simulated end to end:
+    each of 8 document shards reports only its local top-5 terms
+    (shard_size=5), the coordinator sums what was reported, and —
+    exactly as Elasticsearch computes `doc_count_error_upper_bound` —
+    a term's error bound is the sum of the 5th-largest counts of the
+    shards that did NOT report it (a non-reporting shard can hide at
+    most its k-th count). The query emits estimate, bound, and TRUE
+    count side by side, so `underestimate <= err_bound` is checkable
+    row by row (pinned in tests) — the distributed-top-k
+    approximation argument made auditable. Every quantity is an
+    integer; shard routing is the portable md5 face (the murmur3
+    production routing has no SQL twin). At 100 TB: one token scan,
+    per-shard partial top-k, coordinator merge is
+    (shards x k)-sized — the exact ES execution shape."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.expr(_SHARD8_SQL).alias("shard"),
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    pershard = toks.groupBy("shard", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    reported = (
+        pershard.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("shard").orderBy(F.col("n").desc(), "token")
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("shard", "token", "n")
+    )
+    kth = reported.groupBy("shard").agg(F.min("n").alias("kth_n"))
+    tot_kth = kth.agg(F.sum("kth_n").cast("bigint").alias("all_kth"))
+    merged = (
+        reported.join(F.broadcast(kth), "shard")
+        .groupBy("token")
+        .agg(
+            F.sum("n").cast("bigint").alias("est_count"),
+            F.sum("kth_n").cast("bigint").alias("reported_kth"),
+        )
+    )
+    truth = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    return (
+        merged.crossJoin(F.broadcast(tot_kth))
+        .join(truth, "token")
+        .select(
+            "token",
+            "est_count",
+            (F.col("all_kth") - F.col("reported_kth"))
+            .cast("bigint")
+            .alias("err_bound"),
+            "true_count",
+            (F.col("true_count") - F.col("est_count"))
+            .cast("bigint")
+            .alias("underestimate"),
+        )
+        .orderBy(F.col("est_count").desc(), "token")
+        .limit(10)
+    )
+
+
+@query(
+    "search_rescore_window",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text),' ')) AS token
+      FROM documents
+    ), postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY 1, 2
+    ), doc_len AS (
+      SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1
+    ), avgdl AS (SELECT AVG(dl) AS avgdl FROM doc_len),
+    hits AS (
+      SELECT p.token, p.doc_id, p.tf,
+             (p.tf * (1.2 + 1))
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS bscore
+      FROM postings p JOIN doc_len USING (doc_id) CROSS JOIN avgdl
+      WHERE p.token IN ('data', 'hash', 'join', 'table')
+    ),
+    base AS (
+      SELECT token, doc_id, tf, bscore,
+             ROW_NUMBER() OVER (PARTITION BY token
+                                ORDER BY bscore DESC, doc_id) AS orig_rank
+      FROM hits
+    ),
+    rescored AS (
+      SELECT token, doc_id, orig_rank,
+             1.0 * bscore + 2.0 * tf AS combined,
+             ROW_NUMBER() OVER (PARTITION BY token
+                                ORDER BY 1.0 * bscore + 2.0 * tf DESC,
+                                         doc_id) AS new_rank
+      FROM base WHERE orig_rank <= 10
+    )
+    SELECT token, doc_id, CAST(orig_rank AS INT) AS orig_rank,
+           CAST(new_rank AS INT) AS new_rank,
+           ROUND(combined, 9) AS combined
+    FROM rescored
+    ORDER BY token, new_rank
+    """,
+)
+def search_rescore_window(spark, sf_dir):
+    """ES `rescore` phase: the cheap scorer (BM25) ranks everything,
+    then ONLY the top-`window_size`=10 hits per query are re-scored
+    with the expensive combination (query_weight·bm25 +
+    rescore_weight·secondary, here 1.0/2.0 with raw tf standing in
+    for the phrase/proximity pass) and re-ordered within the window —
+    documents outside the window keep their positions, which is the
+    whole point: the expensive scorer's cost is bounded by the window,
+    not the corpus. Runs on the session-cached postings; the window
+    re-rank is 10 rows per term. The combined score is a 3-flop fixed
+    IEEE expression, tie-broken on doc_id."""
+    from pyspark.sql import Window as W
+
+    postings, doc_len = indexed_postings(spark, sf_dir)
+    avgdl_df = doc_len.agg(F.avg("dl").alias("avgdl"))
+    k1, b = 1.2, 0.75
+    hits = (
+        postings.filter(F.col("token").isin(*AGREEMENT_TERMS))
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
+        .select(
+            "token",
+            "doc_id",
+            "tf",
+            (
+                (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("bscore"),
+        )
+    )
+    base = hits.withColumn(
+        "orig_rank",
+        F.row_number().over(
+            W.partitionBy("token").orderBy(F.col("bscore").desc(), "doc_id")
+        ),
+    ).filter(F.col("orig_rank") <= 10)
+    combined = F.lit(1.0) * F.col("bscore") + F.lit(2.0) * F.col("tf")
+    return (
+        base.withColumn("combined", combined)
+        .withColumn(
+            "new_rank",
+            F.row_number().over(
+                W.partitionBy("token").orderBy(
+                    F.col("combined").desc(), "doc_id"
+                )
+            ),
+        )
+        .select(
+            "token",
+            "doc_id",
+            F.col("orig_rank").cast("int").alias("orig_rank"),
+            F.col("new_rank").cast("int").alias("new_rank"),
+            F.round("combined", 9).alias("combined"),
+        )
+        .orderBy("token", "new_rank")
+    )

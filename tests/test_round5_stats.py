@@ -359,3 +359,36 @@ def test_acf_constant_series_yields_null_not_error(spark, tmp_path):
     assert len(out) == 7
     assert all(r["acf"] is None for r in out)
     assert [r["n_pairs"] for r in out] == [10 - l for l in range(1, 8)]
+
+
+def test_terms_agg_error_bound_contract(spark):
+    """The ES accuracy contract: a term's true-count underestimate can
+    never exceed doc_count_error_upper_bound; top terms reported by
+    every shard are exact."""
+    rows = _q(spark, "search_terms_agg_error_bound").collect()
+    assert rows
+    for r in rows:
+        assert r["underestimate"] >= 0
+        assert r["underestimate"] <= r["err_bound"], r
+        if r["err_bound"] == 0:
+            assert r["est_count"] == r["true_count"]
+    # estimates never overcount (sums of true per-shard counts)
+    assert all(r["est_count"] <= r["true_count"] for r in rows)
+
+
+def test_rescore_window_keeps_window_membership(spark):
+    """Rescoring reorders WITHIN the window only: the set of docs per
+    token is the bm25 top-10, new_rank is a permutation of 1..10, and
+    the combined score is monotone down the new ranking."""
+    rows = _q(spark, "search_rescore_window", "/root/testdata/sf0.01").collect()
+    by_tok = {}
+    for r in rows:
+        by_tok.setdefault(r["token"], []).append(r)
+    for tok, rs in by_tok.items():
+        assert sorted(r["orig_rank"] for r in rs) == list(range(1, len(rs) + 1))
+        assert sorted(r["new_rank"] for r in rs) == list(range(1, len(rs) + 1))
+        rs.sort(key=lambda r: r["new_rank"])
+        assert all(
+            rs[i]["combined"] >= rs[i + 1]["combined"] - 1e-12
+            for i in range(len(rs) - 1)
+        )
