@@ -1872,22 +1872,11 @@ def events_ab_test_report(spark, sf_dir):
     )
 
 
-def _acf_term_sql(lag: int) -> str:
-    """One output row of the ACF oracle: a fixed IEEE expression over
-    the exact integer moment sums (shared between the 7 UNION ALL
-    arms so Spark and DuckDB evaluate identical scalar trees)."""
-    l = lag
-    return f"""
-      SELECT {l} AS lag, CAST(m{l} AS BIGINT) AS n_pairs,
-        ROUND((n * n * p{l} - n * s * (h{l} + t{l}) + (n - {l}) * s * s)
-              / NULLIF(n * (n * q - s * s), 0), 9) AS acf
-      FROM moments"""
-
-
-@query(
-    "t_autocorrelation_daily",
-    oracle="""
-    WITH bounds AS (
+# Zero-filled GLOBAL daily event-count series — ONE definition shared
+# by the autocorrelation and Theil-Sen oracles (and their Spark twins
+# via daily_series) so the two trend diagnostics can never disagree
+# on the underlying series.
+_DAILY_SERIES_SQL = """bounds AS (
       SELECT CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS lo,
              CAST(date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS DATE) AS hi
       FROM events
@@ -1903,7 +1892,44 @@ def _acf_term_sql(lag: int) -> str:
     series AS (
       SELECT CAST(s.day AS DATE) AS day, COALESCE(c.x, 0) AS x
       FROM spine s LEFT JOIN counts c ON CAST(s.day AS DATE) = c.day
-    ),
+    )"""
+
+
+def daily_series(spark, sf_dir):
+    """Spark twin of _DAILY_SERIES_SQL: (day, x) zero-filled daily
+    event counts. One groupBy-day scan of events; the spine is
+    generated, never scanned. Calendar-bounded: one row per day at
+    ANY data scale."""
+    events = load_tables(spark, sf_dir)["events"]
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("lo"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    counts = events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return spine.join(counts, "day", "left").select(
+        "day", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+
+
+def _acf_term_sql(lag: int) -> str:
+    """One output row of the ACF oracle: a fixed IEEE expression over
+    the exact integer moment sums (shared between the 7 UNION ALL
+    arms so Spark and DuckDB evaluate identical scalar trees)."""
+    l = lag
+    return f"""
+      SELECT {l} AS lag, CAST(m{l} AS BIGINT) AS n_pairs,
+        ROUND((n * n * p{l} - n * s * (h{l} + t{l}) + (n - {l}) * s * s)
+              / NULLIF(n * (n * q - s * s), 0), 9) AS acf
+      FROM moments"""
+
+
+@query(
+    "t_autocorrelation_daily",
+    oracle=f"""
+    WITH {_DAILY_SERIES_SQL},
     led AS (
       SELECT x,
              LEAD(x, 1) OVER (ORDER BY day) AS y1,
@@ -1965,20 +1991,7 @@ def t_autocorrelation_daily(spark, sf_dir):
     statsmodels convention."""
     from pyspark.sql import Window as W
 
-    events = load_tables(spark, sf_dir)["events"]
-    bounds = events.agg(
-        F.date_trunc("day", F.min("ts")).cast("date").alias("lo"),
-        F.date_trunc("day", F.max("ts")).cast("date").alias("hi"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi")).alias("day")
-    )
-    counts = events.groupBy(
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    series = spine.join(counts, "day", "left").select(
-        "day", F.coalesce(F.col("x"), F.lit(0)).alias("x")
-    )
+    series = daily_series(spark, sf_dir)
     w = W.orderBy("day")
     led = series.select(
         "x", *[F.lead("x", l).over(w).alias(f"y{l}") for l in range(1, 8)]
@@ -2021,3 +2034,106 @@ def t_autocorrelation_daily(spark, sf_dir):
     for r in rows[1:]:
         res = res.unionAll(r)
     return res.orderBy("lag")
+
+
+@query(
+    "t_theil_sen_trend",
+    oracle=f"""
+    WITH {_DAILY_SERIES_SQL},
+    idx AS (
+      SELECT x, CAST(day - (SELECT lo FROM bounds) AS BIGINT) AS t
+      FROM series
+    ),
+    pairs AS (
+      SELECT a.t AS t1, b.t AS t2,
+             (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE))
+               / (CAST(b.t AS DOUBLE) - CAST(a.t AS DOUBLE)) AS slope
+      FROM idx a JOIN idx b ON a.t < b.t
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+    med_slope AS (
+      SELECT slope FROM (
+        SELECT slope,
+               ROW_NUMBER() OVER (ORDER BY slope, t1, t2) AS rk
+        FROM pairs
+      ) WHERE rk = ((SELECT n_pairs FROM np) + 1) // 2
+    ),
+    resid AS (
+      SELECT CAST(x AS DOUBLE) - (SELECT slope FROM med_slope)
+               * CAST(t AS DOUBLE) AS r,
+             t
+      FROM idx
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM idx),
+    icpt AS (
+      SELECT r FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, t) AS rk FROM resid
+      ) WHERE rk = ((SELECT n_days FROM nn) + 1) // 2
+    )
+    SELECT (SELECT n_days FROM nn) AS n_days,
+           (SELECT n_pairs FROM np) AS n_pairs,
+           ROUND((SELECT slope FROM med_slope), 9) AS slope,
+           ROUND((SELECT r FROM icpt), 9) AS intercept
+    """,
+)
+def t_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend of the daily event-count series: the
+    median of all pairwise slopes (then the median residual as the
+    intercept) — immune to the outlier days that wreck least-squares
+    (cf. `agg_regression_by_group`). Reads the SAME zero-filled
+    series as the autocorrelation (`_DAILY_SERIES_SQL` /
+    `daily_series`). The pair set is (span_days choose 2) —
+    CALENDAR-bounded, ~7M pairs even for a 10-year span, independent
+    of corpus size; the only data-sized work is the one groupBy-day
+    scan. Medians are exact lower-median rank selections
+    ((n+1) div 2, integer both sides) over deterministically
+    tie-broken orderings; each slope is one fixed IEEE division of
+    exact integers."""
+    from pyspark.sql import Window as W
+
+    series = daily_series(spark, sf_dir)
+    lo = series.agg(F.min("day").alias("lo"))
+    idx = series.crossJoin(F.broadcast(lo)).select(
+        "x", F.datediff("day", "lo").cast("bigint").alias("t")
+    )
+    a = idx.select(F.col("t").alias("t1"), F.col("x").alias("x1"))
+    b = idx.select(F.col("t").alias("t2"), F.col("x").alias("x2"))
+    pairs = (
+        a.join(b, F.col("t1") < F.col("t2"))
+        .select(
+            "t1",
+            "t2",
+            (
+                (F.col("x2").cast("double") - F.col("x1").cast("double"))
+                / (F.col("t2").cast("double") - F.col("t1").cast("double"))
+            ).alias("slope"),
+        )
+    )
+    np_ = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    ranked = pairs.crossJoin(F.broadcast(np_)).withColumn(
+        "rk", F.row_number().over(W.orderBy("slope", "t1", "t2"))
+    )
+    med_slope = ranked.filter(
+        F.col("rk") == F.expr("(n_pairs + 1) div 2")
+    ).select("n_pairs", "slope")
+    resid = idx.crossJoin(F.broadcast(med_slope)).select(
+        "n_pairs",
+        "slope",
+        "t",
+        (
+            F.col("x").cast("double")
+            - F.col("slope") * F.col("t").cast("double")
+        ).alias("r"),
+    )
+    nn = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    icpt = (
+        resid.crossJoin(F.broadcast(nn))
+        .withColumn("rk", F.row_number().over(W.orderBy("r", "t")))
+        .filter(F.col("rk") == F.expr("(n_days + 1) div 2"))
+    )
+    return icpt.select(
+        "n_days",
+        "n_pairs",
+        F.round("slope", 9).alias("slope"),
+        F.round("r", 9).alias("intercept"),
+    )

@@ -2152,13 +2152,13 @@ def _mmr_oracle(k: int = 5, n_cand: int = 20, lam: str = "0.7") -> str:
     for i in range(2, k + 1):
         prev = "sel1" if i == 2 else f"sel{i-1}"
         steps.append(f"""
-    ms{i} AS (
+    ms{i} AS MATERIALIZED (
       SELECT s.query_id, s.ca AS cid, MAX(s.sim) AS maxsim
       FROM sims s JOIN {prev} p
         ON p.query_id = s.query_id AND p.cid = s.cb
       GROUP BY 1, 2
     ),
-    pick{i} AS (
+    pick{i} AS MATERIALIZED (
       SELECT query_id, cid, rel, {i} AS pick_rank, mmr FROM (
         SELECT c.query_id, c.cid, c.rel,
                {lam} * c.rel - (1 - {lam}) * m.maxsim AS mmr,
@@ -2172,7 +2172,7 @@ def _mmr_oracle(k: int = 5, n_cand: int = 20, lam: str = "0.7") -> str:
                           WHERE p.query_id = c.query_id AND p.cid = c.cid)
       ) WHERE rn2 = 1
     ),
-    sel{i} AS (SELECT * FROM {prev} UNION ALL
+    sel{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL
                SELECT query_id, cid, rel, pick_rank, mmr FROM pick{i})""")
     return f"""
     WITH e AS (
@@ -2182,7 +2182,7 @@ def _mmr_oracle(k: int = 5, n_cand: int = 20, lam: str = "0.7") -> str:
     ),
     q AS (SELECT * FROM e WHERE vec_id < 10),
     c AS (SELECT * FROM e WHERE vec_id >= 10),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT query_id, cid, rel, vec, norm, rn FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS cid,
                {dot_qc} / (q.norm * c.norm) AS rel,
@@ -2194,7 +2194,7 @@ def _mmr_oracle(k: int = 5, n_cand: int = 20, lam: str = "0.7") -> str:
         FROM q, c
       ) WHERE rn <= {n_cand}
     ),
-    sims AS (
+    sims AS MATERIALIZED (
       SELECT a.query_id, a.cid AS ca, b.cid AS cb,
              {dot_ab} / (a.norm * b.norm) AS sim
       FROM cand a JOIN cand b
@@ -2347,3 +2347,142 @@ def vector_mmr_diversify(spark, sf_dir, k: int = 5, n_cand: int = 20):
         )
         .orderBy("query_id", "pick_rank")
     )
+
+
+# Squared-L2 folds (Spark HOF / DuckDB list form) for the coreset ops.
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_SQL_SQDIST = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+)
+
+
+def _kcenter_oracle(k: int = 8, pool: int = 64) -> str:
+    """Unrolled greedy farthest-point (k-center) oracle over the
+    md5-deterministic candidate pool; step i is a repeated CTE block
+    mirroring the Spark loop exactly."""
+    d_ab = _SQL_SQDIST.format(a="a.vec", b="b.vec")
+    steps = []
+    for i in range(2, k + 1):
+        prev = f"sel{i-1}" if i > 2 else "sel1"
+        steps.append(f"""
+    far{i} AS MATERIALIZED (
+      SELECT cid, mind FROM (
+        SELECT d.ca AS cid, MIN(d.d2) AS mind,
+               ROW_NUMBER() OVER (ORDER BY MIN(d.d2) DESC, d.ca) AS rk
+        FROM dists d JOIN {prev} p ON p.cid = d.cb
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} q WHERE q.cid = d.ca)
+        GROUP BY d.ca
+      ) WHERE rk = 1
+    ),
+    sel{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL
+               SELECT {i} AS pick_rank, cid, mind FROM far{i})""")
+    return f"""
+    WITH pool AS MATERIALIZED (
+      SELECT vec_id, embedding AS vec FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(concat('kc:', CAST(vec_id AS VARCHAR))), vec_id
+               ) AS rn
+        FROM embeddings
+      ) WHERE rn <= {pool}
+    ),
+    seed AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(concat('kc:', CAST(vec_id AS VARCHAR))), vec_id
+               ) AS rn
+        FROM embeddings
+      ) WHERE rn = 1
+    ),
+    dists AS MATERIALIZED (
+      SELECT a.vec_id AS ca, b.vec_id AS cb, {d_ab} AS d2
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS (
+      SELECT 1 AS pick_rank, vec_id AS cid, CAST(0.0 AS DOUBLE) AS mind
+      FROM seed
+    ),{','.join(steps)}
+    SELECT CAST(pick_rank AS INT) AS pick_rank, cid AS vec_id,
+           ROUND(mind, 9) AS min_sq_dist
+    FROM sel{k}
+    ORDER BY pick_rank
+    """
+
+
+@query("sample_coreset_kcenter", oracle=_kcenter_oracle())
+def sample_coreset_kcenter(spark, sf_dir, k: int = 8, pool: int = 64):
+    """Greedy k-center (farthest-point) coreset over the embedding
+    space — the diversity-first data-selection primitive (pick
+    examples that COVER the space, the complement of SemDeDup's
+    remove-what's-crowded): seed = md5-first candidate, then k−1
+    rounds of "add the point farthest from everything selected",
+    recording each pick's covering radius (min squared L2 to the
+    prior picks — the classic 2-approximation certificate). The
+    candidate pool is a 64-point md5-deterministic sample, so the
+    quadratic distance matrix is 64² rows BY CONSTRUCTION at any
+    corpus size and the greedy loop is unrolled to fixed depth over
+    localCheckpoint-truncated frames (the vector_mmr_diversify
+    lesson); the only corpus-sized work is the one ranking scan that
+    builds the pool. Scale the pool with a cluster-sized fit budget,
+    never with the corpus."""
+    from pyspark.sql import Window as W
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    ranked = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
+        F.md5(
+            F.concat(F.lit("kc:"), F.col("vec_id").cast("string"))
+        ).alias("h"),
+    ).withColumn("rn", F.row_number().over(W.orderBy("h", "vec_id")))
+    pool_df = (
+        ranked.filter(F.col("rn") <= pool)
+        .select("vec_id", "vec", "rn")
+        .localCheckpoint(eager=True)
+    )
+    a = pool_df.select(F.col("vec_id").alias("ca"), F.col("vec").alias("avec"))
+    b = pool_df.select(F.col("vec_id").alias("cb"), F.col("vec").alias("bvec"))
+    dists = (
+        a.crossJoin(b)
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "ca",
+            "cb",
+            F.expr(_SQDIST.format(a="avec", b="bvec")).alias("d2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel = pool_df.filter(F.col("rn") == 1).select(
+        F.lit(1).alias("pick_rank"),
+        F.col("vec_id").alias("cid"),
+        F.lit(0.0).alias("mind"),
+    )
+    for i in range(2, k + 1):
+        far = (
+            dists.join(sel.select(F.col("cid").alias("cb")), "cb")
+            .join(sel.select("cid").withColumnRenamed("cid", "ca"), "ca", "left_anti")
+            .groupBy("ca")
+            .agg(F.min("d2").alias("mind"))
+            .withColumn(
+                "rk",
+                F.row_number().over(W.orderBy(F.col("mind").desc(), "ca")),
+            )
+            .filter(F.col("rk") == 1)
+            .select(
+                F.lit(i).alias("pick_rank"),
+                F.col("ca").alias("cid"),
+                "mind",
+            )
+        )
+        sel = sel.unionAll(far).localCheckpoint(eager=True)
+    return sel.select(
+        F.col("pick_rank").cast("int").alias("pick_rank"),
+        F.col("cid").alias("vec_id"),
+        F.round("mind", 9).alias("min_sq_dist"),
+    ).orderBy("pick_rank")

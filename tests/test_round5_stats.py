@@ -392,3 +392,62 @@ def test_rescore_window_keeps_window_membership(spark):
             rs[i]["combined"] >= rs[i + 1]["combined"] - 1e-12
             for i in range(len(rs) - 1)
         )
+
+
+def test_kcenter_coreset_matches_python_greedy(spark):
+    import hashlib
+
+    import numpy as np
+
+    rows = _q(spark, "sample_coreset_kcenter").collect()
+    emb = (
+        load_tables(spark, SF)["embeddings"]
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    pool = sorted(
+        vecs, key=lambda v: (hashlib.md5(f"kc:{v}".encode()).hexdigest(), v)
+    )[:64]
+    sel = [pool[0]]
+    dists = [(0, sel[0], 0.0)]
+    while len(sel) < 8:
+        best = None
+        for c in pool:
+            if c in sel:
+                continue
+            mind = min(float(((vecs[c] - vecs[s]) ** 2).sum()) for s in sel)
+            # ties: smaller vec_id wins (strictly-greater test)
+            if best is None or mind > best[0] + 1e-12:
+                best = (mind, c)
+        sel.append(best[1])
+        dists.append((len(sel), best[1], best[0]))
+    assert [r["vec_id"] for r in rows] == sel
+    # covering radii are non-increasing (greedy farthest-point law)
+    radii = [r["min_sq_dist"] for r in rows[1:]]
+    assert all(radii[i] >= radii[i + 1] - 1e-9 for i in range(len(radii) - 1))
+
+
+def test_theil_sen_recovers_exact_linear_trend(spark, tmp_path):
+    import datetime as dt
+
+    registry.load_all()
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    # day i has exactly 3 + 2*i events: slope 2, intercept 3
+    for i in range(12):
+        for _ in range(3 + 2 * i):
+            rows.append((eid, t0 + dt.timedelta(days=i), 1, "view", 1.0, "{}"))
+            eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    r = registry.QUERIES["t_theil_sen_trend"](spark, sf).collect()[0]
+    assert r["n_days"] == 12
+    assert r["n_pairs"] == 12 * 11 // 2
+    assert r["slope"] == 2.0
+    assert r["intercept"] == 3.0
