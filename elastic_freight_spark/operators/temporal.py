@@ -2137,3 +2137,107 @@ def t_theil_sen_trend(spark, sf_dir):
         F.round("slope", 9).alias("slope"),
         F.round("r", 9).alias("intercept"),
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts, event_id,
+             CASE CAST(json_extract(props, '$.k') AS BIGINT) % 4
+               WHEN 0 THEN 'organic' WHEN 1 THEN 'paid'
+               WHEN 2 THEN 'email'   ELSE 'social' END AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts,
+             CAST(value AS DECIMAL(18,4)) AS value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT p.p_id, p.value, c.channel,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.p_id
+               ORDER BY c.c_ts DESC, c.event_id DESC
+             ) AS rk
+      FROM purchases p
+      JOIN clicks c
+        ON c.user_id = p.user_id AND c.c_ts <= p.p_ts
+    ),
+    last_touch AS (SELECT p_id, value, channel FROM attributed WHERE rk = 1),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases FROM purchases)
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(value) AS DOUBLE) AS attributed_value,
+           ROUND(COUNT(*) / CAST((SELECT n_purchases FROM np) AS DOUBLE), 9)
+             AS share_of_purchases
+    FROM last_touch
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def events_attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: every purchase is credited
+    to the channel of the user's most recent click at or before the
+    purchase (channel derived from the synthetic props key, k mod 4 —
+    the real column in a production feed). The as-of semantics are
+    the `join_asof_click_before_purchase` family applied per
+    PURCHASE (not per first-click), then rolled up to a channel
+    report: conversions, DECIMAL-routed attributed revenue, share of
+    all purchases. Scale shape: the user-keyed range join carries
+    only (user, ts, channel) — the window that picks the latest
+    touch partitions by purchase id, so no user's history concentrates
+    on one task beyond its own purchase count; unattributed
+    purchases (no prior click) fall out of the inner join and are
+    visible as shares summing below 1."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    channel = (
+        F.when(F.get_json_object("props", "$.k").cast("bigint") % 4 == 0, "organic")
+        .when(F.get_json_object("props", "$.k").cast("bigint") % 4 == 1, "paid")
+        .when(F.get_json_object("props", "$.k").cast("bigint") % 4 == 2, "email")
+        .otherwise("social")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        channel.alias("channel"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(18,4)").alias("value"),
+    )
+    attributed = (
+        purchases.join(clicks, "user_id")
+        .filter(F.col("c_ts") <= F.col("p_ts"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("p_id").orderBy(
+                    F.col("c_ts").desc(), F.col("c_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    np_ = purchases.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )
+    return (
+        attributed.crossJoin(F.broadcast(np_))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.sum("value").cast("double").alias("attributed_value"),
+            F.round(
+                F.count(F.lit(1))
+                / F.first("n_purchases").cast("double"),
+                9,
+            ).alias("share_of_purchases"),
+        )
+        .orderBy("channel")
+    )

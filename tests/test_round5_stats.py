@@ -451,3 +451,48 @@ def test_theil_sen_recovers_exact_linear_trend(spark, tmp_path):
     assert r["n_pairs"] == 12 * 11 // 2
     assert r["slope"] == 2.0
     assert r["intercept"] == 3.0
+
+
+def test_last_touch_attribution_matches_python_recompute(spark):
+    import json
+
+    rows = _q(spark, "events_attribution_last_touch").collect()
+    ev = (
+        load_tables(spark, SF)["events"]
+        .selectExpr("user_id", "event_id", "unix_micros(ts) AS us",
+                    "event_type", "value", "props")
+        .collect()
+    )
+    CH = {0: "organic", 1: "paid", 2: "email", 3: "social"}
+    clicks = {}
+    for r in ev:
+        if r["event_type"] == "click":
+            k = json.loads(r["props"])["k"]
+            clicks.setdefault(r["user_id"], []).append(
+                (r["us"], r["event_id"], CH[k % 4])
+            )
+    n_purch = 0
+    agg = {}
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        n_purch += 1
+        prior = [
+            c for c in clicks.get(r["user_id"], []) if c[0] <= r["us"]
+        ]
+        if not prior:
+            continue
+        ch = max(prior)[2]  # latest ts, then largest event_id
+        n, v = agg.get(ch, (0, 0.0))
+        agg[ch] = (n + 1, v + round(r["value"], 4))
+    got = {
+        r["channel"]: (r["n_conversions"], r["attributed_value"],
+                       r["share_of_purchases"])
+        for r in rows
+    }
+    assert set(got) == set(agg)
+    for ch, (n, v) in agg.items():
+        gn, gv, gs = got[ch]
+        assert gn == n
+        assert abs(gv - v) < 1e-6
+        assert abs(gs - n / n_purch) < 1e-9
