@@ -2604,3 +2604,142 @@ def stats_mann_whitney_u(spark, sf_dir):
         F.round(F.col("u2").cast("double") / 2, 1).alias("u_stat"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@query(
+    "stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s_g,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS q_g
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(s_g) AS s,
+             SUM(s_g * s_g / n_g) AS sqn,
+             SUM(q_g) AS q
+      FROM g
+    )
+    SELECT n, k,
+           ROUND(sqn - s * s / n, 6) AS ss_between,
+           ROUND(q - sqn, 6) AS ss_within,
+           ROUND(((sqn - s * s / n) / (k - 1))
+                 / NULLIF((q - sqn) / (n - k), 0), 6) AS f_stat
+    FROM tot
+    """,
+)
+def stats_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F test (event value across the five event
+    types) — completes the classical-inference set (t / KS / U / chi2
+    / F) the reference would delegate to an external stats stack.
+    One map-side-combined pass collects per-group (n, Σx, Σx²) with
+    DECIMAL routing (4dp values, 8dp squares — exact), the F
+    statistic is the textbook between/within decomposition as a fixed
+    IEEE tree over those exact inputs; the only cross-engine float
+    sums are over the FIVE group rows, absorbed by ROUND(...,6) (the
+    regr_r2 precedent). Zero within-variance degenerates to NULL, not
+    an ANSI error."""
+    t = load_tables(spark, sf_dir)
+    g = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("s_g"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("q_g"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s_g").alias("s"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("sqn"),
+        F.sum("q_g").alias("q"),
+    )
+    n, k, s, sqn, q = (
+        F.col("n"),
+        F.col("k"),
+        F.col("s"),
+        F.col("sqn"),
+        F.col("q"),
+    )
+    return tot.select(
+        "n",
+        "k",
+        F.round(sqn - s * s / n, 6).alias("ss_between"),
+        F.round(q - sqn, 6).alias("ss_within"),
+        F.round(
+            ((sqn - s * s / n) / (k - 1))
+            / F.nullif((q - sqn) / (n - k), F.lit(0.0)),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+    ),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT digit, n,
+           ROUND(n / CAST((SELECT total FROM tot) AS DOUBLE), 9)
+             AS observed_share,
+           ROUND(LOG10(1 + 1.0 / digit), 9) AS benford_share,
+           ROUND(ABS(n / CAST((SELECT total FROM tot) AS DOUBLE)
+                     - LOG10(1 + 1.0 / digit)), 9) AS abs_dev
+    FROM counts
+    ORDER BY digit
+    """,
+)
+def dq_benford_first_digit(spark, sf_dir):
+    """Benford's-law first-significant-digit audit of order totals —
+    the classic fabricated-data / ingestion-corruption screen (a feed
+    that pads or truncates amounts jumps straight out of the digit
+    histogram). Digit extraction stays INTEGER all the way: 2dp money
+    → exact cents via DECIMAL → BIGINT → first character of the
+    integer's decimal rendering (identical in every engine — no
+    float log10 on the data path; log10 appears only applied to the
+    digit constants 1..9). One scan, 9-row output."""
+    t = load_tables(spark, sf_dir)
+    digit = F.substring(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .cast("string"),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        t["orders"]
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    share = F.col("n") / F.col("total").cast("double")
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(share, 9).alias("observed_share"),
+            F.round(benford, 9).alias("benford_share"),
+            F.round(F.abs(share - benford), 9).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

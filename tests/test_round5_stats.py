@@ -496,3 +496,40 @@ def test_last_touch_attribution_matches_python_recompute(spark):
         assert gn == n
         assert abs(gv - v) < 1e-6
         assert abs(gs - n / n_purch) < 1e-9
+
+
+def test_anova_matches_python_recompute(spark):
+    rows = _q(spark, "stats_anova_oneway").collect()[0]
+    ev = load_tables(spark, SF)["events"].select("event_type", "value").collect()
+    groups = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(round(r["value"], 4))
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    s = sum(sum(v) for v in groups.values())
+    grand = s / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (rows["n"], rows["k"]) == (n, k)
+    assert abs(rows["ss_between"] - ssb) < 1e-3
+    assert abs(rows["ss_within"] - ssw) < max(1e-3, 1e-9 * abs(ssw))
+    assert abs(rows["f_stat"] - f) < 1e-4
+
+
+def test_benford_digit_extraction_and_shares(spark):
+    import math
+
+    rows = _q(spark, "dq_benford_first_digit").collect()
+    orders = load_tables(spark, SF)["orders"].select("o_totalprice").collect()
+    from collections import Counter
+
+    c = Counter(str(int(round(r["o_totalprice"] * 100)))[0] for r in orders)
+    got = {r["digit"]: r["n"] for r in rows}
+    assert got == {int(d): n for d, n in c.items()}
+    tot = sum(got.values())
+    for r in rows:
+        assert abs(r["observed_share"] - r["n"] / tot) < 1e-9
+        assert abs(r["benford_share"] - math.log10(1 + 1 / r["digit"])) < 1e-8
