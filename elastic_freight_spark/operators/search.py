@@ -1283,3 +1283,175 @@ def search_rescore_window(spark, sf_dir):
         )
         .orderBy("token", "new_rank")
     )
+
+
+# Stored percolator queries: (query_id, must-term). A row per
+# required term — doc matches a query iff it contains EVERY term.
+_PERCOLATE_QUERIES = [
+    (1, "data"), (1, "hash"),
+    (2, "join"), (2, "table"),
+    (3, "data"), (3, "join"), (3, "table"),
+    (4, "hash"),
+    (5, "data"), (5, "quantum"),   # unsatisfiable on this corpus half
+    (6, "the"),
+]
+_PERCOLATE_SQL_VALUES = ", ".join(
+    f"({q}, '{t}')" for q, t in _PERCOLATE_QUERIES
+)
+
+
+@query(
+    "search_percolate",
+    oracle=f"""
+    WITH stored(query_id, term) AS (VALUES {_PERCOLATE_SQL_VALUES}),
+    qsize AS (
+      SELECT query_id, CAST(COUNT(*) AS INT) AS n_terms
+      FROM stored GROUP BY 1
+    ),
+    doc_terms AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    hits AS (
+      SELECT s.query_id, d.doc_id,
+             CAST(COUNT(*) AS INT) AS n_matched
+      FROM stored s JOIN doc_terms d ON d.token = s.term
+      GROUP BY 1, 2
+    ),
+    matches AS (
+      SELECT h.query_id, h.doc_id
+      FROM hits h JOIN qsize q ON q.query_id = h.query_id
+      WHERE h.n_matched = q.n_terms
+    )
+    SELECT q.query_id, q.n_terms,
+           CAST(COUNT(m.doc_id) AS BIGINT) AS n_matching_docs,
+           MIN(m.doc_id) AS first_match
+    FROM qsize q LEFT JOIN matches m ON m.query_id = q.query_id
+    GROUP BY q.query_id, q.n_terms
+    ORDER BY q.query_id
+    """,
+)
+def search_percolate(spark, sf_dir):
+    """ES percolator, inverted search: queries are STORED (as
+    must-term conjunctions) and incoming documents are matched
+    against them — the alerting/routing primitive ("which saved
+    searches does this doc trigger"). Set-cover matching as posting
+    algebra: distinct (doc, token) joins the broadcast stored-term
+    table, a doc satisfies a query iff its matched-term count equals
+    the query's term count (integer threshold, never a float score).
+    Includes an unsatisfiable query (LEFT JOIN keeps its zero row —
+    that IS the signal) and a stopword query matching nearly
+    everything. At 100 TB the stored-query side is tiny and
+    broadcast; the doc side collapses to distinct tokens map-side
+    before the join — percolating a NEW batch is the same plan over
+    the batch instead of the corpus."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    stored = spark.createDataFrame(
+        _PERCOLATE_QUERIES,
+        StructType(
+            [
+                StructField("query_id", IntegerType()),
+                StructField("term", StringType()),
+            ]
+        ),
+    )
+    qsize = stored.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms")
+    )
+    doc_terms = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    hits = (
+        doc_terms.join(
+            F.broadcast(stored), F.col("token") == F.col("term")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_matched"))
+    )
+    matches = hits.join(F.broadcast(qsize), "query_id").filter(
+        F.col("n_matched") == F.col("n_terms")
+    )
+    return (
+        F.broadcast(qsize)
+        .join(matches.select("query_id", "doc_id"), "query_id", "left")
+        .groupBy("query_id", "n_terms")
+        .agg(
+            F.count("doc_id").cast("bigint").alias("n_matching_docs"),
+            F.min("doc_id").alias("first_match"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "search_span_near",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok[i] AS token, i
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
+            FROM documents),
+           LATERAL (SELECT unnest(range(1, len(tok) + 1)) AS i)
+      WHERE tok[i] <> ''
+    ),
+    t1 AS (SELECT doc_id, i FROM toks WHERE token = 'data'),
+    t2 AS (SELECT doc_id, i FROM toks WHERE token = 'join'),
+    spans AS (
+      SELECT t1.doc_id,
+             CAST(ABS(t1.i - t2.i) - 1 AS BIGINT) AS gap
+      FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id
+    )
+    SELECT doc_id,
+           CAST(MIN(gap) AS BIGINT) AS min_gap,
+           CAST(SUM(CASE WHEN gap <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_windows
+    FROM spans
+    GROUP BY doc_id
+    HAVING SUM(CASE WHEN gap <= 3 THEN 1 ELSE 0 END) > 0
+    ORDER BY min_gap, doc_id
+    LIMIT 25
+    """,
+)
+def search_span_near(spark, sf_dir):
+    """ES `span_near` (slop=3, in_order=false): both terms within a
+    3-token window — the proximity generalization of
+    `search_phrase_match`'s exact adjacency. Position lists are
+    per-(doc, term) slices of the tokenized scan; the position join is
+    keyed on doc_id so each doc's cost is |pos1|·|pos2| for ITS OWN
+    occurrences only (per-doc-bounded, not corpus-quadratic). All
+    gaps are integers; ranking is min-gap with doc_id tie-break."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "token"),
+    ).filter(F.col("token") != "")
+    # DuckDB positions are 1-based list indices; mirror that
+    t1 = toks.filter(F.col("token") == "data").select(
+        "doc_id", (F.col("pos0") + 1).alias("i1")
+    )
+    t2 = toks.filter(F.col("token") == "join").select(
+        "doc_id", (F.col("pos0") + 1).alias("i2")
+    )
+    spans = t1.join(t2, "doc_id").select(
+        "doc_id",
+        (F.abs(F.col("i1") - F.col("i2")) - 1).cast("bigint").alias("gap"),
+    )
+    near = F.sum(F.when(F.col("gap") <= 3, 1).otherwise(0))
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.min("gap").cast("bigint").alias("min_gap"),
+            near.cast("bigint").alias("n_windows"),
+        )
+        .filter(F.col("n_windows") > 0)
+        .orderBy("min_gap", "doc_id")
+        .limit(25)
+    )

@@ -533,3 +533,52 @@ def test_benford_digit_extraction_and_shares(spark):
     for r in rows:
         assert abs(r["observed_share"] - r["n"] / tot) < 1e-9
         assert abs(r["benford_share"] - math.log10(1 + 1 / r["digit"])) < 1e-8
+
+
+def test_percolate_matches_python_recompute(spark):
+    from elastic_freight_spark.operators.search import _PERCOLATE_QUERIES
+
+    rows = _q(spark, "search_percolate").collect()
+    docs = load_tables(spark, SF)["documents"].select("doc_id", "text").collect()
+    qterms = {}
+    for q, t in _PERCOLATE_QUERIES:
+        qterms.setdefault(q, set()).add(t)
+    expect = {}
+    for q, terms in qterms.items():
+        hits = [
+            d["doc_id"]
+            for d in docs
+            if terms <= {t for t in d["text"].lower().split(" ") if t}
+        ]
+        expect[q] = (len(terms), len(hits), min(hits) if hits else None)
+    got = {
+        r["query_id"]: (r["n_terms"], r["n_matching_docs"], r["first_match"])
+        for r in rows
+    }
+    assert got == expect
+    # the unsatisfiable stored query keeps its zero row
+    assert got[5][1] == 0 and got[5][2] is None
+
+
+def test_span_near_windows_contract(spark):
+    rows = _q(spark, "search_span_near", "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r["min_gap"] <= 3          # qualifying docs have a near window
+        assert r["n_windows"] >= 1
+        assert r["min_gap"] >= 0
+    docs = dict(
+        (d["doc_id"], d["text"])
+        for d in load_tables(spark, "/root/testdata/sf0.01")["documents"]
+        .select("doc_id", "text")
+        .collect()
+        if d["doc_id"] in {r["doc_id"] for r in rows}
+    )
+    # spot-verify the top row by hand
+    top = rows[0]
+    toks = docs[top["doc_id"]].lower().split(" ")
+    p1 = [i for i, t in enumerate(toks) if t == "data"]
+    p2 = [i for i, t in enumerate(toks) if t == "join"]
+    gaps = [abs(i - j) - 1 for i in p1 for j in p2]
+    assert min(gaps) == top["min_gap"]
+    assert sum(1 for g in gaps if g <= 3) == top["n_windows"]
