@@ -2743,3 +2743,80 @@ def dq_benford_first_digit(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "customer_pareto_threshold",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS r
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(r) AS DECIMAL(38,2)) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM rev
+    ),
+    ranked AS (
+      SELECT r,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey) AS cum,
+             ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS rk
+      FROM rev
+    ),
+    hit AS (
+      SELECT CAST(MIN(rk) AS BIGINT) AS k80
+      FROM ranked, tot WHERE cum * 5 >= total * 4
+    )
+    SELECT n_cust, k80,
+           ROUND(CAST(k80 AS DOUBLE) / CAST(n_cust AS DOUBLE), 9)
+             AS top_share_of_customers,
+           CAST(total AS DOUBLE) AS total_revenue
+    FROM tot, hit
+    """,
+)
+def customer_pareto_threshold(spark, sf_dir):
+    """Pareto 80/20 concentration: the smallest k such that the top-k
+    customers (by DECIMAL-exact revenue, custkey tie-break) carry at
+    least 80% of total revenue — the complement of
+    `customer_value_gini`'s integral view. The 80% crossing is the
+    repo's thresholds-as-integers discipline: `cum·5 >= total·4` on
+    exact decimals, never a float ratio compare. The revenue ranking
+    reuses the distributed-sortable shape (customer-sized frame, one
+    window); only k and the share are emitted."""
+    from pyspark.sql import Window as W
+
+    rev = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("r")
+        )
+    )
+    tot = rev.agg(
+        F.sum("r").cast("decimal(38,2)").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+    )
+    w = W.orderBy(F.col("r").desc(), "o_custkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = rev.select(
+        F.sum("r").over(w).alias("cum"),
+        F.row_number().over(W.orderBy(F.col("r").desc(), "o_custkey")).alias(
+            "rk"
+        ),
+    )
+    hit = ranked.crossJoin(F.broadcast(tot)).filter(
+        F.col("cum") * 5 >= F.col("total") * 4
+    ).agg(F.min("rk").cast("bigint").alias("k80"))
+    return tot.crossJoin(F.broadcast(hit)).select(
+        "n_cust",
+        "k80",
+        F.round(
+            F.col("k80").cast("double") / F.col("n_cust").cast("double"), 9
+        ).alias("top_share_of_customers"),
+        F.col("total").cast("double").alias("total_revenue"),
+    )

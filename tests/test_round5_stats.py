@@ -582,3 +582,31 @@ def test_span_near_windows_contract(spark):
     gaps = [abs(i - j) - 1 for i in p1 for j in p2]
     assert min(gaps) == top["min_gap"]
     assert sum(1 for g in gaps if g <= 3) == top["n_windows"]
+
+
+def test_pareto_threshold_matches_python_recompute(spark):
+    r = _q(spark, "customer_pareto_threshold").collect()[0]
+    orders = (
+        load_tables(spark, SF)["orders"]
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    rev = {}
+    for o in orders:
+        rev[o["o_custkey"]] = rev.get(o["o_custkey"], 0) + round(
+            o["o_totalprice"] * 100
+        )
+    total = sum(rev.values())
+    cum = 0
+    k80 = None
+    for i, (c, v) in enumerate(
+        sorted(rev.items(), key=lambda kv: (-kv[1], kv[0])), start=1
+    ):
+        cum += v
+        if cum * 5 >= total * 4:
+            k80 = i
+            break
+    assert r["n_cust"] == len(rev)
+    assert r["k80"] == k80
+    assert abs(r["top_share_of_customers"] - k80 / len(rev)) < 1e-9
+    assert abs(r["total_revenue"] - total / 100) < 1e-4
