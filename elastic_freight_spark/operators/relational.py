@@ -2820,3 +2820,124 @@ def customer_pareto_threshold(spark, sf_dir):
         ).alias("top_share_of_customers"),
         F.col("total").cast("double").alias("total_revenue"),
     )
+
+
+def _spearman_rank_sql(col: str) -> str:
+    """Doubled tie-averaged ranks for one variable: per distinct
+    value, 2·avgrank = 2·c_prev + t + 1 (exact integers)."""
+    return f"""(
+      SELECT v, 2 * (cum - t) + t + 1 AS r2 FROM (
+        SELECT v, t, SUM(t) OVER (ORDER BY v) AS cum FROM (
+          SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS t
+          FROM lineitem GROUP BY 1
+        )
+      )
+    )"""
+
+
+@query(
+    "stats_spearman_rank",
+    oracle=f"""
+    WITH rx AS {_spearman_rank_sql('l_quantity')},
+    ry AS {_spearman_rank_sql('l_extendedprice')},
+    joined AS (
+      SELECT CAST(x.r2 AS DECIMAL(19,0)) AS a, CAST(y.r2 AS DECIMAL(19,0)) AS b
+      FROM lineitem li
+      JOIN rx x ON x.v = li.l_quantity
+      JOIN ry y ON y.v = li.l_extendedprice
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(a) AS DOUBLE) AS sa,
+             CAST(SUM(b) AS DOUBLE) AS sb,
+             CAST(SUM(a * a) AS DOUBLE) AS saa,
+             CAST(SUM(b * b) AS DOUBLE) AS sbb,
+             CAST(SUM(a * b) AS DOUBLE) AS sab
+      FROM joined
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sab - sa * sb)
+                 / NULLIF(SQRT(n * saa - sa * sa)
+                          * SQRT(n * sbb - sb * sb), 0), 9) AS spearman_rho
+    FROM m
+    """,
+)
+def stats_spearman_rank(spark, sf_dir):
+    """Spearman rank correlation (quantity vs price): Pearson on
+    tie-AVERAGED ranks, with ranks DOUBLED so the .5 tie grain stays
+    integral end to end (2·avgrank = 2·c_prev + t + 1 over each
+    variable's value-count cumulative — the Mann-Whitney move applied
+    to correlation). Rank moments route through DECIMAL(19,0)²
+    products; ρ is the mirrored fixed IEEE tree with a NULLIF
+    degenerate guard. The quantity side has ~50 distinct values and
+    heavy ties — exactly what the average-rank formula must handle —
+    while the price side joins back by value through a shuffle keyed
+    on the value itself. One scan per variable plus one fact join."""
+    from pyspark.sql import Window as W
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+
+    def ranks(col):
+        # bucketed distributed prefix sum (the pooled_price_cum plan):
+        # the cumulative over distinct VALUES must not be a data-sized
+        # single-partition window — value-range buckets carry the
+        # within-bucket running sum, a domain-sized offset frame adds
+        # the across-bucket prefix.
+        counts = li.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("t")
+        ).withColumn("bucket", F.expr("cast(floor(v) as bigint) div 100"))
+        win_in = (
+            W.partitionBy("bucket")
+            .orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        within = counts.withColumn("cum_in", F.sum("t").over(win_in))
+        btot = counts.groupBy("bucket").agg(F.sum("t").alias("bt"))
+        win_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+        offsets = btot.select(
+            "bucket",
+            F.coalesce(F.sum("bt").over(win_b), F.lit(0)).alias("off"),
+        )
+        cum = within.join(F.broadcast(offsets), "bucket").withColumn(
+            "cum", F.col("off") + F.col("cum_in")
+        )
+        return cum.select(
+            "v",
+            (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1).alias("r2"),
+        )
+
+    rx = ranks("l_quantity")
+    ry = ranks("l_extendedprice")
+    joined = (
+        li.select("l_quantity", "l_extendedprice")
+        .join(
+            F.broadcast(rx.withColumnRenamed("r2", "a")),
+            F.col("v") == F.col("l_quantity"),
+        )
+        .drop("v")
+        .join(
+            ry.withColumnRenamed("r2", "b"),
+            F.col("v") == F.col("l_extendedprice"),
+        )
+        .select(
+            F.col("a").cast("decimal(19,0)").alias("a"),
+            F.col("b").cast("decimal(19,0)").alias("b"),
+        )
+    )
+    m = joined.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("a").cast("double").alias("sa"),
+        F.sum("b").cast("double").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).cast("double").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("double").alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("sab"),
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    saa, sbb, sab = F.col("saa"), F.col("sbb"), F.col("sab")
+    rho = (n * sab - sa * sb) / F.nullif(
+        F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb), F.lit(0.0)
+    )
+    return m.select(
+        n.cast("bigint").alias("n_rows"),
+        F.round(rho, 9).alias("spearman_rho"),
+    )

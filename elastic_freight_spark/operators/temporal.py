@@ -2241,3 +2241,79 @@ def events_attribution_last_touch(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "t_seasonal_decompose_daily",
+    oracle=f"""
+    WITH {_DAILY_SERIES_SQL},
+    idx AS (
+      SELECT x, CAST(day - (SELECT lo FROM bounds) AS BIGINT) AS t
+      FROM series
+    ),
+    trend AS (
+      SELECT t, x,
+             CAST(SUM(x) OVER (ORDER BY t
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS s7,
+             COUNT(*) OVER (ORDER BY t
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS w7
+      FROM idx
+    ),
+    detrended AS (
+      SELECT t % 7 AS weekday,
+             7 * x - s7 AS d7
+      FROM trend WHERE w7 = 7
+    )
+    SELECT CAST(weekday AS INT) AS weekday,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(d7) AS BIGINT) AS d7_sum,
+           ROUND(CAST(SUM(d7) AS DOUBLE) / (7 * COUNT(*)), 9)
+             AS seasonal_index
+    FROM detrended
+    GROUP BY weekday
+    ORDER BY weekday
+    """,
+)
+def t_seasonal_decompose_daily(spark, sf_dir):
+    """Classical seasonal decomposition, weekday component: detrend
+    the shared daily series with a centered 7-day moving average
+    (full windows only), then average the detrended values per
+    weekday phase ((day − lo) mod 7 — integer phase, immune to the
+    Sunday-vs-Monday weekday-numbering split between engines). The
+    fraction 1/7 never touches the data path: detrended values are
+    kept as the INTEGER numerator 7x − S7, so the per-phase mean is a
+    single division of exact integers at the output edge —
+    `seasonal_index` is in events/day, positive = above-trend phase.
+    One groupBy-day scan; the window runs over the calendar-bounded
+    series."""
+    from pyspark.sql import Window as W
+
+    series = daily_series(spark, sf_dir)
+    lo = series.agg(F.min("day").alias("lo"))
+    idx = series.crossJoin(F.broadcast(lo)).select(
+        "x", F.datediff("day", "lo").cast("bigint").alias("t")
+    )
+    w7 = W.orderBy("t").rowsBetween(-3, 3)
+    trend = idx.select(
+        "t",
+        "x",
+        F.sum("x").over(w7).cast("bigint").alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("w7"),
+    )
+    detrended = trend.filter(F.col("w7") == 7).select(
+        (F.col("t") % 7).cast("int").alias("weekday"),
+        (7 * F.col("x") - F.col("s7")).alias("d7"),
+    )
+    return (
+        detrended.groupBy("weekday")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("d7").cast("bigint").alias("d7_sum"),
+            F.round(
+                F.sum("d7").cast("double") / (7 * F.count(F.lit(1))), 9
+            ).alias("seasonal_index"),
+        )
+        .orderBy("weekday")
+    )

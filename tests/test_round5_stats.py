@@ -610,3 +610,68 @@ def test_pareto_threshold_matches_python_recompute(spark):
     assert r["k80"] == k80
     assert abs(r["top_share_of_customers"] - k80 / len(rev)) < 1e-9
     assert abs(r["total_revenue"] - total / 100) < 1e-4
+
+
+def test_seasonal_decompose_matches_python_recompute(spark):
+    import datetime as dt
+
+    rows = _q(spark, "t_seasonal_decompose_daily").collect()
+    ev = load_tables(spark, SF)["events"].selectExpr(
+        "cast(date_trunc('day', ts) as date) AS d"
+    ).collect()
+    days = {}
+    for r in ev:
+        days[r["d"]] = days.get(r["d"], 0) + 1
+    lo, hi = min(days), max(days)
+    x = []
+    d = lo
+    while d <= hi:
+        x.append(days.get(d, 0))
+        d += dt.timedelta(days=1)
+    by_wd = {}
+    for t in range(3, len(x) - 3):
+        s7 = sum(x[t - 3 : t + 4])
+        by_wd.setdefault(t % 7, []).append(7 * x[t] - s7)
+    got = {r["weekday"]: r for r in rows}
+    assert set(got) == set(by_wd)
+    for wd, vals in by_wd.items():
+        assert got[wd]["n_obs"] == len(vals)
+        assert got[wd]["d7_sum"] == sum(vals)
+        assert abs(
+            got[wd]["seasonal_index"] - sum(vals) / (7 * len(vals))
+        ) < 1e-9
+    # seasonal indices of a full decomposition roughly cancel
+    tot = sum(r["d7_sum"] for r in rows)
+    n = sum(r["n_obs"] for r in rows)
+    assert abs(tot / (7 * n)) < 5.0
+
+
+def test_spearman_matches_scipy_style_recompute(spark):
+    rows = _q(spark, "stats_spearman_rank").collect()[0]
+    li = (
+        load_tables(spark, SF)["lineitem"]
+        .select("l_quantity", "l_extendedprice")
+        .collect()
+    )
+    import numpy as np
+
+    q = np.array([r["l_quantity"] for r in li])
+    p = np.array([r["l_extendedprice"] for r in li])
+
+    def avg_ranks(a):
+        order = np.argsort(a, kind="stable")
+        ranks = np.empty(len(a))
+        sa = a[order]
+        i = 0
+        while i < len(sa):
+            j = i
+            while j < len(sa) and sa[j] == sa[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2
+            i = j
+        return ranks
+
+    rq, rp = avg_ranks(q), avg_ranks(p)
+    rho = np.corrcoef(rq, rp)[0, 1]
+    assert rows["n_rows"] == len(li)
+    assert abs(rows["spearman_rho"] - rho) < 1e-7
