@@ -1455,3 +1455,164 @@ def search_span_near(spark, sf_dir):
         .orderBy("min_gap", "doc_id")
         .limit(25)
     )
+
+
+@query(
+    "search_function_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text),' ')) AS token
+      FROM documents
+    ), postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY 1, 2
+    ), doc_len AS (
+      SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1
+    ), avgdl AS (SELECT AVG(dl) AS avgdl FROM doc_len),
+    hits AS (
+      SELECT p.token, p.doc_id, p.tf,
+             (p.tf * (1.2 + 1))
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS bscore
+      FROM postings p JOIN doc_len USING (doc_id) CROSS JOIN avgdl
+      WHERE p.token IN ('data', 'hash', 'join', 'table')
+    ),
+    boosted AS (
+      SELECT h.token, h.doc_id,
+             h.bscore * SQRT(CAST(d.n_chars AS DOUBLE)) AS fscore
+      FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+    )
+    SELECT token, doc_id, ROUND(fscore, 9) AS fscore,
+           CAST(rk AS INT) AS rank
+    FROM (
+      SELECT token, doc_id, fscore,
+             ROW_NUMBER() OVER (PARTITION BY token
+                                ORDER BY fscore DESC, doc_id) AS rk
+      FROM boosted
+    ) WHERE rk <= 5
+    ORDER BY token, rank
+    """,
+)
+def search_function_score(spark, sf_dir):
+    """ES `function_score` with a field_value_factor
+    (modifier=sqrt): relevance multiplied by a per-document signal —
+    the standard popularity/length boost (here sqrt(n_chars), the
+    real column in a production feed would be clicks or recency).
+    The boost join reads the stored doc metadata column, NOT the
+    postings, so the multiplier costs one broadcast-sized hash join
+    per candidate set; the combined score is bm25·sqrt(field), a
+    fixed IEEE tree over the hash-green BM25 expression, doc_id
+    tie-broken."""
+    from pyspark.sql import Window as W
+
+    postings, doc_len = indexed_postings(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"]
+    avgdl_df = doc_len.agg(F.avg("dl").alias("avgdl"))
+    k1, b = 1.2, 0.75
+    hits = (
+        postings.filter(F.col("token").isin(*AGREEMENT_TERMS))
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
+        .select(
+            "token",
+            "doc_id",
+            (
+                (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("bscore"),
+        )
+    )
+    boosted = hits.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    ).select(
+        "token",
+        "doc_id",
+        (
+            F.col("bscore") * F.sqrt(F.col("n_chars").cast("double"))
+        ).alias("fscore"),
+    )
+    return (
+        boosted.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("token").orderBy(
+                    F.col("fscore").desc(), "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 5)
+        .select(
+            "token",
+            "doc_id",
+            F.round("fscore", 9).alias("fscore"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("token", "rank")
+    )
+
+
+@query(
+    "agg_rare_terms",
+    oracle="""
+    WITH df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+      GROUP BY token
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+    rare AS (SELECT token, n_docs FROM df
+             WHERE n_docs * 20 <= (SELECT n_total FROM tot))
+    SELECT CAST((SELECT COUNT(*) FROM rare) AS BIGINT) AS n_rare_terms,
+           token, n_docs
+    FROM (
+      SELECT token, n_docs,
+             ROW_NUMBER() OVER (ORDER BY token) AS rk
+      FROM rare
+    ) WHERE rk <= 15
+    ORDER BY token
+    """,
+)
+def agg_rare_terms(spark, sf_dir):
+    """ES `rare_terms` aggregation: the LONG-TAIL complement of the
+    `terms` agg — terms appearing in at most max_doc_count=2
+    documents — rarity is RELATIVE (df·20 <= corpus size, an integer
+    threshold per the thresholds-as-integers rule) because an
+    absolute max_doc_count is meaningless across scale factors
+    (typo mining, anomaly strings, PII-ish identifiers).
+    ES implements it with a CuckooFilter + multiple passes precisely
+    because "bottom-k by df" does not shard the way top-k does; the
+    engine computes the exact answer in one df aggregate + filter,
+    which IS the Spark-native advantage (no bounded-memory
+    coordinator constraint). Emits the global rare count and the 15
+    lexicographically-first rare terms — integer-only output."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    df_ = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    rare = df_.crossJoin(F.broadcast(tot)).filter(
+        F.col("n_docs") * 20 <= F.col("n_total")
+    ).select("token", "n_docs")
+    n_rare = rare.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rare_terms")
+    )
+    return (
+        rare.withColumn("rk", F.row_number().over(W.orderBy("token")))
+        .filter(F.col("rk") <= 15)
+        .crossJoin(F.broadcast(n_rare))
+        .select("n_rare_terms", "token", "n_docs")
+        .orderBy("token")
+    )

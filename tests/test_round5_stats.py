@@ -675,3 +675,47 @@ def test_spearman_matches_scipy_style_recompute(spark):
     rho = np.corrcoef(rq, rp)[0, 1]
     assert rows["n_rows"] == len(li)
     assert abs(rows["spearman_rho"] - rho) < 1e-7
+
+
+def test_function_score_is_boosted_bm25(spark):
+    import math
+
+    sf = "/root/testdata/sf0.01"
+    rows = _q(spark, "search_function_score", sf).collect()
+    chars = dict(
+        (d["doc_id"], d["n_chars"])
+        for d in load_tables(spark, sf)["documents"]
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    by_tok = {}
+    for r in rows:
+        by_tok.setdefault(r["token"], []).append(r)
+    for tok, rs in by_tok.items():
+        assert len(rs) == 5
+        rs.sort(key=lambda r: r["rank"])
+        assert all(
+            rs[i]["fscore"] >= rs[i + 1]["fscore"] - 1e-9
+            for i in range(4)
+        )
+        # score scales with sqrt of the boost field: back out bm25 and
+        # check it is bounded by the bm25 ceiling k1+1 = 2.2
+        for r in rs:
+            bm25 = r["fscore"] / math.sqrt(chars[r["doc_id"]])
+            assert 0 < bm25 <= 2.2 + 1e-9
+
+
+def test_rare_terms_relative_threshold(spark):
+    sf = "/root/testdata/sf0.01"
+    rows = _q(spark, "agg_rare_terms", sf).collect()
+    docs = load_tables(spark, sf)["documents"].select("doc_id", "text").collect()
+    df = {}
+    for d in docs:
+        for t in set(x for x in d["text"].lower().split(" ") if x):
+            df[t] = df.get(t, 0) + 1
+    rare = sorted(t for t, n in df.items() if n * 20 <= len(docs))
+    assert rows, "expected at least one relatively-rare term at sf0.01"
+    assert all(r["n_rare_terms"] == len(rare) for r in rows)
+    assert [r["token"] for r in rows] == rare[:15]
+    for r in rows:
+        assert df[r["token"]] == r["n_docs"]
