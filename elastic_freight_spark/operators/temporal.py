@@ -2139,6 +2139,21 @@ def t_theil_sen_trend(spark, sf_dir):
     )
 
 
+# Channel mapping shared by the batch attribution query and its
+# streaming twin (streaming/structured.stream_attribution_state):
+# ONE definition so the two surfaces can never diverge.
+ATTRIBUTION_CHANNELS = {0: "organic", 1: "paid", 2: "email", 3: "social"}
+
+
+def attribution_channel_col():
+    """Column expression: props.k mod 4 → channel name."""
+    k4 = F.get_json_object("props", "$.k").cast("bigint") % 4
+    expr = F.when(k4 == 0, ATTRIBUTION_CHANNELS[0])
+    for i in (1, 2):
+        expr = expr.when(k4 == i, ATTRIBUTION_CHANNELS[i])
+    return expr.otherwise(ATTRIBUTION_CHANNELS[3])
+
+
 @query(
     "events_attribution_last_touch",
     oracle="""
@@ -2193,12 +2208,7 @@ def events_attribution_last_touch(spark, sf_dir):
     from pyspark.sql import Window as W
 
     ev = load_tables(spark, sf_dir)["events"]
-    channel = (
-        F.when(F.get_json_object("props", "$.k").cast("bigint") % 4 == 0, "organic")
-        .when(F.get_json_object("props", "$.k").cast("bigint") % 4 == 1, "paid")
-        .when(F.get_json_object("props", "$.k").cast("bigint") % 4 == 2, "email")
-        .otherwise("social")
-    )
+    channel = attribution_channel_col()
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         F.col("ts").alias("c_ts"),

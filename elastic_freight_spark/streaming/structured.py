@@ -46,6 +46,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 from elastic_freight_spark.indexer import IndexConfig, shard_expr
+from elastic_freight_spark.operators.temporal import ATTRIBUTION_CHANNELS
 
 # Ship this module's functions (the applyInPandasWithState handler) to
 # Python workers by VALUE — executors must not need the package
@@ -1174,4 +1175,87 @@ def stream_scd2_history(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+_ATTR_STATE_SCHEMA = "c_ts LONG, c_id LONG, channel STRING"
+_ATTR_OUT_SCHEMA = (
+    "p_id LONG, user_id LONG, channel STRING, value DOUBLE, p_ts_us LONG"
+)
+
+
+def _attribution_user_fn(key, pdfs, state):
+    """Per-user last-touch attribution machine: state is the user's
+    latest click (timestamp µs, event_id, channel — 2 longs + a small
+    string). Each batch attributes its purchases against ALL clicks
+    visible so far (carried state + this batch's clicks, whatever
+    their intra-batch order), exactly the batch query's
+    `c_ts <= p_ts` / latest-(ts, event_id) tie-break; convergence to
+    the batch report needs only time-ordered batches ACROSS triggers
+    (the same source discipline as the funnel machine)."""
+    # ATTRIBUTION_CHANNELS is referenced as a module global so
+    # cloudpickle ships the dict BY VALUE with this function — a
+    # worker-side `from elastic_freight_spark...` import would need
+    # the repo on executor sys.path, which the drive contract
+    # explicitly does not guarantee.
+    import json
+
+    import pandas as pd
+
+    c_ts, c_id, channel = (
+        state.get if state.exists else (0, -1, None)
+    )
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows["ts_us"] = rows["ts"].astype("datetime64[us]").astype("int64")
+    clicks = rows[rows["event_type"] == "click"]
+    cand = [(c_ts, c_id, channel)] if channel is not None else []
+    cand += [
+        (
+            int(t),
+            int(i),
+            ATTRIBUTION_CHANNELS[int(json.loads(p)["k"]) % 4],
+        )
+        for t, i, p in zip(
+            clicks["ts_us"], clicks["event_id"], clicks["props"]
+        )
+    ]
+    out = []
+    for _, r in rows[rows["event_type"] == "purchase"].iterrows():
+        prior = [c for c in cand if c[0] <= r["ts_us"]]
+        if prior:
+            best = max(prior)  # latest ts, then largest event_id
+            out.append(
+                (
+                    int(r["event_id"]),
+                    int(key[0]),
+                    best[2],
+                    float(r["value"]),
+                    int(r["ts_us"]),
+                )
+            )
+    if cand:
+        c_ts, c_id, channel = max(cand)
+        state.update((c_ts, c_id, channel))
+    yield pd.DataFrame(
+        out, columns=["p_id", "user_id", "channel", "value", "p_ts_us"]
+    )
+
+
+def stream_attribution_state(events: DataFrame) -> DataFrame:
+    """Continuous last-touch attribution via
+    ``applyInPandasWithState``: purchases are credited to the latest
+    prior click's channel as they stream in — the real-time face of
+    `events_attribution_last_touch` (which defines the channel
+    mapping both surfaces share). State per user is ONE click
+    (2 longs + channel string), per-trigger work is batch-sized, and
+    emitted attributions are final the moment the purchase is seen —
+    the marketing-dashboard path with no history rescan. Differential
+    test pins stream ≡ batch per purchase on a time-ordered
+    source."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _attribution_user_fn,
+        outputStructType=_ATTR_OUT_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1421,3 +1421,73 @@ def test_stream_scd2_history_matches_batch(spark, chunked_events):
             batch_open[r["user_id"]] = row
     assert closed == batch_closed
     assert open_latest == batch_open
+
+
+def test_stream_attribution_state_matches_batch(spark, tmp_path_factory):
+    """The stateful streaming last-touch attributor must converge to
+    the batch `events_attribution_last_touch` channel report when
+    micro-batches arrive in time order."""
+    import glob
+    import os as _os
+    import shutil
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+    from elastic_freight_spark.streaming.structured import (
+        read_parquet_stream,
+        stream_attribution_state,
+    )
+
+    registry.load_all()
+    base = tmp_path_factory.mktemp("attr_stream")
+    sf = "/root/testdata/sf0.001"
+    events = load_tables(spark, sf)["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    src = str(base / "src")
+    span = (hi - lo) / 3
+    for i in range(3):
+        part = events.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi))
+            | (F.lit(i == 2) & (F.col("ts") == hi))
+        )
+        part.coalesce(1).write.parquet(_os.path.join(src, f"b{i}.parquet"))
+    flat = str(base / "flat")
+    _os.makedirs(flat)
+    for i, d in enumerate(sorted(glob.glob(_os.path.join(src, "b*.parquet")))):
+        for j, f in enumerate(sorted(glob.glob(_os.path.join(d, "*.parquet")))):
+            shutil.copy(f, _os.path.join(flat, f"{i}_{j}.parquet"))
+    schema = spark.read.parquet(flat).schema
+    stream = read_parquet_stream(spark, flat, schema, max_files_per_trigger=1)
+    q = (
+        stream_attribution_state(stream)
+        .writeStream.format("memory")
+        .queryName("attr_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM attr_state").collect()
+    # attributions are final on emission: last one per purchase wins
+    # (re-emission can only happen via replay, which is idempotent)
+    per_purchase = {}
+    for r in emitted:
+        per_purchase[r["p_id"]] = (r["channel"], round(r["value"], 4))
+    agg = {}
+    for ch, v in per_purchase.values():
+        n, tot = agg.get(ch, (0, 0.0))
+        agg[ch] = (n + 1, tot + v)
+    batch = registry.QUERIES["events_attribution_last_touch"](
+        spark, sf
+    ).collect()
+    expect = {
+        r["channel"]: (r["n_conversions"], r["attributed_value"])
+        for r in batch
+    }
+    assert set(agg) == set(expect)
+    for ch, (n, v) in expect.items():
+        assert agg[ch][0] == n, (ch, agg[ch], n)
+        assert abs(agg[ch][1] - v) < 1e-6
