@@ -1380,13 +1380,24 @@ def search_percolate(spark, sf_dir):
     matches = hits.join(F.broadcast(qsize), "query_id").filter(
         F.col("n_matched") == F.col("n_terms")
     )
+    # aggregate matches to query-sized rows BEFORE the zero-keeping
+    # left join: joining qsize LEFT against doc-sized match rows
+    # would route every matched doc through the left join (and a
+    # broadcast hint on a left join's preserved side is unsupported —
+    # Spark logs HintErrorLogger and falls back, observed at 100x).
+    counts = matches.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("doc_id").alias("first_match"),
+    )
     return (
-        F.broadcast(qsize)
-        .join(matches.select("query_id", "doc_id"), "query_id", "left")
-        .groupBy("query_id", "n_terms")
-        .agg(
-            F.count("doc_id").cast("bigint").alias("n_matching_docs"),
-            F.min("doc_id").alias("first_match"),
+        qsize.join(F.broadcast(counts), "query_id", "left")
+        .select(
+            "query_id",
+            "n_terms",
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias(
+                "n_matching_docs"
+            ),
+            "first_match",
         )
         .orderBy("query_id")
     )
