@@ -2941,3 +2941,107 @@ def stats_spearman_rank(spark, sf_dir):
         n.cast("bigint").alias("n_rows"),
         F.round(rho, 9).alias("spearman_rho"),
     )
+
+
+_BOOTSTRAP_B = 32
+# Poisson(1) pmf folded onto one md5 byte (0..255): P(w=0)=.368 →
+# first 94 values, P(w<=1)=.736 → 188, then 235, 251, 255, else 5.
+# Integer thresholds so replicate weights are exact in any engine.
+_POISSON_CUTS = (94, 188, 235, 251, 255)
+
+
+def _bootstrap_weight_sql(b: int) -> str:
+    """One replicate's per-row Poisson weight from an md5 byte."""
+    h = (
+        f"(instr('0123456789abcdef', substr(md5(concat('bs{b}:', "
+        f"CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING)"
+        f")), 1, 1)) - 1) * 16 + "
+        f"(instr('0123456789abcdef', substr(md5(concat('bs{b}:', "
+        f"CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING)"
+        f")), 2, 1)) - 1)"
+    )
+    c = _POISSON_CUTS
+    return (
+        f"CASE WHEN {h} < {c[0]} THEN 0 WHEN {h} < {c[1]} THEN 1 "
+        f"WHEN {h} < {c[2]} THEN 2 WHEN {h} < {c[3]} THEN 3 "
+        f"WHEN {h} < {c[4]} THEN 4 ELSE 5 END"
+    )
+
+
+def _bootstrap_oracle() -> str:
+    reps = []
+    for b in range(_BOOTSTRAP_B):
+        w = _bootstrap_weight_sql(b)
+        reps.append(
+            f"""
+      SELECT {b} AS b,
+             CAST(SUM(CAST({w} * l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE)
+               / NULLIF(CAST(SUM({w}) AS DOUBLE), 0) AS mean_b
+      FROM lineitem"""
+        )
+    arms = "\n      UNION ALL".join(reps)
+    return f"""
+    WITH reps AS MATERIALIZED ({arms}),
+    ranked AS (
+      SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rk
+      FROM reps
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS mean_full
+      FROM lineitem
+    )
+    SELECT n, ROUND(mean_full, 6) AS mean_full,
+           ROUND((SELECT mean_b FROM ranked WHERE rk = 1), 6) AS ci_lo,
+           ROUND((SELECT mean_b FROM ranked WHERE rk = {_BOOTSTRAP_B}), 6)
+             AS ci_hi,
+           {_BOOTSTRAP_B} AS n_replicates
+    FROM base
+    """
+
+
+@query("stats_bootstrap_ci", oracle=_bootstrap_oracle())
+def stats_bootstrap_ci(spark, sf_dir):
+    """Deterministic POISSON bootstrap (Chamandy et al., the
+    standard single-pass distributed bootstrap): each of 32
+    replicates reweights every row by a Poisson(1) draw derived from
+    an md5 byte of the row key — integer threshold cuts, so the
+    resample is a pure function of the key, reproducible across
+    engines, partitionings, and reruns. ALL 32 replicate means come
+    out of ONE scan as 64 conditional DECIMAL aggregates (map-side
+    combined — the corr-matrix move; no explode, no shuffle of the
+    fact table), and the min/max replicate means bound the ~97%
+    CI band for the mean price. At 100 TB this costs one scan
+    regardless of B; a rand()-based bootstrap would cost the same
+    but be unverifiable — determinism IS the feature."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_full"),
+    ]
+    for b in range(_BOOTSTRAP_B):
+        w = F.expr(_bootstrap_weight_sql(b))
+        aggs.append(
+            (
+                F.sum((w * F.col("l_extendedprice")).cast("decimal(18,2)"))
+                .cast("double")
+                / F.nullif(F.sum(w).cast("double"), F.lit(0.0))
+            ).alias(f"m{b}")
+        )
+    m = li.agg(*aggs)
+    means = F.array_sort(
+        F.array(*[F.col(f"m{b}") for b in range(_BOOTSTRAP_B)])
+    )
+    return m.select(
+        "n",
+        F.round("mean_full", 6).alias("mean_full"),
+        F.round(F.element_at(means, 1), 6).alias("ci_lo"),
+        F.round(F.element_at(means, _BOOTSTRAP_B), 6).alias("ci_hi"),
+        F.lit(_BOOTSTRAP_B).alias("n_replicates"),
+    )

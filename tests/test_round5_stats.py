@@ -719,3 +719,39 @@ def test_rare_terms_relative_threshold(spark):
     assert [r["token"] for r in rows] == rare[:15]
     for r in rows:
         assert df[r["token"]] == r["n_docs"]
+
+
+def test_bootstrap_ci_matches_python_recompute(spark):
+    import hashlib
+
+    r = _q(spark, "stats_bootstrap_ci").collect()[0]
+    li = (
+        load_tables(spark, SF)["lineitem"]
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .collect()
+    )
+    cuts = (94, 188, 235, 251, 255)
+
+    def weight(b, ok, ln):
+        h = hashlib.md5(f"bs{b}:{ok}:{ln}".encode()).hexdigest()
+        v = int(h[:2], 16)
+        for w, c in enumerate(cuts):
+            if v < c:
+                return w
+        return 5
+
+    means = []
+    for b in range(32):
+        num = den = 0
+        for row in li:
+            w = weight(b, row["l_orderkey"], row["l_linenumber"])
+            num += w * round(row["l_extendedprice"] * 100)
+            den += w
+        means.append(num / 100 / den)
+    means.sort()
+    assert r["n"] == len(li)
+    assert abs(r["ci_lo"] - means[0]) < 1e-5
+    assert abs(r["ci_hi"] - means[-1]) < 1e-5
+    assert r["ci_lo"] <= r["mean_full"] <= r["ci_hi"]
+    # CI width should be a few standard errors, not degenerate/huge
+    assert 0 < r["ci_hi"] - r["ci_lo"] < 0.2 * r["mean_full"]
