@@ -773,3 +773,98 @@ def graph_clustering_coefficient(spark, sf_dir):
         .orderBy(F.col("lcc").desc(), "suppkey")
         .limit(25)
     )
+
+
+@query(
+    "graph_partition_conductance",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    nat AS (SELECT s_suppkey, s_nationkey FROM supplier),
+    lab AS (
+      SELECT e.u, e.v, a.s_nationkey AS cu, b.s_nationkey AS cv
+      FROM edges e
+      JOIN nat a ON a.s_suppkey = e.u
+      JOIN nat b ON b.s_suppkey = e.v
+    ),
+    vol AS (
+      SELECT c, CAST(SUM(d) AS BIGINT) AS volume FROM (
+        SELECT cu AS c, 1 AS d FROM lab
+        UNION ALL SELECT cv, 1 FROM lab
+      ) GROUP BY c
+    ),
+    cut AS (
+      SELECT c, CAST(SUM(x) AS BIGINT) AS cut_edges FROM (
+        SELECT cu AS c, CASE WHEN cu <> cv THEN 1 ELSE 0 END AS x FROM lab
+        UNION ALL
+        SELECT cv, CASE WHEN cu <> cv THEN 1 ELSE 0 END FROM lab
+      ) GROUP BY c
+    ),
+    tot AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS vol_all FROM lab)
+    SELECT v.c AS nationkey, v.volume, cut.cut_edges,
+           ROUND(CAST(cut.cut_edges AS DOUBLE)
+                 / NULLIF(CAST(LEAST(v.volume,
+                     (SELECT vol_all FROM tot) - v.volume) AS DOUBLE), 0), 9)
+             AS conductance
+    FROM vol v JOIN cut ON cut.c = v.c
+    ORDER BY nationkey
+    """,
+)
+def graph_partition_conductance(spark, sf_dir):
+    """Per-community conductance of the nation partition — the
+    cut-quality companion to `graph_modularity` (modularity rewards
+    dense intra-community edges; conductance φ(S) = cut(S)/min(vol(S),
+    vol(V∖S)) punishes leaky boundaries — low φ = well-separated
+    community). Reads the SAME labeled edge frame shape as the
+    modularity oracle; every quantity is an integer count off the
+    cached co-supply edges, the ratio is one guarded division per
+    community. Node-linear at 100 TB like the rest of the graph
+    tier."""
+    edges = cosupply_edges(spark, sf_dir)
+    nat = load_tables(spark, sf_dir)["supplier"].select(
+        "s_suppkey", "s_nationkey"
+    )
+    lab = (
+        edges.join(
+            F.broadcast(
+                nat.select(
+                    F.col("s_suppkey").alias("u"),
+                    F.col("s_nationkey").alias("cu"),
+                )
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("s_suppkey").alias("v"),
+                    F.col("s_nationkey").alias("cv"),
+                )
+            ),
+            "v",
+        )
+    )
+    is_cut = F.when(F.col("cu") != F.col("cv"), 1).otherwise(0)
+    sides = lab.select(
+        F.col("cu").alias("c"), is_cut.alias("x")
+    ).unionAll(lab.select(F.col("cv").alias("c"), is_cut.alias("x")))
+    per_c = sides.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("volume"),
+        F.sum("x").cast("bigint").alias("cut_edges"),
+    )
+    tot = lab.agg((2 * F.count(F.lit(1))).cast("bigint").alias("vol_all"))
+    phi = F.col("cut_edges").cast("double") / F.nullif(
+        F.least(
+            F.col("volume"), F.col("vol_all") - F.col("volume")
+        ).cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        per_c.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("c").alias("nationkey"),
+            "volume",
+            "cut_edges",
+            F.round(phi, 9).alias("conductance"),
+        )
+        .orderBy("nationkey")
+    )

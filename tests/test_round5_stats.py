@@ -755,3 +755,35 @@ def test_bootstrap_ci_matches_python_recompute(spark):
     assert r["ci_lo"] <= r["mean_full"] <= r["ci_hi"]
     # CI width should be a few standard errors, not degenerate/huge
     assert 0 < r["ci_hi"] - r["ci_lo"] < 0.2 * r["mean_full"]
+
+
+def test_conductance_matches_python_recompute(spark):
+    from elastic_freight_spark.operators.graph import cosupply_edges
+
+    rows = _q(spark, "graph_partition_conductance").collect()
+    edges = [(r["u"], r["v"]) for r in cosupply_edges(spark, SF).collect()]
+    nat = dict(
+        (r["s_suppkey"], r["s_nationkey"])
+        for r in load_tables(spark, SF)["supplier"]
+        .select("s_suppkey", "s_nationkey")
+        .collect()
+    )
+    vol = {}
+    cut = {}
+    for u, v in edges:
+        cu, cv = nat[u], nat[v]
+        for c in (cu, cv):
+            vol[c] = vol.get(c, 0) + 1
+            cut[c] = cut.get(c, 0) + (1 if cu != cv else 0)
+    vol_all = 2 * len(edges)
+    got = {r["nationkey"]: r for r in rows}
+    assert set(got) == set(vol)
+    for c in vol:
+        assert got[c]["volume"] == vol[c]
+        assert got[c]["cut_edges"] == cut[c]
+        denom = min(vol[c], vol_all - vol[c])
+        if denom:
+            assert abs(got[c]["conductance"] - cut[c] / denom) < 1e-9
+        else:
+            assert got[c]["conductance"] is None
+        assert got[c]["conductance"] is None or 0 <= got[c]["conductance"] <= 1
