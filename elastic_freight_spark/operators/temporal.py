@@ -1769,13 +1769,28 @@ def events_survival_km(spark, sf_dir):
     )
 
 
+# Deterministic A/B arm assignment — ONE fragment shared by the
+# experiment readout and the SRM health check so the two can never
+# disagree on who is in which arm.
+_AB_ARM_SQL = """CASE WHEN md5('ab:' || CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'treatment' ELSE 'control' END"""
+
+
+def ab_arm_col():
+    """Spark twin of _AB_ARM_SQL."""
+    return F.when(
+        F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
+        < "8",
+        "treatment",
+    ).otherwise("control")
+
+
 @query(
     "events_ab_test_report",
-    oracle="""
+    oracle=f"""
     WITH arms AS (
       SELECT user_id,
-             CASE WHEN md5('ab:' || CAST(user_id AS VARCHAR)) < '8'
-                  THEN 'treatment' ELSE 'control' END AS arm,
+             {_AB_ARM_SQL} AS arm,
              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                AS converted
       FROM events
@@ -1826,16 +1841,7 @@ def events_ab_test_report(spark, sf_dir):
         F.max(
             (F.col("event_type") == "purchase").cast("int")
         ).alias("converted")
-    ).select(
-        F.when(
-            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
-            < "8",
-            "treatment",
-        )
-        .otherwise("control")
-        .alias("arm"),
-        "converted",
-    )
+    ).select(ab_arm_col().alias("arm"), "converted")
     per_arm = arms.groupBy("arm").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("converted").cast("bigint").alias("n_converted"),
@@ -2326,4 +2332,63 @@ def t_seasonal_decompose_daily(spark, sf_dir):
             ).alias("seasonal_index"),
         )
         .orderBy("weekday")
+    )
+
+
+@query(
+    "events_ab_srm_check",
+    oracle=f"""
+    WITH arms AS (
+      SELECT DISTINCT user_id, {_AB_ARM_SQL} AS arm FROM events
+    ),
+    w AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_t,
+        CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_c
+      FROM arms
+    )
+    SELECT n_t, n_c,
+           ROUND(CAST((n_t - n_c) AS DECIMAL(19,0)) * (n_t - n_c)
+                 / CAST(n_t + n_c AS DOUBLE), 9) AS srm_chi2,
+           (CAST(n_t - n_c AS DECIMAL(19,0)) * (n_t - n_c) * 1000
+              > CAST(n_t + n_c AS DECIMAL(19,0)) * 3841) AS srm_flag
+    FROM w
+    """,
+)
+def events_ab_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail for the hash-assigned
+    experiment: under the shared `_AB_ARM_SQL` assignment the split
+    is 50/50 by construction, so χ² = (n_t−n_c)²/n against the df=1
+    critical value 3.841 detects broken bucketing, bot traffic, or a
+    logging gap — the FIRST check any experimentation platform runs
+    before reading lift (an SRM experiment's readout is garbage).
+    The flag compare stays integral: (n_t−n_c)²·1000 > n·3841 on
+    DECIMAL products (overflow-proof), never a float threshold; the
+    reported χ² itself is one division of exact integers."""
+    ev = load_tables(spark, sf_dir)["events"]
+    arms = ev.select("user_id").distinct().select(
+        ab_arm_col().alias("arm")
+    )
+    w = arms.agg(
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_c"),
+    )
+    d = F.col("n_t") - F.col("n_c")
+    n = F.col("n_t") + F.col("n_c")
+    return w.select(
+        "n_t",
+        "n_c",
+        F.round(
+            d.cast("decimal(19,0)") * d / n.cast("double"), 9
+        ).alias("srm_chi2"),
+        (
+            d.cast("decimal(19,0)") * d * 1000
+            > n.cast("decimal(19,0)") * 3841
+        ).alias("srm_flag"),
     )

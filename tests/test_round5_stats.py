@@ -787,3 +787,36 @@ def test_conductance_matches_python_recompute(spark):
         else:
             assert got[c]["conductance"] is None
         assert got[c]["conductance"] is None or 0 <= got[c]["conductance"] <= 1
+
+
+def test_srm_check_aa_and_broken_split(spark, tmp_path):
+    import datetime as dt
+    import hashlib
+
+    # A/A on the real fixture: hash split is ~50/50 → no SRM
+    r = _q(spark, "events_ab_srm_check").collect()[0]
+    assert r["srm_flag"] is False
+    assert abs(r["srm_chi2"] - (r["n_t"] - r["n_c"]) ** 2 / (r["n_t"] + r["n_c"])) < 1e-6
+    # broken bucketing: drop most control users → flag fires
+    registry.load_all()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    kept_c = 0
+    for u in range(600):
+        treated = hashlib.md5(f"ab:{u}".encode()).hexdigest() < "8"
+        if not treated:
+            kept_c += 1
+            if kept_c % 3:  # lose 2/3 of control traffic
+                continue
+        rows.append((eid, t0, u, "view", 1.0, "{}"))
+        eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    broken = registry.QUERIES["events_ab_srm_check"](spark, sf).collect()[0]
+    assert broken["srm_flag"] is True
+    assert broken["srm_chi2"] > 3.841
