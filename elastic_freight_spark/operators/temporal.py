@@ -2392,3 +2392,108 @@ def events_ab_srm_check(spark, sf_dir):
             > n.cast("decimal(19,0)") * 3841
         ).alias("srm_flag"),
     )
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      FROM events
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    wau AS (
+      SELECT d AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM ud, LATERAL (
+        SELECT unnest(generate_series(ud.day, ud.day + 6, INTERVAL 1 DAY)) AS d
+      )
+      GROUP BY d
+    ),
+    mau AS (
+      SELECT d AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM ud, LATERAL (
+        SELECT unnest(generate_series(ud.day, ud.day + 29, INTERVAL 1 DAY)) AS d
+      )
+      GROUP BY d
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud)
+    SELECT strftime(CAST(dau.day AS DATE), '%Y-%m-%d') AS day,
+           dau.dau, w.wau, m.mau,
+           ROUND(CAST(dau.dau AS DOUBLE) / m.mau, 9) AS stickiness,
+           (dau.day >= (SELECT lo FROM bounds) + 29) AS full_mau
+    FROM dau
+    JOIN wau w ON CAST(w.day AS DATE) = dau.day
+    JOIN mau m ON CAST(m.day AS DATE) = dau.day
+    WHERE dau.day >= (SELECT lo FROM bounds) + 6
+      AND dau.day <= (SELECT hi FROM bounds)
+    ORDER BY day
+    """,
+)
+def events_dau_wau_mau(spark, sf_dir):
+    """The product-analytics staple: daily / trailing-7-day /
+    trailing-30-day active users plus DAU/MAU stickiness, exact (no
+    HLL) — a trailing DISTINCT can't be windowed directly, so each
+    deduped (user, day) activity row is fanned out to the ≤30 future
+    days it keeps the user 'active' for, and the per-day count
+    distinct does the rest. The fan-out is a FIXED 30 on the
+    activity-day frame (already collapsed to one row per user-day),
+    the same bounded-explode shape as `join_interval_binned` — never
+    data×data. Reported from the first full-WAU day, with a
+    `full_mau` flag marking rows whose 30-day lookback is complete
+    (partial-MAU rows are structurally understated — flagged, not
+    hidden); stickiness
+    is one guarded division of exact integers. DAU/WAU/MAU at 100 TB
+    is this exact plan with the user-day dedup as the only
+    fact-sized shuffle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    ud = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+
+    def trailing(n, alias):
+        return (
+            ud.select(
+                "user_id",
+                F.explode(
+                    F.sequence(
+                        F.col("day"),
+                        F.date_add(F.col("day"), n - 1),
+                    )
+                ).alias("day"),
+            )
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("bigint").alias(alias))
+        )
+
+    wau = trailing(7, "wau")
+    mau = trailing(30, "mau")
+    bounds = ud.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("day") >= F.date_add(F.col("lo"), 6))
+            & (F.col("day") <= F.col("hi"))
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double")
+                / F.nullif(F.col("mau").cast("double"), F.lit(0.0)),
+                9,
+            ).alias("stickiness"),
+            (F.col("day") >= F.date_add(F.col("lo"), 29)).alias("full_mau"),
+        )
+        .orderBy("day")
+    )

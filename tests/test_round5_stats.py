@@ -820,3 +820,41 @@ def test_srm_check_aa_and_broken_split(spark, tmp_path):
     broken = registry.QUERIES["events_ab_srm_check"](spark, sf).collect()[0]
     assert broken["srm_flag"] is True
     assert broken["srm_chi2"] > 3.841
+
+
+def test_dau_wau_mau_matches_python_recompute(spark):
+    import datetime as dt
+
+    rows = _q(spark, "events_dau_wau_mau").collect()
+    ev = load_tables(spark, SF)["events"].selectExpr(
+        "user_id", "cast(date_trunc('day', ts) as date) AS day"
+    ).collect()
+    active = {}
+    for r in ev:
+        active.setdefault(r["day"], set()).add(r["user_id"])
+    lo, hi = min(active), max(active)
+    got = {r["day"]: r for r in rows}
+    d = lo + dt.timedelta(days=6)
+    n_checked = 0
+    while d <= hi:
+        dau = len(active.get(d, set()))
+        wau = len(
+            set().union(
+                *(active.get(d - dt.timedelta(days=i), set()) for i in range(7))
+            )
+        )
+        mau = len(
+            set().union(
+                *(active.get(d - dt.timedelta(days=i), set()) for i in range(30))
+            )
+        )
+        key = d.strftime("%Y-%m-%d")
+        if dau:  # days with zero activity have no dau row
+            r = got[key]
+            assert (r["dau"], r["wau"], r["mau"]) == (dau, wau, mau)
+            assert abs(r["stickiness"] - dau / mau) < 1e-9
+            assert r["full_mau"] == (d >= lo + dt.timedelta(days=29))
+            assert r["wau"] >= r["dau"] and r["mau"] >= r["wau"]
+            n_checked += 1
+        d += dt.timedelta(days=1)
+    assert n_checked and n_checked == len(rows)
