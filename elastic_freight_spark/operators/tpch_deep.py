@@ -872,3 +872,127 @@ def part_market_basket(spark, sf_dir):
         .orderBy(F.col("co_count").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "orders_otif_rate",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mo,
+             CAST(MAX(date_diff('day', CAST(o.o_orderdate AS TIMESTAMP),
+                                CAST(l.l_shipdate AS TIMESTAMP)))
+                  AS BIGINT) AS worst_lag
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT strftime(mo, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN worst_lag <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_otif,
+           ROUND(SUM(CASE WHEN worst_lag <= 30 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS otif_rate
+    FROM per_order
+    GROUP BY mo
+    ORDER BY month
+    """,
+)
+def orders_otif_rate(spark, sf_dir):
+    """On-time-in-full rate per order month: an order counts as OTIF
+    when its SLOWEST line item ships within 30 days of the order date
+    — the supply-chain KPI built on the max-over-lines reduction
+    (in-full = every line, on-time = worst line's lag; the 30-day SLA
+    is an integer day-diff compare). One fact join + per-order max +
+    month rollup — two shuffles, both key-sized."""
+    t = load_tables(spark, sf_dir)
+    per_order = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey",
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("mo"),
+        )
+        .agg(
+            F.max(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")))
+            .cast("bigint")
+            .alias("worst_lag")
+        )
+    )
+    otif = F.sum(F.when(F.col("worst_lag") <= 30, 1).otherwise(0))
+    return (
+        per_order.groupBy(F.date_format("mo", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            otif.cast("bigint").alias("n_otif"),
+            F.round(otif / F.count(F.lit(1)).cast("double"), 9).alias(
+                "otif_rate"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "part_single_source_risk",
+    oracle="""
+    WITH vol AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(q) AS DECIMAL(38,2)) AS q_tot,
+             CAST(MAX(q) AS DECIMAL(38,2)) AS q_top
+      FROM vol GROUP BY 1
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_parts,
+      CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_single_source,
+      CAST(SUM(CASE WHEN q_top * 5 >= q_tot * 4 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_dominant_80,
+      ROUND(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 9) AS single_source_share
+    FROM per_part
+    """,
+)
+def part_single_source_risk(spark, sf_dir):
+    """Supply-concentration risk screen: how many parts have exactly
+    one shipping supplier, and how many have a DOMINANT supplier
+    carrying ≥80% of shipped quantity — the procurement counterpart
+    of `supplier_herfindahl` at the part grain (dual-sourcing
+    policy's denominator). The 80% dominance test is the
+    integer-discipline compare `q_top·5 >= q_tot·4` on exact DECIMAL
+    quantity sums. Two key-sized aggregates over one scan."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    vol = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("q")
+    )
+    per_part = vol.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("q").cast("decimal(38,2)").alias("q_tot"),
+        F.max("q").cast("decimal(38,2)").alias("q_top"),
+    )
+    single = F.sum(F.when(F.col("n_suppliers") == 1, 1).otherwise(0))
+    return per_part.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        single.cast("bigint").alias("n_single_source"),
+        F.sum(
+            F.when(F.col("q_top") * 5 >= F.col("q_tot") * 4, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_dominant_80"),
+        F.round(single / F.count(F.lit(1)).cast("double"), 9).alias(
+            "single_source_share"
+        ),
+    )

@@ -858,3 +858,48 @@ def test_dau_wau_mau_matches_python_recompute(spark):
             n_checked += 1
         d += dt.timedelta(days=1)
     assert n_checked and n_checked == len(rows)
+
+
+def test_otif_rate_matches_python_recompute(spark):
+    rows = _q(spark, "orders_otif_rate").collect()
+    t = load_tables(spark, SF)
+    orders = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in t["orders"].select("o_orderkey", "o_orderdate").collect()
+    }
+    worst = {}
+    for r in t["lineitem"].select("l_orderkey", "l_shipdate").collect():
+        od = orders[r["l_orderkey"]]
+        lag = (r["l_shipdate"].date() - od.date()).days
+        worst[r["l_orderkey"]] = max(worst.get(r["l_orderkey"], -999), lag)
+    agg = {}
+    for ok, lag in worst.items():
+        mo = orders[ok].strftime("%Y-%m")
+        n, f = agg.get(mo, (0, 0))
+        agg[mo] = (n + 1, f + (1 if lag <= 30 else 0))
+    got = {r["month"]: (r["n_orders"], r["n_otif"]) for r in rows}
+    assert got == agg
+    for r in rows:
+        assert abs(r["otif_rate"] - r["n_otif"] / r["n_orders"]) < 1e-9
+
+
+def test_single_source_risk_matches_python_recompute(spark):
+    r = _q(spark, "part_single_source_risk").collect()[0]
+    li = (
+        load_tables(spark, SF)["lineitem"]
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .collect()
+    )
+    vol = {}
+    for row in li:
+        key = (row["l_partkey"], row["l_suppkey"])
+        vol[key] = vol.get(key, 0) + round(row["l_quantity"] * 100)
+    per_part = {}
+    for (pk, sk), q in vol.items():
+        n, tot, top = per_part.get(pk, (0, 0, 0))
+        per_part[pk] = (n + 1, tot + q, max(top, q))
+    n_single = sum(1 for n, _, _ in per_part.values() if n == 1)
+    n_dom = sum(1 for _, tot, top in per_part.values() if top * 5 >= tot * 4)
+    assert r["n_parts"] == len(per_part)
+    assert r["n_single_source"] == n_single
+    assert r["n_dominant_80"] == n_dom
