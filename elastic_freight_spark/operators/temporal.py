@@ -2497,3 +2497,95 @@ def events_dau_wau_mau(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "t_anomaly_seasonal_adjusted",
+    oracle=f"""
+    WITH {_DAILY_SERIES_SQL},
+    idx AS (
+      SELECT day, x, CAST(day - (SELECT lo FROM bounds) AS BIGINT) AS t
+      FROM series
+    ),
+    trend AS (
+      SELECT day, t, x,
+             CAST(SUM(x) OVER (ORDER BY t
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS s7,
+             COUNT(*) OVER (ORDER BY t
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7
+      FROM idx
+    ),
+    det AS (
+      SELECT day, t % 7 AS weekday, x, 7 * x - s7 AS d7
+      FROM trend WHERE w7 = 7
+    ),
+    season AS (
+      SELECT weekday, CAST(COUNT(*) AS BIGINT) AS n_w,
+             CAST(SUM(d7) AS BIGINT) AS d7_sum
+      FROM det GROUP BY weekday
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.x,
+           ROUND((CAST(d.d7 AS DOUBLE) * s.n_w - s.d7_sum)
+                 / (7.0 * s.n_w), 9) AS residual
+    FROM det d JOIN season s ON s.weekday = d.weekday
+    ORDER BY ABS((CAST(d.d7 AS DOUBLE) * s.n_w - s.d7_sum)
+                 / (7.0 * s.n_w)) DESC, day
+    LIMIT 10
+    """,
+)
+def t_anomaly_seasonal_adjusted(spark, sf_dir):
+    """Top-10 anomaly days AFTER removing trend and weekday
+    seasonality — the composition of the decomposition: residual_t =
+    detrended_t − seasonal(weekday_t), where both terms come from the
+    SAME shared fragments the ACF/Theil-Sen/decompose queries use
+    (`_DAILY_SERIES_SQL`, the 7x−S7 integer detrend). The residual's
+    numerator d7·n_w − Σd7(w) stays integral; one fixed IEEE division
+    per row at the edge, |residual| ranking tie-broken by day. This
+    is what a raw z-score day-outlier scan (t_zscore_outliers) gets
+    WRONG on weekly-patterned traffic — Mondays aren't anomalies."""
+    from pyspark.sql import Window as W
+
+    series = daily_series(spark, sf_dir)
+    lo = series.agg(F.min("day").alias("lo"))
+    idx = series.crossJoin(F.broadcast(lo)).select(
+        "day", "x", F.datediff("day", "lo").cast("bigint").alias("t")
+    )
+    w7 = W.orderBy("t").rowsBetween(-3, 3)
+    det = (
+        idx.select(
+            "day",
+            "t",
+            "x",
+            F.sum("x").over(w7).cast("bigint").alias("s7"),
+            F.count(F.lit(1)).over(w7).alias("w7"),
+        )
+        .filter(F.col("w7") == 7)
+        .select(
+            "day",
+            (F.col("t") % 7).alias("weekday"),
+            "x",
+            (7 * F.col("x") - F.col("s7")).alias("d7"),
+        )
+    )
+    season = det.groupBy("weekday").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_w"),
+        F.sum("d7").cast("bigint").alias("d7_sum"),
+    )
+    joined = det.join(F.broadcast(season), "weekday")
+    res = (
+        F.col("d7").cast("double") * F.col("n_w") - F.col("d7_sum")
+    ) / (7.0 * F.col("n_w"))
+    return (
+        joined.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "x",
+            F.round(res, 9).alias("residual"),
+            res.alias("_raw"),
+        )
+        # rank on the RAW residual exactly like the oracle's ORDER BY
+        # — ranking on the rounded column could flip the limit cutoff
+        .orderBy(F.abs(F.col("_raw")).desc(), "day")
+        .limit(10)
+        .drop("_raw")
+    )

@@ -903,3 +903,41 @@ def test_single_source_risk_matches_python_recompute(spark):
     assert r["n_parts"] == len(per_part)
     assert r["n_single_source"] == n_single
     assert r["n_dominant_80"] == n_dom
+
+
+def test_seasonal_anomaly_residual_consistency(spark):
+    """Residuals must equal detrended-minus-weekday-seasonal computed
+    from the decompose query's own outputs (fragment-sharing check)."""
+    season = {
+        r["weekday"]: (r["n_obs"], r["d7_sum"])
+        for r in _q(spark, "t_seasonal_decompose_daily").collect()
+    }
+    rows = _q(spark, "t_anomaly_seasonal_adjusted").collect()
+    assert len(rows) == 10
+    import datetime as dt
+
+    ev = load_tables(spark, SF)["events"].selectExpr(
+        "cast(date_trunc('day', ts) as date) AS d"
+    ).collect()
+    days = {}
+    for r in ev:
+        days[r["d"]] = days.get(r["d"], 0) + 1
+    lo, hi = min(days), max(days)
+    x = {}
+    d = lo
+    t = 0
+    while d <= hi:
+        x[t] = days.get(d, 0)
+        d += dt.timedelta(days=1)
+        t += 1
+    for r in rows:
+        day = dt.datetime.strptime(r["day"], "%Y-%m-%d").date()
+        t = (day - lo).days
+        d7 = 7 * x[t] - sum(x[t + i] for i in range(-3, 4))
+        n_w, d7_sum = season[t % 7]
+        expect = (d7 * n_w - d7_sum) / (7 * n_w)
+        assert abs(r["residual"] - expect) < 1e-9
+        assert r["x"] == x[t]
+    # monotone: |residual| non-increasing down the list
+    vals = [abs(r["residual"]) for r in rows]
+    assert all(vals[i] >= vals[i + 1] - 1e-9 for i in range(len(vals) - 1))
