@@ -2943,7 +2943,7 @@ def stats_spearman_rank(spark, sf_dir):
     )
 
 
-_BOOTSTRAP_B = 32
+_BOOTSTRAP_B = 16
 # Poisson(1) pmf folded onto one md5 byte (0..255): P(w=0)=.368 →
 # first 94 values, P(w<=1)=.736 → 188, then 235, 251, 255, else 5.
 # Integer thresholds so replicate weights are exact in any engine.
@@ -2951,20 +2951,20 @@ _POISSON_CUTS = (94, 188, 235, 251, 255)
 
 
 def _bootstrap_weight_sql(b: int) -> str:
-    """One replicate's per-row Poisson weight from an md5 byte."""
-    h = (
-        f"(instr('0123456789abcdef', substr(md5(concat('bs{b}:', "
-        f"CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING)"
-        f")), 1, 1)) - 1) * 16 + "
-        f"(instr('0123456789abcdef', substr(md5(concat('bs{b}:', "
-        f"CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING)"
-        f")), 2, 1)) - 1)"
+    """Replicate b's per-row Poisson weight: byte 2b..2b+1 of ONE
+    md5 of the row key (16 bytes = 16 replicates per digest), folded
+    through the integer pmf cuts. Identical text runs in both
+    engines."""
+    h = "md5(concat('bs:', CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING)))"
+    byte = (
+        f"(instr('0123456789abcdef', substr({h}, {2 * b + 1}, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr({h}, {2 * b + 2}, 1)) - 1)"
     )
     c = _POISSON_CUTS
     return (
-        f"CASE WHEN {h} < {c[0]} THEN 0 WHEN {h} < {c[1]} THEN 1 "
-        f"WHEN {h} < {c[2]} THEN 2 WHEN {h} < {c[3]} THEN 3 "
-        f"WHEN {h} < {c[4]} THEN 4 ELSE 5 END"
+        f"CASE WHEN {byte} < {c[0]} THEN 0 WHEN {byte} < {c[1]} THEN 1 "
+        f"WHEN {byte} < {c[2]} THEN 2 WHEN {byte} < {c[3]} THEN 3 "
+        f"WHEN {byte} < {c[4]} THEN 4 ELSE 5 END"
     )
 
 
@@ -2975,18 +2975,16 @@ def _bootstrap_oracle() -> str:
         reps.append(
             f"""
       SELECT {b} AS b,
-             CAST(SUM(CAST({w} * l_extendedprice AS DECIMAL(18,2)))
-                  AS DOUBLE)
+             CAST(SUM(CAST({w} * CAST(l_extendedprice AS DECIMAL(18,2))
+                           * 100 AS DECIMAL(18,0))) AS DOUBLE) / 100
                / NULLIF(CAST(SUM({w}) AS DOUBLE), 0) AS mean_b
       FROM lineitem"""
         )
     arms = "\n      UNION ALL".join(reps)
     return f"""
     WITH reps AS MATERIALIZED ({arms}),
-    ranked AS (
-      SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rk
-      FROM reps
-    ),
+    ci AS (SELECT MIN(mean_b) AS ci_lo_raw, MAX(mean_b) AS ci_hi_raw
+           FROM reps),
     base AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -2994,54 +2992,107 @@ def _bootstrap_oracle() -> str:
       FROM lineitem
     )
     SELECT n, ROUND(mean_full, 6) AS mean_full,
-           ROUND((SELECT mean_b FROM ranked WHERE rk = 1), 6) AS ci_lo,
-           ROUND((SELECT mean_b FROM ranked WHERE rk = {_BOOTSTRAP_B}), 6)
-             AS ci_hi,
+           ROUND(ci_lo_raw, 6) AS ci_lo,
+           ROUND(ci_hi_raw, 6) AS ci_hi,
            {_BOOTSTRAP_B} AS n_replicates
-    FROM base
+    FROM base, ci
     """
 
 
 @query("stats_bootstrap_ci", oracle=_bootstrap_oracle())
 def stats_bootstrap_ci(spark, sf_dir):
-    """Deterministic POISSON bootstrap (Chamandy et al., the
-    standard single-pass distributed bootstrap): each of 32
-    replicates reweights every row by a Poisson(1) draw derived from
-    an md5 byte of the row key — integer threshold cuts, so the
-    resample is a pure function of the key, reproducible across
-    engines, partitionings, and reruns. ALL 32 replicate means come
-    out of ONE scan as 64 conditional DECIMAL aggregates (map-side
-    combined — the corr-matrix move; no explode, no shuffle of the
-    fact table), and the min/max replicate means bound the ~97%
-    CI band for the mean price. At 100 TB this costs one scan
-    regardless of B; a rand()-based bootstrap would cost the same
-    but be unverifiable — determinism IS the feature."""
+    """Deterministic POISSON bootstrap (Chamandy et al., the standard
+    single-pass distributed bootstrap): 16 replicates reweight every
+    row by a Poisson(1) draw carved out of ONE md5 of the row key
+    (byte 2b of the digest → integer pmf cuts), so the resample is a
+    pure function of the key — reproducible across engines,
+    partitionings, and reruns — and the min/max replicate means bound
+    a ~94% CI for the mean price. ALL replicate sums come out of ONE
+    scan. Engineering notes (all measured at sf0.1): the weight
+    derivation is STAGED through three projections (digest → bytes →
+    weights) because inlining the md5 into every CASE branch
+    re-evaluates it up to 10× per weight; money flows as exact
+    integer CENTS with DECIMAL(18,0)-checked sums — precision-18
+    decimals stay on Spark's compact-long accumulator path while a
+    per-row DECIMAL multiply costs a BigDecimal allocation each; and
+    B=16 fits one digest, halving expression cost vs B=32 for a CI
+    band difference that is noise at any real n."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    aggs = [
+    cuts = _POISSON_CUTS
+    base = li.select(
+        F.expr(
+            "cast(cast(l_extendedprice as decimal(18,2)) * 100 as long)"
+        ).alias("cents"),
+        F.md5(
+            F.concat(
+                F.lit("bs:"),
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("h"),
+    )
+
+    def hexv(pos):
+        return (
+            f"(instr('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+        )
+
+    bts = base.select(
+        "cents",
+        *[
+            F.expr(f"{hexv(2 * b + 1)} * 16 + {hexv(2 * b + 2)}").alias(
+                f"x{b}"
+            )
+            for b in range(_BOOTSTRAP_B)
+        ],
+    )
+    ww = bts.select(
+        "cents",
+        *[
+            F.expr(
+                f"cast(x{b} >= {cuts[0]} as int)"
+                f" + cast(x{b} >= {cuts[1]} as int)"
+                f" + cast(x{b} >= {cuts[2]} as int)"
+                f" + cast(x{b} >= {cuts[3]} as int)"
+                f" + cast(x{b} >= {cuts[4]} as int)"
+            ).alias(f"w{b}")
+            for b in range(_BOOTSTRAP_B)
+        ],
+    )
+    aggs = []
+    for b in range(_BOOTSTRAP_B):
+        aggs.append(
+            F.sum(F.expr(f"cast(w{b} * cents as decimal(18,0))")).alias(
+                f"s{b}"
+            )
+        )
+        aggs.append(F.sum(f"w{b}").cast("bigint").alias(f"c{b}"))
+    m = ww.agg(*aggs)
+    mean_cols = [
+        (
+            F.col(f"s{b}").cast("double") / 100
+            / F.nullif(F.col(f"c{b}").cast("double"), F.lit(0.0))
+        )
+        for b in range(_BOOTSTRAP_B)
+    ]
+    means = F.array_sort(F.array(*mean_cols))
+    ci = m.select(
+        F.element_at(means, 1).alias("ci_lo_raw"),
+        F.element_at(means, _BOOTSTRAP_B).alias("ci_hi_raw"),
+    )
+    baseagg = li.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double")
             / F.count(F.lit(1))
         ).alias("mean_full"),
-    ]
-    for b in range(_BOOTSTRAP_B):
-        w = F.expr(_bootstrap_weight_sql(b))
-        aggs.append(
-            (
-                F.sum((w * F.col("l_extendedprice")).cast("decimal(18,2)"))
-                .cast("double")
-                / F.nullif(F.sum(w).cast("double"), F.lit(0.0))
-            ).alias(f"m{b}")
-        )
-    m = li.agg(*aggs)
-    means = F.array_sort(
-        F.array(*[F.col(f"m{b}") for b in range(_BOOTSTRAP_B)])
     )
-    return m.select(
+    return baseagg.crossJoin(F.broadcast(ci)).select(
         "n",
         F.round("mean_full", 6).alias("mean_full"),
-        F.round(F.element_at(means, 1), 6).alias("ci_lo"),
-        F.round(F.element_at(means, _BOOTSTRAP_B), 6).alias("ci_hi"),
+        F.round("ci_lo_raw", 6).alias("ci_lo"),
+        F.round("ci_hi_raw", 6).alias("ci_hi"),
         F.lit(_BOOTSTRAP_B).alias("n_replicates"),
     )

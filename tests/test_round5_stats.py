@@ -733,15 +733,15 @@ def test_bootstrap_ci_matches_python_recompute(spark):
     cuts = (94, 188, 235, 251, 255)
 
     def weight(b, ok, ln):
-        h = hashlib.md5(f"bs{b}:{ok}:{ln}".encode()).hexdigest()
-        v = int(h[:2], 16)
+        h = hashlib.md5(f"bs:{ok}:{ln}".encode()).hexdigest()
+        v = int(h[2 * b : 2 * b + 2], 16)
         for w, c in enumerate(cuts):
             if v < c:
                 return w
         return 5
 
     means = []
-    for b in range(32):
+    for b in range(16):
         num = den = 0
         for row in li:
             w = weight(b, row["l_orderkey"], row["l_linenumber"])
