@@ -3096,3 +3096,67 @@ def stats_bootstrap_ci(spark, sf_dir):
         F.round("ci_hi_raw", 6).alias("ci_hi"),
         F.lit(_BOOTSTRAP_B).alias("n_replicates"),
     )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM customer
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(SUM(k) AS BIGINT) AS n_rows FROM cells)
+    SELECT
+      CAST((SELECT n_rows FROM tot) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) AS BIGINT) AS n_cells,
+      CAST(MIN(k) AS BIGINT) AS min_k,
+      CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_unique_cells,
+      CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        AS n_rows_below_k5,
+      ROUND(SUM(CASE WHEN k < 5 THEN k ELSE 0 END)
+            / CAST((SELECT n_rows FROM tot) AS DOUBLE), 9)
+        AS share_below_k5
+    FROM cells
+    """,
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, account-balance band): how many equivalence
+    classes exist, the worst-case k, how many individuals sit in
+    singleton cells (directly re-identifiable), and the share of rows
+    below the conventional k=5 release threshold — the privacy gate a
+    data-release pipeline runs BEFORE exporting "anonymized"
+    training data. Everything is integer counts off one hash
+    aggregate; the balance band floors an identical IEEE quotient in
+    both engines, so the cell definition is engine-exact. At 100 TB: one map-side-combined
+    groupBy on the QI tuple, then a cells-sized rollup."""
+    t = load_tables(spark, sf_dir)
+    cells = (
+        t["customer"]
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+                "bal_band"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    tot = cells.agg(F.sum("k").cast("bigint").alias("n_rows"))
+    below5 = F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+    return cells.crossJoin(F.broadcast(tot)).agg(
+        F.first("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unique_cells"),
+        below5.cast("bigint").alias("n_rows_below_k5"),
+        F.round(
+            below5 / F.first("n_rows").cast("double"), 9
+        ).alias("share_below_k5"),
+    )

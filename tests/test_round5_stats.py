@@ -941,3 +941,25 @@ def test_seasonal_anomaly_residual_consistency(spark):
     # monotone: |residual| non-increasing down the list
     vals = [abs(r["residual"]) for r in rows]
     assert all(vals[i] >= vals[i + 1] - 1e-9 for i in range(len(vals) - 1))
+
+
+def test_k_anonymity_matches_python_recompute(spark):
+    import math
+
+    r = _q(spark, "dq_k_anonymity").collect()[0]
+    cust = (
+        load_tables(spark, SF)["customer"]
+        .select("c_nationkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    cells = {}
+    for c in cust:
+        key = (c["c_nationkey"], c["c_mktsegment"], math.floor(c["c_acctbal"] / 1000))
+        cells[key] = cells.get(key, 0) + 1
+    assert r["n_rows"] == len(cust)
+    assert r["n_cells"] == len(cells)
+    assert r["min_k"] == min(cells.values())
+    assert r["n_unique_cells"] == sum(1 for k in cells.values() if k == 1)
+    below = sum(k for k in cells.values() if k < 5)
+    assert r["n_rows_below_k5"] == below
+    assert abs(r["share_below_k5"] - below / len(cust)) < 1e-9
