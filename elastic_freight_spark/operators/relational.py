@@ -2800,14 +2800,37 @@ def customer_pareto_threshold(spark, sf_dir):
         F.sum("r").cast("decimal(38,2)").alias("total"),
         F.count(F.lit(1)).cast("bigint").alias("n_cust"),
     )
-    w = W.orderBy(F.col("r").desc(), "o_custkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    # descending cumulative revenue via the bucketed distributed
+    # prefix sum (revenue-band buckets; only the band totals cross a
+    # single partition) — a global desc window over every customer
+    # would single-partition the whole customer dimension at scale.
+    banded = rev.withColumn(
+        "bucket", F.floor(F.col("r").cast("double") / 100000).cast("bigint")
     )
-    ranked = rev.select(
-        F.sum("r").over(w).alias("cum"),
-        F.row_number().over(W.orderBy(F.col("r").desc(), "o_custkey")).alias(
-            "rk"
-        ),
+    win_in = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("r").desc(), "o_custkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = banded.select(
+        "bucket",
+        F.sum("r").over(win_in).alias("cum_in"),
+        F.count(F.lit(1)).over(win_in).alias("rn_in"),
+    )
+    btot = banded.groupBy("bucket").agg(
+        F.sum("r").alias("br"), F.count(F.lit(1)).alias("bn")
+    )
+    win_b = W.orderBy(F.col("bucket").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("br").over(win_b), F.lit(0)).alias("off_r"),
+        F.coalesce(F.sum("bn").over(win_b), F.lit(0)).alias("off_n"),
+    )
+    ranked = within.join(F.broadcast(offsets), "bucket").select(
+        (F.col("off_r") + F.col("cum_in")).alias("cum"),
+        (F.col("off_n") + F.col("rn_in")).alias("rk"),
     )
     hit = ranked.crossJoin(F.broadcast(tot)).filter(
         F.col("cum") * 5 >= F.col("total") * 4

@@ -1620,9 +1620,14 @@ def agg_rare_terms(spark, sf_dir):
     n_rare = rare.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rare_terms")
     )
+    # top-15 via orderBy+limit (TakeOrderedAndProject — distributed
+    # partial top-k per partition), NOT a global row_number window:
+    # on a real long-tail corpus MOST tokens are relatively rare, so
+    # the rare set is vocabulary-sized and a single-partition window
+    # over it would be the scale killer.
     return (
-        rare.withColumn("rk", F.row_number().over(W.orderBy("token")))
-        .filter(F.col("rk") <= 15)
+        rare.orderBy("token")
+        .limit(15)
         .crossJoin(F.broadcast(n_rare))
         .select("n_rare_terms", "token", "n_docs")
         .orderBy("token")

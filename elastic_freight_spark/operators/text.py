@@ -2943,14 +2943,15 @@ def text_oov_rate(spark, sf_dir):
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # top-500 via orderBy+limit (TakeOrderedAndProject, distributed
+    # partial top-k) — a global row_number window over the WHOLE
+    # vocabulary would funnel hundreds of millions of tokens through
+    # one partition at real corpus scale.
     vocab = (
         st.groupBy("token")
         .agg(F.sum("n").alias("tot"))
-        .withColumn(
-            "rk",
-            F.row_number().over(W.orderBy(F.col("tot").desc(), "token")),
-        )
-        .filter(F.col("rk") <= 500)
+        .orderBy(F.col("tot").desc(), "token")
+        .limit(500)
         .select("token")
     )
     joined = st.join(

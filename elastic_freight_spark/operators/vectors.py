@@ -2434,15 +2434,27 @@ def sample_coreset_kcenter(spark, sf_dir, k: int = 8, pool: int = 64):
     from pyspark.sql import Window as W
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    ranked = e.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
-        F.md5(
-            F.concat(F.lit("kc:"), F.col("vec_id").cast("string"))
-        ).alias("h"),
-    ).withColumn("rn", F.row_number().over(W.orderBy("h", "vec_id")))
+    # pool selection via orderBy+limit (distributed top-k), then rank
+    # WITHIN the 64-row pool — a row_number window over the whole
+    # corpus would be a single-partition sort of every vector at
+    # scale.
+    pool0 = (
+        e.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias(
+                "vec"
+            ),
+            F.md5(
+                F.concat(F.lit("kc:"), F.col("vec_id").cast("string"))
+            ).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(pool)
+    )
     pool_df = (
-        ranked.filter(F.col("rn") <= pool)
+        pool0.withColumn(
+            "rn", F.row_number().over(W.orderBy("h", "vec_id"))
+        )
         .select("vec_id", "vec", "rn")
         .localCheckpoint(eager=True)
     )
