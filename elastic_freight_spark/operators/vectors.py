@@ -2245,19 +2245,28 @@ def vector_mmr_diversify(spark, sf_dir, k: int = 5, n_cand: int = 20):
         F.expr(_DOT.format(a="qvec", b="cvec"))
         / (F.col("qnorm") * F.col("cnorm"))
     )
+    from elastic_freight_spark.operators.windows import (
+        skewed_topk_per_group,
+    )
+
     wq = W.partitionBy("query_id")
     # rank ids WITHOUT the vector payload (the window would otherwise
     # sort-shuffle a 64-double array per scored pair — the knn plan's
-    # lesson), then re-join vectors for just the selected 20/query.
-    cand_ids = (
+    # lesson), via the two-phase salted top-k: each query scores the
+    # ENTIRE corpus, so a plain per-query window is one corpus-sized
+    # partition per query at scale; the salted decomposition spreads
+    # it over 16 tasks per query with an identical result.
+    scored = (
         F.broadcast(q)
         .crossJoin(c.select("cid", "cvec", "cnorm"))
         .select("query_id", "cid", rel.alias("rel"))
-        .withColumn(
-            "rn",
-            F.row_number().over(wq.orderBy(F.col("rel").desc(), "cid")),
-        )
-        .filter(F.col("rn") <= n_cand)
+    )
+    cand_ids = skewed_topk_per_group(
+        scored,
+        "query_id",
+        [F.col("rel").desc(), F.col("cid")],
+        n_cand,
+        salt_src="cid",
     )
     # localCheckpoint TRUNCATES the logical plan, not just caches
     # data (persist+count left Catalyst re-analyzing the nested
