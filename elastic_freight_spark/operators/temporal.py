@@ -2589,3 +2589,224 @@ def t_anomaly_seasonal_adjusted(spark, sf_dir):
         .limit(10)
         .drop("_raw")
     )
+
+
+@query(
+    "t_cross_correlation_click_purchase",
+    oracle="""
+    WITH eb AS (
+      SELECT CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS lo,
+             CAST(date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS DATE) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM eb
+    ),
+    ec AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    oc AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    series AS (
+      SELECT CAST(s.day AS DATE) AS day,
+             COALESCE(ec.x, 0) AS x, COALESCE(oc.y, 0) AS y
+      FROM spine s
+      LEFT JOIN ec ON ec.day = CAST(s.day AS DATE)
+      LEFT JOIN oc ON oc.day = CAST(s.day AS DATE)
+    ),
+    led AS (
+      SELECT x, y,
+             LEAD(y, 1) OVER (ORDER BY day) AS y1,
+             LEAD(y, 2) OVER (ORDER BY day) AS y2,
+             LEAD(y, 3) OVER (ORDER BY day) AS y3,
+             LEAD(x, 1) OVER (ORDER BY day) AS x1,
+             LEAD(x, 2) OVER (ORDER BY day) AS x2,
+             LEAD(x, 3) OVER (ORDER BY day) AS x3
+      FROM series
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DOUBLE) AS sxy0,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * y1) AS DOUBLE) AS sxy1,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * y2) AS DOUBLE) AS sxy2,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * y3) AS DOUBLE) AS sxy3,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * x1) AS DOUBLE) AS syx1,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * x2) AS DOUBLE) AS syx2,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * x3) AS DOUBLE) AS syx3,
+             CAST(COUNT(y1) AS DOUBLE) AS m1, CAST(COUNT(y2) AS DOUBLE) AS m2,
+             CAST(COUNT(y3) AS DOUBLE) AS m3,
+             CAST(SUM(CASE WHEN y1 IS NOT NULL THEN x END) AS DOUBLE) AS hx1,
+             CAST(SUM(CASE WHEN y2 IS NOT NULL THEN x END) AS DOUBLE) AS hx2,
+             CAST(SUM(CASE WHEN y3 IS NOT NULL THEN x END) AS DOUBLE) AS hx3,
+             CAST(SUM(y1) AS DOUBLE) AS ty1, CAST(SUM(y2) AS DOUBLE) AS ty2,
+             CAST(SUM(y3) AS DOUBLE) AS ty3,
+             CAST(SUM(CASE WHEN x1 IS NOT NULL THEN y END) AS DOUBLE) AS hy1,
+             CAST(SUM(CASE WHEN x2 IS NOT NULL THEN y END) AS DOUBLE) AS hy2,
+             CAST(SUM(CASE WHEN x3 IS NOT NULL THEN y END) AS DOUBLE) AS hy3,
+             CAST(SUM(x1) AS DOUBLE) AS tx1, CAST(SUM(x2) AS DOUBLE) AS tx2,
+             CAST(SUM(x3) AS DOUBLE) AS tx3
+      FROM led
+    )
+    SELECT lag, n_pairs,
+           ROUND(num / NULLIF(n_full * SQRT(denx) * SQRT(deny), 0), 9)
+             AS xcorr
+    FROM (
+      SELECT 0 AS lag, CAST(n AS BIGINT) AS n_pairs, n AS n_full,
+             n * n * sxy0 - n * sx * sy AS num,
+             n * sxx - sx * sx AS denx, n * syy - sy * sy AS deny
+      FROM m
+      UNION ALL SELECT 1, CAST(m1 AS BIGINT), n,
+             n * n * sxy1 - n * sx * ty1 - n * sy * hx1 + m1 * sx * sy,
+             n * sxx - sx * sx, n * syy - sy * sy FROM m
+      UNION ALL SELECT 2, CAST(m2 AS BIGINT), n,
+             n * n * sxy2 - n * sx * ty2 - n * sy * hx2 + m2 * sx * sy,
+             n * sxx - sx * sx, n * syy - sy * sy FROM m
+      UNION ALL SELECT 3, CAST(m3 AS BIGINT), n,
+             n * n * sxy3 - n * sx * ty3 - n * sy * hx3 + m3 * sx * sy,
+             n * sxx - sx * sx, n * syy - sy * sy FROM m
+      UNION ALL SELECT -1, CAST(m1 AS BIGINT), n,
+             n * n * syx1 - n * sy * tx1 - n * sx * hy1 + m1 * sx * sy,
+             n * sxx - sx * sx, n * syy - sy * sy FROM m
+      UNION ALL SELECT -2, CAST(m2 AS BIGINT), n,
+             n * n * syx2 - n * sy * tx2 - n * sx * hy2 + m2 * sx * sy,
+             n * sxx - sx * sx, n * syy - sy * sy FROM m
+      UNION ALL SELECT -3, CAST(m3 AS BIGINT), n,
+             n * n * syx3 - n * sy * tx3 - n * sx * hy3 + m3 * sx * sy,
+             n * sxx - sx * sx, n * syy - sy * sy FROM m
+    ) ORDER BY lag
+    """,
+)
+def t_cross_correlation_click_purchase(spark, sf_dir):
+    """Lead-lag cross-correlation between the daily CLICK series and
+    the daily PURCHASE series at lags −3..+3 (positive lag = clicks
+    lead purchases) — the demand-signal diagnostic behind "does
+    activity today predict conversions in k days". (The TPC-H orders
+    table lives in a different calendar than events — 1995 vs 2024 —
+    so the cross-series pair must come from the SAME feed.) Same algebraic discipline as the
+    ACF: every moment is an exact integer sum (DECIMAL(19,0)²
+    cross-products), the per-lag coefficient is a mirrored fixed IEEE
+    tree with NULLIF guards, and the only data-sized work is the two
+    groupBy-day scans — the lead columns live on the calendar-bounded
+    zero-filled spine. Convention (stated): full-series means and
+    variances normalize every lag, the numerator sums over the
+    overlap — the standard cross-correlogram definition."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("lo"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    ec = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    oc = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    series = (
+        spine.join(ec, "day", "left")
+        .join(oc, "day", "left")
+        .select(
+            "day",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    w = W.orderBy("day")
+    led = series.select(
+        "x",
+        "y",
+        *[F.lead("y", l).over(w).alias(f"y{l}") for l in (1, 2, 3)],
+        *[F.lead("x", l).over(w).alias(f"x{l}") for l in (1, 2, 3)],
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(dec("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(dec("x") * F.col("y")).cast("double").alias("sxy0"),
+    ]
+    for l in (1, 2, 3):
+        aggs += [
+            F.sum(dec("x") * F.col(f"y{l}")).cast("double").alias(f"sxy{l}"),
+            F.sum(dec("y") * F.col(f"x{l}")).cast("double").alias(f"syx{l}"),
+            F.count(f"y{l}").cast("double").alias(f"m{l}"),
+            F.sum(F.when(F.col(f"y{l}").isNotNull(), F.col("x")))
+            .cast("double")
+            .alias(f"hx{l}"),
+            F.sum(f"y{l}").cast("double").alias(f"ty{l}"),
+            F.sum(F.when(F.col(f"x{l}").isNotNull(), F.col("y")))
+            .cast("double")
+            .alias(f"hy{l}"),
+            F.sum(f"x{l}").cast("double").alias(f"tx{l}"),
+        ]
+    m = led.agg(*aggs)
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy = F.col("sxx"), F.col("syy")
+    rows = [
+        m.select(
+            F.lit(0).alias("lag"),
+            n.cast("bigint").alias("n_pairs"),
+            n.alias("n_full"),
+            (n * n * F.col("sxy0") - n * sx * sy).alias("num"),
+            (n * sxx - sx * sx).alias("denx"),
+            (n * syy - sy * sy).alias("deny"),
+        )
+    ]
+    for l in (1, 2, 3):
+        ml = F.col(f"m{l}")
+        rows.append(
+            m.select(
+                F.lit(l).alias("lag"),
+                ml.cast("bigint").alias("n_pairs"),
+                n.alias("n_full"),
+                (
+                    n * n * F.col(f"sxy{l}")
+                    - n * sx * F.col(f"ty{l}")
+                    - n * sy * F.col(f"hx{l}")
+                    + ml * sx * sy
+                ).alias("num"),
+                (n * sxx - sx * sx).alias("denx"),
+                (n * syy - sy * sy).alias("deny"),
+            )
+        )
+        rows.append(
+            m.select(
+                F.lit(-l).alias("lag"),
+                ml.cast("bigint").alias("n_pairs"),
+                n.alias("n_full"),
+                (
+                    n * n * F.col(f"syx{l}")
+                    - n * sy * F.col(f"tx{l}")
+                    - n * sx * F.col(f"hy{l}")
+                    + ml * sx * sy
+                ).alias("num"),
+                (n * sxx - sx * sx).alias("denx"),
+                (n * syy - sy * sy).alias("deny"),
+            )
+        )
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionAll(r)
+    xcorr = F.col("num") / F.nullif(
+        F.col("n_full") * F.sqrt(F.col("denx")) * F.sqrt(F.col("deny")),
+        F.lit(0.0),
+    )
+    return res.select(
+        "lag", "n_pairs", F.round(xcorr, 9).alias("xcorr")
+    ).orderBy("lag")

@@ -963,3 +963,44 @@ def test_k_anonymity_matches_python_recompute(spark):
     below = sum(k for k in cells.values() if k < 5)
     assert r["n_rows_below_k5"] == below
     assert abs(r["share_below_k5"] - below / len(cust)) < 1e-9
+
+
+def test_cross_correlation_matches_python_recompute(spark):
+    import datetime as dt
+
+    rows = _q(spark, "t_cross_correlation_click_purchase").collect()
+    t = load_tables(spark, SF)
+    ev = t["events"].selectExpr(
+        "cast(date_trunc('day', ts) as date) d", "event_type"
+    ).collect()
+    xs, ys, span = {}, {}, {}
+    for r in ev:
+        span[r["d"]] = 1
+        if r["event_type"] == "click":
+            xs[r["d"]] = xs.get(r["d"], 0) + 1
+        elif r["event_type"] == "purchase":
+            ys[r["d"]] = ys.get(r["d"], 0) + 1
+    lo, hi = min(span), max(span)
+    x, y = [], []
+    d = lo
+    while d <= hi:
+        x.append(xs.get(d, 0))
+        y.append(ys.get(d, 0))
+        d += dt.timedelta(days=1)
+    import math
+
+    n = len(x)
+    mx, my = sum(x) / n, sum(y) / n
+    dx = math.sqrt(sum((v - mx) ** 2 for v in x))
+    dy = math.sqrt(sum((v - my) ** 2 for v in y))
+    got = {r["lag"]: r for r in rows}
+    assert set(got) == set(range(-3, 4))
+    for lag in range(-3, 4):
+        if lag >= 0:
+            pairs = [(x[t_], y[t_ + lag]) for t_ in range(n - lag)]
+        else:
+            pairs = [(x[t_ - lag], y[t_]) for t_ in range(n + lag)]
+        num = sum((a - mx) * (b - my) for a, b in pairs)
+        expect = num / (dx * dy)
+        assert got[lag]["n_pairs"] == n - abs(lag)
+        assert abs(got[lag]["xcorr"] - expect) < 1e-7, (lag,)
