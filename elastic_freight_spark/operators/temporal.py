@@ -2810,3 +2810,99 @@ def t_cross_correlation_click_purchase(spark, sf_dir):
     return res.select(
         "lag", "n_pairs", F.round(xcorr, 9).alias("xcorr")
     ).orderBy("lag")
+
+
+@query(
+    "t_cohort_ltv_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS cohort
+      FROM events GROUP BY user_id
+    ),
+    cohort_size AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM first_seen GROUP BY cohort
+    ),
+    purchases AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', f.cohort,
+                  CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE))
+                  // 7 AS INT) AS age_weeks,
+             CAST(e.value AS DECIMAL(18,4)) AS v
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    by_age AS (
+      SELECT cohort, age_weeks,
+             CAST(SUM(v) AS DECIMAL(38,4)) AS rev
+      FROM purchases GROUP BY 1, 2
+    )
+    SELECT strftime(b.cohort, '%Y-%m-%d') AS cohort, b.age_weeks,
+           cs.n_users,
+           CAST(SUM(b.rev) OVER (
+             PARTITION BY b.cohort ORDER BY b.age_weeks
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS cum_revenue,
+           ROUND(CAST(SUM(b.rev) OVER (
+             PARTITION BY b.cohort ORDER BY b.age_weeks
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / cs.n_users, 9) AS ltv_per_user
+    FROM by_age b JOIN cohort_size cs ON cs.cohort = b.cohort
+    ORDER BY cohort, age_weeks
+    """,
+)
+def t_cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curve: users grouped by first-seen
+    WEEK, cumulative DECIMAL-routed purchase revenue per cohort as a
+    function of cohort age in weeks, normalized per cohort member —
+    the revenue twin of `t_retention_cohorts` (retention counts
+    presence; LTV integrates value). Cohort age is integer calendar
+    arithmetic (week-start day-diff div 7 — no timestamp
+    subtraction), the cumulative window runs over the
+    (cohorts × ages) frame which is calendar²-bounded, and the
+    per-user division is one guarded flop at the edge."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts")).cast("date")).alias(
+            "cohort"
+        )
+    )
+    cohort_size = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort",
+            F.expr(
+                "cast(datediff(cast(date_trunc('week', ts) as date),"
+                " cohort) div 7 as int)"
+            ).alias("age_weeks"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+    )
+    by_age = purchases.groupBy("cohort", "age_weeks").agg(
+        F.sum("v").cast("decimal(38,4)").alias("rev")
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("rev").over(w).cast("double")
+    return (
+        by_age.join(F.broadcast(cohort_size), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "age_weeks",
+            "n_users",
+            cum.alias("cum_revenue"),
+            F.round(cum / F.col("n_users"), 9).alias("ltv_per_user"),
+        )
+        .orderBy("cohort", "age_weeks")
+    )

@@ -1004,3 +1004,43 @@ def test_cross_correlation_matches_python_recompute(spark):
         expect = num / (dx * dy)
         assert got[lag]["n_pairs"] == n - abs(lag)
         assert abs(got[lag]["xcorr"] - expect) < 1e-7, (lag,)
+
+
+def test_cohort_ltv_matches_python_recompute(spark):
+    import datetime as dt
+
+    rows = _q(spark, "t_cohort_ltv_curve").collect()
+    ev = (
+        load_tables(spark, SF)["events"]
+        .selectExpr(
+            "user_id",
+            "cast(date_trunc('week', ts) as date) AS wk",
+            "event_type",
+            "value",
+        )
+        .collect()
+    )
+    first = {}
+    for r in ev:
+        if r["user_id"] not in first or r["wk"] < first[r["user_id"]]:
+            first[r["user_id"]] = r["wk"]
+    size = {}
+    for u, c in first.items():
+        size[c] = size.get(c, 0) + 1
+    rev = {}
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        c = first[r["user_id"]]
+        age = (r["wk"] - c).days // 7
+        rev[(c, age)] = rev.get((c, age), 0) + round(r["value"], 4)
+    got = {(r["cohort"], r["age_weeks"]): r for r in rows}
+    assert len(got) == len(rev)
+    for c in sorted(size):
+        cum = 0.0
+        for age in sorted(a for (cc, a) in rev if cc == c):
+            cum += rev[(c, age)]
+            r = got[(c.strftime("%Y-%m-%d"), age)]
+            assert r["n_users"] == size[c]
+            assert abs(r["cum_revenue"] - cum) < 1e-6
+            assert abs(r["ltv_per_user"] - cum / size[c]) < 1e-6
