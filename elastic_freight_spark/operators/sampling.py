@@ -508,16 +508,27 @@ def sample_quality_weighted(spark, sf_dir):
     )
 
 
-@query(
-    "dataset_split_assignment",
-    oracle="""
-    WITH assigned AS (
-      SELECT source,
-             CASE WHEN md5(concat('split:', CAST(doc_id AS VARCHAR))) < 'e'
+# Deterministic split assignment — ONE fragment shared by the split
+# panel and the near-dup leakage audit (a verbatim copy would let the
+# two silently diverge on who is in eval).
+_SPLIT_SQL = """CASE WHEN md5(concat('split:', CAST(doc_id AS VARCHAR))) < 'e'
                   THEN 'train'
                   WHEN md5(concat('split:', CAST(doc_id AS VARCHAR))) < 'f'
                   THEN 'val'
-                  ELSE 'test' END AS split
+                  ELSE 'test' END"""
+
+
+def split_col():
+    """Spark twin of _SPLIT_SQL."""
+    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    return F.when(h < "e", "train").when(h < "f", "val").otherwise("test")
+
+
+@query(
+    "dataset_split_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source, {_SPLIT_SQL} AS split
       FROM documents
     )
     SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -538,12 +549,8 @@ def dataset_split_assignment(spark, sf_dir):
     split itself is the same CASE without the aggregate. One hash
     per row, one uniform-key aggregate — flat at any scale."""
     docs = load_tables(spark, sf_dir)["documents"]
-    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
-    split = (
-        F.when(h < "e", "train").when(h < "f", "val").otherwise("test")
-    )
     return (
-        docs.withColumn("split", split)
+        docs.withColumn("split", split_col())
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "split")

@@ -2969,3 +2969,96 @@ def text_oov_rate(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+from elastic_freight_spark.operators.sampling import (
+    _SPLIT_SQL as _LEAK_SPLIT_SQL,
+)
+
+
+@query(
+    "dq_split_neardup_leakage",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    {_CAPPED_PAIRS_FRAGMENT},
+    dup AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE p.inter / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.35
+    ),
+    labeled AS (
+      SELECT LEAST(x.split, y.split) AS split_a,
+             GREATEST(x.split, y.split) AS split_b,
+             d.doc_a, d.doc_b
+      FROM dup d
+      JOIN (SELECT doc_id, {_LEAK_SPLIT_SQL} AS split FROM documents) x
+        ON x.doc_id = d.doc_a
+      JOIN (SELECT doc_id, {_LEAK_SPLIT_SQL} AS split FROM documents) y
+        ON y.doc_id = d.doc_b
+    )
+    SELECT split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT doc_a) + COUNT(DISTINCT doc_b) AS BIGINT)
+             AS n_docs_involved
+    FROM labeled
+    GROUP BY split_a, split_b
+    ORDER BY split_a, split_b
+    """,
+)
+def dq_split_neardup_leakage(spark, sf_dir):
+    """Train/eval LEAKAGE audit: near-duplicate pairs (the engine's
+    default capped-Jaccard policy at the dedup threshold 0.35) that
+    STRADDLE the deterministic train/val/test split — the
+    contamination a random splitter silently ships, because splitting
+    by document does nothing when two documents are near-copies of
+    each other. Composes three shared fragments, never re-defines
+    them: the `_CAPPED_PAIRS_FRAGMENT` pair generator
+    (`exact_jaccard_pairs`), the dedup family's 0.35 Jaccard
+    predicate, and `sampling._SPLIT_SQL`. Rows off the train-train
+    diagonal are the leak; a clean release shows zero
+    train-val/train-test pairs OR documents deduped before
+    splitting."""
+    from elastic_freight_spark.operators.sampling import split_col
+
+    pairs = exact_jaccard_pairs(spark, sf_dir)
+    dup = pairs.filter(
+        F.col("inter")
+        / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+        >= 0.35
+    ).select("doc_a", "doc_b")
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", split_col().alias("split")
+    )
+    labeled = (
+        dup.join(
+            F.broadcast(docs.select(F.col("doc_id").alias("doc_a"),
+                                    F.col("split").alias("sa"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(docs.select(F.col("doc_id").alias("doc_b"),
+                                    F.col("split").alias("sb"))),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    return (
+        labeled.groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (
+                F.countDistinct("doc_a") + F.countDistinct("doc_b")
+            )
+            .cast("bigint")
+            .alias("n_docs_involved"),
+        )
+        .orderBy("split_a", "split_b")
+    )

@@ -1044,3 +1044,34 @@ def test_cohort_ltv_matches_python_recompute(spark):
             assert r["n_users"] == size[c]
             assert abs(r["cum_revenue"] - cum) < 1e-6
             assert abs(r["ltv_per_user"] - cum / size[c]) < 1e-6
+
+
+def test_split_leakage_consistent_with_neardup_and_split(spark):
+    import hashlib
+
+    leak = _q(spark, "dq_split_neardup_leakage").collect()
+    # rebuild expected matrix from the engine's own dup pairs + the
+    # shared split definition recomputed in python
+    pairs = _q(spark, "neardup_ngram_jaccard").collect()
+    cols = pairs[0].asDict().keys() if pairs else []
+    jcol = "jaccard" if "jaccard" in cols else None
+
+    def split(doc_id):
+        h = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()
+        return "train" if h < "e" else ("val" if h < "f" else "test")
+
+    mat = {}
+    docs_a = {}
+    docs_b = {}
+    for r in pairs:
+        if jcol and r[jcol] < 0.35:
+            continue
+        sa, sb = sorted((split(r["doc_a"]), split(r["doc_b"])))
+        mat[(sa, sb)] = mat.get((sa, sb), 0) + 1
+        docs_a.setdefault((sa, sb), set()).add(r["doc_a"])
+        docs_b.setdefault((sa, sb), set()).add(r["doc_b"])
+    got = {(r["split_a"], r["split_b"]): r for r in leak}
+    assert set(got) == set(mat), (set(got), set(mat))
+    for k, n in mat.items():
+        assert got[k]["n_pairs"] == n
+        assert got[k]["n_docs_involved"] == len(docs_a[k]) + len(docs_b[k])
