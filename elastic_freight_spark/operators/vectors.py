@@ -2507,3 +2507,77 @@ def sample_coreset_kcenter(spark, sf_dir, k: int = 8, pool: int = 64):
         F.col("cid").alias("vec_id"),
         F.round("mind", 9).alias("min_sq_dist"),
     ).orderBy("pick_rank")
+
+
+@query(
+    "embedding_ood_candidates",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT label, CAST(pos AS INT) AS pos,
+             CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+               AS mean_val
+      FROM (
+        SELECT label,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 AS v,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings
+      )
+      GROUP BY label, pos
+    ),
+    carr AS (
+      SELECT label, list(mean_val ORDER BY pos) AS cvec
+      FROM centroids GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {_SQL_SQDIST.format(a='e.embedding', b='c.cvec')} AS dist2
+      FROM embeddings e JOIN carr c ON c.label = e.label
+    )
+    SELECT vec_id, label, ROUND(dist2, 9) AS dist2
+    FROM scored
+    ORDER BY dist2 DESC, vec_id
+    LIMIT 20
+    """,
+)
+def embedding_ood_candidates(spark, sf_dir):
+    """Label-noise / out-of-distribution screen: the 20 vectors
+    farthest (squared L2) from their OWN label centroid — the
+    nearest-centroid mislabel heuristic every embedding-curation
+    pass runs before training a classifier head. Reuses the
+    hash-green `vector_label_centroids` aggregation verbatim (called
+    as a function — one definition), pivots the long centroid format
+    into per-label arrays (|labels| rows, broadcast), and computes
+    each distance with the SAME left-to-right fold the knn/kcenter
+    queries certify — array folds are order-deterministic where a
+    SQL SUM over exploded components is not. Ranking is
+    orderBy+limit (distributed top-k), never a global window."""
+    cent = vector_label_centroids(spark, sf_dir)
+    carr = (
+        cent.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mean_val"))
+            ).alias("ps")
+        )
+        .select(
+            "label",
+            F.expr("transform(ps, x -> x.mean_val)").alias("cvec"),
+        )
+    )
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", _as_double_array("embedding").alias("vec")
+    )
+    scored = e.join(F.broadcast(carr), "label").select(
+        "vec_id",
+        "label",
+        F.expr(_SQDIST.format(a="vec", b="cvec")).alias("dist2"),
+    )
+    # rank on the RAW distance like the oracle's ORDER BY (ranking
+    # the rounded column could flip the limit cutoff), round at the
+    # output edge
+    return (
+        scored.orderBy(F.col("dist2").desc(), "vec_id")
+        .limit(20)
+        .select("vec_id", "label", F.round("dist2", 9).alias("dist2"))
+    )

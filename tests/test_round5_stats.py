@@ -1075,3 +1075,33 @@ def test_split_leakage_consistent_with_neardup_and_split(spark):
     for k, n in mat.items():
         assert got[k]["n_pairs"] == n
         assert got[k]["n_docs_involved"] == len(docs_a[k]) + len(docs_b[k])
+
+
+def test_ood_candidates_matches_numpy(spark):
+    import numpy as np
+
+    rows = _q(spark, "embedding_ood_candidates").collect()
+    emb = (
+        load_tables(spark, SF)["embeddings"]
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        )
+    cents = {
+        l: np.mean([v for _, v in vs], axis=0) for l, vs in by_label.items()
+    }
+    dists = []
+    for l, vs in by_label.items():
+        for vid, v in vs:
+            dists.append((float(((v - cents[l]) ** 2).sum()), vid, l))
+    dists.sort(key=lambda t: (-t[0], t[1]))
+    expect = dists[:20]
+    assert [(r["vec_id"], r["label"]) for r in rows] == [
+        (vid, l) for _, vid, l in expect
+    ]
+    for r, (d, vid, l) in zip(rows, expect):
+        assert abs(r["dist2"] - d) < 1e-6
