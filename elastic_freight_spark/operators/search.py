@@ -1300,6 +1300,55 @@ _PERCOLATE_SQL_VALUES = ", ".join(
 )
 
 
+def percolate_matches(docs, stored, qsize):
+    """(query_id, doc_id) matches of documents against the stored
+    must-term queries — the per-document match core shared by the
+    batch report and the streaming alerter (percolation is local to a
+    document, so the SAME plan runs per micro-batch unchanged)."""
+    doc_terms = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    hits = (
+        doc_terms.join(
+            F.broadcast(stored), F.col("token") == F.col("term")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_matched"))
+    )
+    return hits.join(F.broadcast(qsize), "query_id").filter(
+        F.col("n_matched") == F.col("n_terms")
+    ).select("query_id", "doc_id")
+
+
+def percolate_frames(spark):
+    """(stored, qsize) literal frames for _PERCOLATE_QUERIES."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    stored = spark.createDataFrame(
+        _PERCOLATE_QUERIES,
+        StructType(
+            [
+                StructField("query_id", IntegerType()),
+                StructField("term", StringType()),
+            ]
+        ),
+    )
+    qsize = stored.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms")
+    )
+    return stored, qsize
+
+
 @query(
     "search_percolate",
     oracle=f"""
@@ -1347,39 +1396,9 @@ def search_percolate(spark, sf_dir):
     broadcast; the doc side collapses to distinct tokens map-side
     before the join — percolating a NEW batch is the same plan over
     the batch instead of the corpus."""
-    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
-
     docs = load_tables(spark, sf_dir)["documents"]
-    stored = spark.createDataFrame(
-        _PERCOLATE_QUERIES,
-        StructType(
-            [
-                StructField("query_id", IntegerType()),
-                StructField("term", StringType()),
-            ]
-        ),
-    )
-    qsize = stored.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_terms")
-    )
-    doc_terms = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower("text"), " ")).alias("token"),
-        )
-        .filter(F.col("token") != "")
-        .distinct()
-    )
-    hits = (
-        doc_terms.join(
-            F.broadcast(stored), F.col("token") == F.col("term")
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).cast("int").alias("n_matched"))
-    )
-    matches = hits.join(F.broadcast(qsize), "query_id").filter(
-        F.col("n_matched") == F.col("n_terms")
-    )
+    stored, qsize = percolate_frames(spark)
+    matches = percolate_matches(docs, stored, qsize)
     # aggregate matches to query-sized rows BEFORE the zero-keeping
     # left join: joining qsize LEFT against doc-sized match rows
     # would route every matched doc through the left join (and a

@@ -1259,3 +1259,49 @@ def stream_attribution_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_percolate(
+    docs_stream: DataFrame,
+    matches_path: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Streaming percolation — the alerting face of
+    `search_percolate` (which IS what the ES percolator exists for:
+    match every incoming document against the stored queries the
+    moment it arrives). Each micro-batch runs the SAME
+    `percolate_matches` plan the batch report uses (one shared
+    definition; matching is per-document local, so streaming it
+    changes nothing semantically) and appends its (query_id, doc_id)
+    matches to a batch-keyed parquet ledger with the
+    overwrite-idempotent marker discipline of the other foreachBatch
+    sinks here. Differential test: union of per-batch matches ==
+    batch percolate over the full corpus, exactly."""
+    from elastic_freight_spark.operators.search import (
+        percolate_frames,
+        percolate_matches,
+    )
+
+    def _match(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        marker = os.path.join(matches_path, f"_batch_{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        spark = batch_df.sparkSession
+        stored, qsize = percolate_frames(spark)
+        (
+            percolate_matches(batch_df, stored, qsize)
+            .write.mode("overwrite")
+            .parquet(os.path.join(matches_path, f"batch={batch_id}"))
+        )
+        with open(marker, "w") as f:
+            f.write("done")
+
+    writer = docs_stream.writeStream.foreachBatch(_match).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

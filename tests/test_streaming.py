@@ -1491,3 +1491,57 @@ def test_stream_attribution_state_matches_batch(spark, tmp_path_factory):
     for ch, (n, v) in expect.items():
         assert agg[ch][0] == n, (ch, agg[ch], n)
         assert abs(agg[ch][1] - v) < 1e-6
+
+
+def test_stream_percolate_matches_batch(spark, tmp_path_factory):
+    """Union of per-micro-batch percolation matches must equal the
+    batch percolate over the full corpus (per-document locality)."""
+    import glob
+    import os as _os
+
+    from elastic_freight_spark.operators.search import (
+        percolate_frames,
+        percolate_matches,
+    )
+    from elastic_freight_spark.session import load_tables
+    from elastic_freight_spark.streaming.structured import (
+        read_parquet_stream,
+        stream_percolate,
+    )
+
+    base = tmp_path_factory.mktemp("percolate_stream")
+    sf = "/root/testdata/sf0.001"
+    docs = load_tables(spark, sf)["documents"].select("doc_id", "text")
+    src = str(base / "src")
+    _os.makedirs(src)
+    # 4 source files => 4 micro-batches
+    for i in range(4):
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i).coalesce(
+            1
+        ).write.parquet(_os.path.join(src, f"b{i}.parquet"))
+    flat = str(base / "flat")
+    _os.makedirs(flat)
+    import shutil
+
+    for i, d in enumerate(sorted(glob.glob(_os.path.join(src, "b*.parquet")))):
+        for j, f in enumerate(sorted(glob.glob(_os.path.join(d, "*.parquet")))):
+            shutil.copy(f, _os.path.join(flat, f"{i}_{j}.parquet"))
+    schema = spark.read.parquet(flat).schema
+    stream = read_parquet_stream(spark, flat, schema, max_files_per_trigger=1)
+    out = str(base / "matches")
+    q = stream_percolate(
+        stream, out, str(base / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in spark.read.parquet(
+            *sorted(glob.glob(_os.path.join(out, "batch=*")))
+        ).collect()
+    }
+    stored, qsize = percolate_frames(spark)
+    expect = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate_matches(docs, stored, qsize).collect()
+    }
+    assert got == expect and expect
