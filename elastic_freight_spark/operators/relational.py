@@ -3183,3 +3183,101 @@ def dq_k_anonymity(spark, sf_dir):
             below5 / F.first("n_rows").cast("double"), 9
         ).alias("share_below_k5"),
     )
+
+
+@query(
+    "agg_percentile_ranks",
+    oracle="""
+    WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
+    SELECT v AS threshold,
+           CAST(below AS BIGINT) AS n_below,
+           ROUND(below / CAST((SELECT n FROM tot) AS DOUBLE), 9)
+             AS percentile_rank
+    FROM (
+      SELECT 1000.0 AS v,
+             SUM(CASE WHEN l_extendedprice <= 1000.0 THEN 1 ELSE 0 END)
+               AS below FROM lineitem
+      UNION ALL SELECT 5000.0,
+             SUM(CASE WHEN l_extendedprice <= 5000.0 THEN 1 ELSE 0 END)
+        FROM lineitem
+      UNION ALL SELECT 20000.0,
+             SUM(CASE WHEN l_extendedprice <= 20000.0 THEN 1 ELSE 0 END)
+        FROM lineitem
+      UNION ALL SELECT 50000.0,
+             SUM(CASE WHEN l_extendedprice <= 50000.0 THEN 1 ELSE 0 END)
+        FROM lineitem
+    )
+    ORDER BY threshold
+    """,
+)
+def agg_percentile_ranks(spark, sf_dir):
+    """ES `percentile_ranks` aggregation — the INVERSE of
+    `agg_percentiles`: given value thresholds, what fraction of the
+    distribution sits at or below each (CDF point evaluation). All
+    four thresholds come out of ONE conditional-sum pass (map-side
+    combined), integer counts divided once at the edge — where ES
+    answers this from a t-digest approximately, the engine's exact
+    answer costs the same single scan."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    thresholds = [1000.0, 5000.0, 20000.0, 50000.0]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")] + [
+        F.sum(
+            F.when(F.col("l_extendedprice") <= t, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"b{i}")
+        for i, t in enumerate(thresholds)
+    ]
+    m = li.agg(*aggs)
+    rows = [
+        m.select(
+            F.lit(t).alias("threshold"),
+            F.col(f"b{i}").alias("n_below"),
+            F.round(
+                F.col(f"b{i}") / F.col("n").cast("double"), 9
+            ).alias("percentile_rank"),
+        )
+        for i, t in enumerate(thresholds)
+    ]
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionAll(r)
+    return res.orderBy("threshold")
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2)))
+                AS DOUBLE)
+             / NULLIF(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                AS DOUBLE), 0) AS wavg_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_weight
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark, sf_dir):
+    """ES `weighted_avg` aggregation: quantity-weighted mean unit
+    price per return flag — both the weighted numerator and the
+    weight mass ride DECIMAL so the division is one flop over exact
+    inputs (a float-sum weighted average diverges across engines in
+    the last digits; this one cannot). One map-side-combined pass."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    num = F.sum(
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+            "decimal(18,2)"
+        )
+    ).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (num / F.nullif(den, F.lit(0.0))).alias("wavg_price"),
+            den.alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

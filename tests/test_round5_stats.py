@@ -1105,3 +1105,37 @@ def test_ood_candidates_matches_numpy(spark):
     ]
     for r, (d, vid, l) in zip(rows, expect):
         assert abs(r["dist2"] - d) < 1e-6
+
+
+def test_percentile_ranks_monotone_and_exact(spark):
+    rows = _q(spark, "agg_percentile_ranks").collect()
+    li = load_tables(spark, SF)["lineitem"].select("l_extendedprice").collect()
+    vals = [r["l_extendedprice"] for r in li]
+    got = {r["threshold"]: r for r in rows}
+    prev = -1
+    for t in sorted(got):
+        below = sum(1 for v in vals if v <= t)
+        assert got[t]["n_below"] == below
+        assert abs(got[t]["percentile_rank"] - below / len(vals)) < 1e-9
+        assert below >= prev
+        prev = below
+
+
+def test_weighted_avg_matches_python_recompute(spark):
+    rows = _q(spark, "agg_weighted_avg").collect()
+    li = (
+        load_tables(spark, SF)["lineitem"]
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    agg = {}
+    for r in li:
+        n, d = agg.get(r["l_returnflag"], (0, 0))
+        agg[r["l_returnflag"]] = (
+            n + round(r["l_extendedprice"] * r["l_quantity"] * 100),
+            d + round(r["l_quantity"] * 100),
+        )
+    for r in rows:
+        n, d = agg[r["l_returnflag"]]
+        assert abs(r["wavg_price"] - n / d) < 1e-6
+        assert abs(r["total_weight"] - d / 100) < 1e-6
