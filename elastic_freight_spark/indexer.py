@@ -952,3 +952,89 @@ def diff_indexes(
         "sample_removed": _sample(removed, "a"),
         "sample_changed": _sample(changed, "a") if compare_cols else [],
     }
+
+
+def vacuum_plan(
+    spark: SparkSession, index_path: str, keep_versions: int = 1
+) -> DataFrame:
+    """Retention-aware VACUUM plan over the upsert log (the Delta/
+    Iceberg lifecycle piece between upsert and copy-on-write
+    compaction): a physical parquet file is removable iff EVERY row
+    in it is shadowed by a strictly newer version of the same doc AND
+    is older than the retention fence (current_version −
+    ``keep_versions``), so time travel within the retention window
+    stays exact while fully-superseded delta files stop costing scan
+    and storage. Live tombstones are NOT removable (they still mask
+    base rows until compaction). Returns one row per file:
+    (file, n_rows, n_dead_under_fence, removable) — the report is the
+    plan; ``apply_vacuum`` executes it. The per-file verdict is one
+    groupBy over the resolved log — no driver-side row pulls."""
+    manifest = read_manifest(index_path)
+    df = spark.read.option("mergeSchema", "true").parquet(index_path)
+    if UPSERT_VERSION_COL not in df.columns:
+        return spark.createDataFrame(
+            [],
+            "file string, n_rows long, n_dead_under_fence long,"
+            " removable boolean",
+        )
+    from pyspark.sql import Window as W
+
+    idc = manifest["doc_id_col"]
+    fence = int(manifest.get("version", 0)) - int(keep_versions)
+    rows = df.select(
+        F.input_file_name().alias("file"),
+        F.col(idc).alias("_id"),
+        F.coalesce(F.col(UPSERT_VERSION_COL), F.lit(0)).alias("_v"),
+    )
+    maxv = rows.groupBy("_id").agg(F.max("_v").alias("_maxv"))
+    dead = (
+        rows.join(maxv, "_id")
+        .withColumn(
+            "_dead",
+            (F.col("_v") < F.col("_maxv")) & (F.col("_v") <= F.lit(fence)),
+        )
+    )
+    return (
+        dead.groupBy("file")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("_dead").cast("int"))
+            .cast("long")
+            .alias("n_dead_under_fence"),
+        )
+        .withColumn(
+            "removable", F.col("n_rows") == F.col("n_dead_under_fence")
+        )
+        .orderBy("file")
+    )
+
+
+def apply_vacuum(
+    spark: SparkSession, index_path: str, keep_versions: int = 1
+) -> dict:
+    """Execute ``vacuum_plan``: delete fully-superseded delta files
+    past the retention fence, record the action in the manifest
+    (vacuumed_through + files_removed), and return the manifest.
+    Reading `latest` (or any version within retention) is unchanged
+    by construction; time travel BEYOND the fence is explicitly
+    given up — the same contract as Delta's VACUUM."""
+    import urllib.parse
+
+    manifest = read_manifest(index_path)
+    plan = vacuum_plan(spark, index_path, keep_versions=keep_versions)
+    removable = [
+        r["file"] for r in plan.filter(F.col("removable")).collect()
+    ]
+    n_bytes = 0
+    for uri in removable:
+        path = urllib.parse.urlparse(uri).path
+        if os.path.exists(path):
+            n_bytes += os.path.getsize(path)
+            os.remove(path)
+    manifest["vacuumed_through"] = int(manifest.get("version", 0)) - int(
+        keep_versions
+    )
+    manifest["vacuum_files_removed"] = len(removable)
+    manifest["vacuum_bytes_reclaimed"] = n_bytes
+    _write_manifest(index_path, manifest)
+    return manifest

@@ -926,3 +926,56 @@ def test_index_scd2_history_tiles_timeline_and_matches_recompute(spark):
                 want.append((s, typ))
         assert [(v[0], v[2]) for v in vs] == want
         assert vs[0][0] == seq[0][0]
+
+
+def test_vacuum_removes_only_fully_superseded_files(
+    spark, events, tmp_path_factory
+):
+    """Retention-aware VACUUM: v1 delta files fully shadowed by v2
+    become removable at keep_versions=0; base files (live rows) and
+    v2 files (newest versions) never do; reading latest is unchanged
+    after apply."""
+    from elastic_freight_spark.indexer import (
+        apply_vacuum,
+        read_index_latest,
+        read_manifest,
+        upsert_index,
+        vacuum_plan,
+    )
+
+    out = str(tmp_path_factory.mktemp("vac"))
+    base = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    man = build_index(
+        base, IndexConfig("vac_idx", "user_id", 4, out, routing="lcg")
+    )
+    # v1 and v2 update the SAME user slice → v1 is fully superseded
+    upd = base.filter(F.col("user_id") % 3 == 0)
+    upsert_index(upd.withColumn("n", F.col("n") + 100), man["path"])
+    upsert_index(upd.withColumn("n", F.col("n") + 200), man["path"])
+
+    before = {
+        r["user_id"]: r["n"]
+        for r in read_index_latest(spark, man["path"]).collect()
+    }
+
+    # retention 1: v1 is under the fence (fence = 2-1 = 1)? v1 rows
+    # have _v=1 <= 1 and shadowed → removable; v2 not.
+    plan = vacuum_plan(spark, man["path"], keep_versions=1)
+    rem = plan.filter(F.col("removable")).collect()
+    assert rem, "v1 delta files should be removable"
+    assert all(r["n_rows"] == r["n_dead_under_fence"] for r in rem)
+    # no base file is removable (unshadowed users live there)
+    nonrem = plan.filter(~F.col("removable")).collect()
+    assert nonrem
+
+    man2 = apply_vacuum(spark, man["path"], keep_versions=1)
+    assert man2["vacuum_files_removed"] == len(rem)
+    assert man2["vacuum_bytes_reclaimed"] > 0
+    after = {
+        r["user_id"]: r["n"]
+        for r in read_index_latest(spark, man["path"]).collect()
+    }
+    assert after == before
+    # a second vacuum finds nothing new
+    plan2 = vacuum_plan(spark, man["path"], keep_versions=1)
+    assert plan2.filter(F.col("removable")).count() == 0
