@@ -1038,3 +1038,24 @@ def apply_vacuum(
     manifest["vacuum_bytes_reclaimed"] = n_bytes
     _write_manifest(index_path, manifest)
     return manifest
+
+
+def read_index_changes(
+    spark: SparkSession, index_path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """CDC read over the upsert log (Delta's ``table_changes``): every
+    upsert/delete row with ``from_version < _version <= to_version``,
+    exposing the op column — the incremental-consumer API that lets a
+    downstream index (or a streaming admission gate) sync WITHOUT
+    rescanning the base. The version fence filters on the raw column
+    so parquet row-group stats skip out-of-range delta files
+    entirely; base rows (NULL version) are never change rows."""
+    df = spark.read.option("mergeSchema", "true").parquet(index_path)
+    if UPSERT_VERSION_COL not in df.columns:
+        return df.filter(F.lit(False))
+    vc = F.col(UPSERT_VERSION_COL)
+    return df.filter(
+        vc.isNotNull()
+        & (vc > F.lit(int(from_version)))
+        & (vc <= F.lit(int(to_version)))
+    )

@@ -2906,3 +2906,114 @@ def t_cohort_ltv_curve(spark, sf_dir):
         )
         .orderBy("cohort", "age_weeks")
     )
+
+
+@query(
+    "events_ab_power_analysis",
+    oracle=f"""
+    WITH arms AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 200
+                 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv,
+             CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS p0
+      FROM arms
+    )
+    SELECT mde_rel, n_users, n_conv, ROUND(p0, 9) AS baseline_cr,
+           CAST(CEIL(
+             POWER(1.959964 * SQRT(2 * pbar * (1 - pbar))
+                   + 0.841621 * SQRT(p0 * (1 - p0) + p1 * (1 - p1)), 2)
+             / (delta * delta)) AS BIGINT) AS n_per_arm,
+           (CAST(CEIL(
+             POWER(1.959964 * SQRT(2 * pbar * (1 - pbar))
+                   + 0.841621 * SQRT(p0 * (1 - p0) + p1 * (1 - p1)), 2)
+             / (delta * delta)) AS BIGINT) * 2 <= n_users) AS feasible_now
+    FROM (
+      SELECT b.*, m.mde_rel,
+             LEAST(b.p0 * (1 + m.mde_rel), 1.0) AS p1,
+             b.p0 * m.mde_rel AS delta,
+             (b.p0 + LEAST(b.p0 * (1 + m.mde_rel), 1.0)) / 2 AS pbar
+      FROM base b,
+           (SELECT unnest([0.05, 0.10, 0.20]) AS mde_rel) m
+    )
+    ORDER BY mde_rel
+    """,
+)
+def events_ab_power_analysis(spark, sf_dir):
+    """Experiment sizing (two-proportion z-test power analysis,
+    α=0.05 two-sided, power=0.80): per relative MDE (5/10/20%), the
+    required users per arm given the MEASURED baseline conversion —
+    the third leg of the experimentation tier (assignment:
+    `events_ab_test_report`; health: `events_ab_srm_check`; sizing:
+    this). The z quantiles ride as 6-dp literals (1.959964, 0.841621
+    — no erf in either engine), the baseline (HIGH-VALUE
+    conversion: a purchase of value >= 200 — the any-purchase rate
+    saturates at 1.0 on this fixture, sizing everything to zero)
+    comes from one user aggregate, and the sizing formula is a
+    mirrored fixed IEEE tree;
+    `feasible_now` is the integer compare n_per_arm·2 <= n_users;
+    a target rate is clamped at 1.0 (a baseline too high to lift by
+    the requested MDE sizes against the ceiling instead of erroring).
+    POWER(x, 2) is the literal-exponent square both engines
+    constant-fold identically — verified by the value hash."""
+    ev = load_tables(spark, sf_dir)["events"]
+    arms = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 200)
+            ).cast("int")
+        ).alias("converted")
+    )
+    base = arms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("p0"),
+    )
+    mdes = base.select(
+        "*",
+        F.explode(F.array(F.lit(0.05), F.lit(0.10), F.lit(0.20))).alias(
+            "mde_rel"
+        ),
+    ).select(
+        "*",
+        F.least(
+            F.col("p0") * (1 + F.col("mde_rel")), F.lit(1.0)
+        ).alias("p1"),
+        (F.col("p0") * F.col("mde_rel")).alias("delta"),
+        (
+            (
+                F.col("p0")
+                + F.least(
+                    F.col("p0") * (1 + F.col("mde_rel")), F.lit(1.0)
+                )
+            )
+            / 2
+        ).alias("pbar"),
+    )
+    p0, p1, pbar, delta = (
+        F.col("p0"),
+        F.col("p1"),
+        F.col("pbar"),
+        F.col("delta"),
+    )
+    n_arm = F.ceil(
+        F.pow(
+            1.959964 * F.sqrt(2 * pbar * (1 - pbar))
+            + 0.841621 * F.sqrt(p0 * (1 - p0) + p1 * (1 - p1)),
+            2,
+        )
+        / (delta * delta)
+    ).cast("bigint")
+    return mdes.select(
+        "mde_rel",
+        "n_users",
+        "n_conv",
+        F.round(p0, 9).alias("baseline_cr"),
+        n_arm.alias("n_per_arm"),
+        (n_arm * 2 <= F.col("n_users")).alias("feasible_now"),
+    ).orderBy("mde_rel")

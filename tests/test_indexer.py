@@ -979,3 +979,38 @@ def test_vacuum_removes_only_fully_superseded_files(
     # a second vacuum finds nothing new
     plan2 = vacuum_plan(spark, man["path"], keep_versions=1)
     assert plan2.filter(F.col("removable")).count() == 0
+
+
+def test_read_index_changes_is_exact_cdc_slice(
+    spark, events, tmp_path_factory
+):
+    from elastic_freight_spark.indexer import (
+        read_index_changes,
+        upsert_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("cdc"))
+    base = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    man = build_index(
+        base, IndexConfig("cdc_idx", "user_id", 4, out, routing="lcg")
+    )
+    u1 = base.filter(F.col("user_id") % 3 == 0).withColumn(
+        "n", F.col("n") + 1
+    )
+    upsert_index(u1, man["path"])
+    d2 = base.filter(F.col("user_id") % 7 == 2).select("user_id")
+    upsert_index(d2, man["path"], delete=True)
+
+    # slice (0, 1]: exactly the v1 upserts
+    c1 = read_index_changes(spark, man["path"], 0, 1)
+    assert c1.count() == u1.count()
+    assert set(r["_op"] for r in c1.select("_op").distinct().collect()) == {"u"}
+    # slice (1, 2]: exactly the tombstones
+    c2 = read_index_changes(spark, man["path"], 1, 2).collect()
+    assert len(c2) == d2.count()
+    assert all(r["_op"] == "d" for r in c2)
+    # full slice = union; empty slice beyond head
+    assert read_index_changes(spark, man["path"], 0, 2).count() == len(
+        c2
+    ) + u1.count()
+    assert read_index_changes(spark, man["path"], 2, 9).count() == 0

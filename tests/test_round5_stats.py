@@ -1139,3 +1139,44 @@ def test_weighted_avg_matches_python_recompute(spark):
         n, d = agg[r["l_returnflag"]]
         assert abs(r["wavg_price"] - n / d) < 1e-6
         assert abs(r["total_weight"] - d / 100) < 1e-6
+
+
+def test_power_analysis_matches_python_recompute(spark):
+    import math
+
+    rows = _q(spark, "events_ab_power_analysis").collect()
+    ev = (
+        load_tables(spark, SF)["events"]
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    conv = {}
+    for r in ev:
+        conv[r["user_id"]] = conv.get(r["user_id"], 0) or int(
+            r["event_type"] == "purchase" and r["value"] >= 200
+        )
+    n = len(conv)
+    p0 = sum(conv.values()) / n
+    za, zb = 1.959964, 0.841621
+    for r in rows:
+        mde = r["mde_rel"]
+        p1 = min(p0 * (1 + mde), 1.0)
+        pbar = (p0 + p1) / 2
+        delta = p0 * mde
+        n_arm = math.ceil(
+            (za * math.sqrt(2 * pbar * (1 - pbar))
+             + zb * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1))) ** 2
+            / (delta * delta)
+        )
+        assert r["n_users"] == n
+        assert abs(r["baseline_cr"] - p0) < 1e-9
+        assert r["n_per_arm"] == n_arm
+        assert r["feasible_now"] == (n_arm * 2 <= n)
+    # smaller MDE needs more samples (strictly, unless the baseline
+    # is degenerate p0=1.0 — the sf0.001 fixture — where every MDE
+    # sizes to 0 against the clamped ceiling)
+    ns = [r["n_per_arm"] for r in rows]  # ordered by mde asc
+    if p0 < 1.0:
+        assert ns[0] > ns[1] > ns[2]
+    else:
+        assert ns == [0, 0, 0]
