@@ -1651,3 +1651,96 @@ def agg_rare_terms(spark, sf_dir):
         .select("n_rare_terms", "token", "n_docs")
         .orderBy("token")
     )
+
+
+@query(
+    "search_explain",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text),' ')) AS token
+      FROM documents
+    ), postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY 1, 2
+    ), doc_len AS (
+      SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1
+    ), avgdl AS (SELECT AVG(dl) AS avgdl FROM doc_len),
+    hits AS (
+      SELECT p.token, p.doc_id,
+             CAST(p.tf AS BIGINT) AS tf,
+             CAST(dl AS BIGINT) AS dl,
+             avgdl,
+             1 - 0.75 + 0.75 * dl / avgdl AS len_norm,
+             (p.tf * (1.2 + 1))
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS bscore
+      FROM postings p JOIN doc_len USING (doc_id) CROSS JOIN avgdl
+      WHERE p.token IN ('data', 'hash', 'join', 'table')
+    )
+    SELECT token, doc_id, tf, dl,
+           ROUND(avgdl, 9) AS avgdl,
+           ROUND(len_norm, 9) AS len_norm,
+           ROUND(bscore / 2.2, 9) AS saturation,
+           ROUND(bscore, 9) AS bscore,
+           CAST(rk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY token
+                                   ORDER BY bscore DESC, doc_id) AS rk
+      FROM hits
+    ) WHERE rk <= 3
+    ORDER BY token, rank
+    """,
+)
+def search_explain(spark, sf_dir):
+    """The ES `_explain` API face: for each query term's top-3 hits,
+    the full BM25 score DECOMPOSITION — raw tf, doc length, corpus
+    avgdl, the length-normalization factor (1−b+b·dl/avgdl), the
+    saturation ratio score/(k1+1) (how close the hit sits to the tf
+    ceiling), and the final score — the debugging surface relevance
+    engineers read when a ranking looks wrong. Same cached postings,
+    same bit-exact BM25 expression the hash-green scorers certify;
+    every component is either an integer or a fixed IEEE expression
+    rounded at the edge."""
+    from pyspark.sql import Window as W
+
+    postings, doc_len = indexed_postings(spark, sf_dir)
+    avgdl_df = doc_len.agg(F.avg("dl").alias("avgdl"))
+    k1, b = 1.2, 0.75
+    len_norm = 1 - b + b * F.col("dl") / F.col("avgdl")
+    bscore = (F.col("tf") * (k1 + 1)) / (F.col("tf") + k1 * len_norm)
+    hits = (
+        postings.filter(F.col("token").isin(*AGREEMENT_TERMS))
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(avgdl_df))
+        .select(
+            "token",
+            "doc_id",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("dl").cast("bigint").alias("dl"),
+            "avgdl",
+            len_norm.alias("len_norm"),
+            bscore.alias("bscore"),
+        )
+    )
+    return (
+        hits.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("token").orderBy(
+                    F.col("bscore").desc(), "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+        .select(
+            "token",
+            "doc_id",
+            "tf",
+            "dl",
+            F.round("avgdl", 9).alias("avgdl"),
+            F.round("len_norm", 9).alias("len_norm"),
+            F.round(F.col("bscore") / 2.2, 9).alias("saturation"),
+            F.round("bscore", 9).alias("bscore"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("token", "rank")
+    )

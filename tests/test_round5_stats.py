@@ -1180,3 +1180,15 @@ def test_power_analysis_matches_python_recompute(spark):
         assert ns[0] > ns[1] > ns[2]
     else:
         assert ns == [0, 0, 0]
+
+
+def test_search_explain_components_reconstruct_score(spark):
+    rows = _q(spark, "search_explain", "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        ln = 1 - 0.75 + 0.75 * r["dl"] / r["avgdl"]
+        assert abs(r["len_norm"] - ln) < 1e-6
+        score = (r["tf"] * 2.2) / (r["tf"] + 1.2 * ln)
+        assert abs(r["bscore"] - score) < 1e-6
+        assert abs(r["saturation"] - score / 2.2) < 1e-6
+        assert 0 < r["saturation"] <= 1.0
