@@ -350,3 +350,85 @@ def mm_phash_neardup(spark, sf_dir):
     media = attach_media(load_tables(spark, sf_dir)["documents"])
     hashed = phash_media(media)
     return phash_neardup_pairs(hashed, max_hamming=4)
+
+
+@query(
+    "mm_modality_token_budget",
+    oracle="""
+    WITH media AS (
+      SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    per_item AS (
+      SELECT media_type, n_bytes,
+             CASE media_type
+               WHEN 'image' THEN 576
+               WHEN 'audio' THEN (n_bytes + 319) // 320
+               ELSE ((n_bytes + 4095) // 4096) * 256
+             END AS est_tokens
+      FROM media
+    ),
+    per_mod AS (
+      SELECT media_type,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+             CAST(SUM(est_tokens) AS BIGINT) AS est_tokens
+      FROM per_item GROUP BY media_type
+    ),
+    tot AS (SELECT CAST(SUM(est_tokens) AS BIGINT) AS all_tokens
+            FROM per_mod)
+    SELECT media_type, n_items, total_bytes, est_tokens,
+           ROUND(est_tokens
+                 / CAST((SELECT all_tokens FROM tot) AS DOUBLE), 9)
+             AS token_share
+    FROM per_mod
+    ORDER BY media_type
+    """,
+)
+def mm_modality_token_budget(spark, sf_dir):
+    """Token-budget planning across modalities — the first number a
+    multimodal training run needs: how many SEQUENCE tokens each
+    modality will consume under the model's encoding rates (a
+    ViT-style fixed 576 tokens/image; ~1 token per 320 audio bytes —
+    a 16 kHz/10ms-frame stand-in; 256 tokens per sampled 4 KB video
+    frame), computed from METADATA ONLY — the payload column is never
+    scanned (column pruning), which is the point at 100 TB of media.
+    All rates are integer ceiling-divisions (`(x + k−1) div k`), so
+    the budget is engine-exact; shares are one guarded division."""
+    media = attach_media(load_tables(spark, sf_dir)["documents"])
+    per_item = media.select(
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.when(F.col("media_type") == "image", F.lit(576))
+        .when(
+            F.col("media_type") == "audio",
+            F.expr("(meta.n_bytes + 319) div 320"),
+        )
+        .otherwise(F.expr("((meta.n_bytes + 4095) div 4096) * 256"))
+        .alias("est_tokens"),
+    )
+    per_mod = per_item.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("est_tokens").cast("bigint").alias("est_tokens"),
+    )
+    tot = per_mod.agg(
+        F.sum("est_tokens").cast("bigint").alias("all_tokens")
+    )
+    return (
+        per_mod.crossJoin(F.broadcast(tot))
+        .select(
+            "media_type",
+            "n_items",
+            "total_bytes",
+            "est_tokens",
+            F.round(
+                F.col("est_tokens")
+                / F.nullif(F.col("all_tokens").cast("double"), F.lit(0.0)),
+                9,
+            ).alias("token_share"),
+        )
+        .orderBy("media_type")
+    )

@@ -1192,3 +1192,25 @@ def test_search_explain_components_reconstruct_score(spark):
         assert abs(r["bscore"] - score) < 1e-6
         assert abs(r["saturation"] - score / 2.2) < 1e-6
         assert 0 < r["saturation"] <= 1.0
+
+
+def test_modality_token_budget_matches_python_recompute(spark):
+    rows = _q(spark, "mm_modality_token_budget").collect()
+    docs = load_tables(spark, SF)["documents"].select("doc_id", "text").collect()
+    agg = {}
+    for d in docs:
+        mt = ["image", "audio", "video"][d["doc_id"] % 3]
+        nb = len(d["text"].encode("utf-8"))
+        tok = (
+            576
+            if mt == "image"
+            else ((nb + 319) // 320 if mt == "audio" else ((nb + 4095) // 4096) * 256)
+        )
+        n, b, t = agg.get(mt, (0, 0, 0))
+        agg[mt] = (n + 1, b + nb, t + tok)
+    total = sum(t for _, _, t in agg.values())
+    got = {r["media_type"]: r for r in rows}
+    assert set(got) == set(agg)
+    for mt, (n, b, t) in agg.items():
+        assert (got[mt]["n_items"], got[mt]["total_bytes"], got[mt]["est_tokens"]) == (n, b, t)
+        assert abs(got[mt]["token_share"] - t / total) < 1e-9
