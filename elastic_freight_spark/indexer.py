@@ -960,11 +960,14 @@ def vacuum_plan(
     """Retention-aware VACUUM plan over the upsert log (the Delta/
     Iceberg lifecycle piece between upsert and copy-on-write
     compaction): a physical parquet file is removable iff EVERY row
-    in it is shadowed by a strictly newer version of the same doc AND
-    is older than the retention fence (current_version −
-    ``keep_versions``), so time travel within the retention window
-    stays exact while fully-superseded delta files stop costing scan
-    and storage. Live tombstones are NOT removable (they still mask
+    in it has a SUCCESSOR version at or below the retention fence
+    (current_version − ``keep_versions``) — the precise condition
+    under which no as-of read at any version >= fence can ever
+    resolve to the row again ("shadowed AND old" is NOT sufficient: a
+    v=1 row shadowed only by the newest version is still the as-of
+    answer for every in-window version in between) — so time travel
+    inside the retention window stays bit-exact while
+    fully-superseded delta files stop costing scan and storage. Live tombstones are NOT removable (they still mask
     base rows until compaction). Returns one row per file:
     (file, n_rows, n_dead_under_fence, removable) — the report is the
     plan; ``apply_vacuum`` executes it. The per-file verdict is one
@@ -986,13 +989,11 @@ def vacuum_plan(
         F.col(idc).alias("_id"),
         F.coalesce(F.col(UPSERT_VERSION_COL), F.lit(0)).alias("_v"),
     )
-    maxv = rows.groupBy("_id").agg(F.max("_v").alias("_maxv"))
-    dead = (
-        rows.join(maxv, "_id")
-        .withColumn(
-            "_dead",
-            (F.col("_v") < F.col("_maxv")) & (F.col("_v") <= F.lit(fence)),
-        )
+    # one doc-keyed window; doc partitions are version-count-sized
+    wv = W.partitionBy("_id").orderBy("_v")
+    dead = rows.withColumn("_next_v", F.lead("_v").over(wv)).withColumn(
+        "_dead",
+        F.col("_next_v").isNotNull() & (F.col("_next_v") <= F.lit(fence)),
     )
     return (
         dead.groupBy("file")

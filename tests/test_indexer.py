@@ -958,9 +958,18 @@ def test_vacuum_removes_only_fully_superseded_files(
         for r in read_index_latest(spark, man["path"]).collect()
     }
 
-    # retention 1: v1 is under the fence (fence = 2-1 = 1)? v1 rows
-    # have _v=1 <= 1 and shadowed → removable; v2 not.
-    plan = vacuum_plan(spark, man["path"], keep_versions=1)
+    # successor rule sanity: keep_versions=1 (fence=1) reclaims
+    # NOTHING — v1 rows' successor is v2 > fence, and they are the
+    # as-of(1) answers
+    assert (
+        vacuum_plan(spark, man["path"], keep_versions=1)
+        .filter(F.col("removable"))
+        .count()
+        == 0
+    )
+    # keep_versions=0 (fence=2): v1 delta files and base files whose
+    # every row has a v1 successor become removable; v2 never
+    plan = vacuum_plan(spark, man["path"], keep_versions=0)
     rem = plan.filter(F.col("removable")).collect()
     assert rem, "v1 delta files should be removable"
     assert all(r["n_rows"] == r["n_dead_under_fence"] for r in rem)
@@ -968,7 +977,7 @@ def test_vacuum_removes_only_fully_superseded_files(
     nonrem = plan.filter(~F.col("removable")).collect()
     assert nonrem
 
-    man2 = apply_vacuum(spark, man["path"], keep_versions=1)
+    man2 = apply_vacuum(spark, man["path"], keep_versions=0)
     assert man2["vacuum_files_removed"] == len(rem)
     assert man2["vacuum_bytes_reclaimed"] > 0
     after = {
@@ -977,7 +986,7 @@ def test_vacuum_removes_only_fully_superseded_files(
     }
     assert after == before
     # a second vacuum finds nothing new
-    plan2 = vacuum_plan(spark, man["path"], keep_versions=1)
+    plan2 = vacuum_plan(spark, man["path"], keep_versions=0)
     assert plan2.filter(F.col("removable")).count() == 0
 
 
@@ -1014,3 +1023,62 @@ def test_read_index_changes_is_exact_cdc_slice(
         c2
     ) + u1.count()
     assert read_index_changes(spark, man["path"], 2, 9).count() == 0
+
+
+def test_vacuum_preserves_time_travel_within_retention(
+    spark, events, tmp_path_factory
+):
+    """VACUUM's contract: any as-of read WITHIN keep_versions is
+    bit-identical after the vacuum; only versions beyond the fence
+    lose replayability."""
+    from elastic_freight_spark.indexer import (
+        apply_vacuum,
+        read_index_asof,
+        upsert_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("vacttl"))
+    base = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    man = build_index(
+        base, IndexConfig("vttl_idx", "user_id", 4, out, routing="lcg")
+    )
+    upd = base.filter(F.col("user_id") % 2 == 0)
+    # three versions over the same slice: v1, v2, v3
+    for bump in (10, 20, 30):
+        upsert_index(upd.withColumn("n", F.col("n") + bump), man["path"])
+
+    asof2_before = {
+        r["user_id"]: r["n"]
+        for r in read_index_asof(spark, man["path"], 2).collect()
+    }
+    asof3_before = {
+        r["user_id"]: r["n"]
+        for r in read_index_asof(spark, man["path"], 3).collect()
+    }
+    # keep_versions=1 → fence at 2. Successor rule: v1 rows (next
+    # version 2 <= fence) are removable; v2 rows (next version 3 >
+    # fence) are NOT — they are the as-of answer at the fence
+    # version. So BOTH as-of(2) and as-of(3) stay bit-exact.
+    apply_vacuum(spark, man["path"], keep_versions=1)
+    asof3_after = {
+        r["user_id"]: r["n"]
+        for r in read_index_asof(spark, man["path"], 3).collect()
+    }
+    assert asof3_after == asof3_before
+    asof2_after = {
+        r["user_id"]: r["n"]
+        for r in read_index_asof(spark, man["path"], 2).collect()
+    }
+    assert asof2_after == asof2_before
+    # as-of(1) is explicitly beyond retention: the updated docs lost
+    # their base+v1 rows (the documented VACUUM trade — the version
+    # fence excludes their surviving newer rows, so they VANISH from
+    # the historical read), while untouched base docs remain exact
+    asof1_after = {
+        r["user_id"]: r["n"]
+        for r in read_index_asof(spark, man["path"], 1).collect()
+    }
+    assert set(asof1_after) == {u for u in asof3_before if u % 2 == 1}
+    assert all(
+        asof1_after[u] == asof3_before[u] for u in asof1_after
+    )  # odd users never changed across versions
