@@ -868,3 +868,119 @@ def graph_partition_conductance(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "graph_khop_reachability",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (
+      SELECT u AS a, v AS b FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    sources AS (
+      SELECT a AS src FROM (
+        SELECT DISTINCT a FROM und
+      ) WHERE md5(concat('khop:', CAST(a AS VARCHAR))) < '2'
+    ),
+    h1 AS (
+      SELECT DISTINCT s.src, u.b AS node
+      FROM sources s JOIN und u ON u.a = s.src
+    ),
+    h2 AS (
+      SELECT DISTINCT h.src, u.b AS node
+      FROM h1 h JOIN und u ON u.a = h.node
+    ),
+    h3 AS (
+      SELECT DISTINCT h.src, u.b AS node
+      FROM h2 h JOIN und u ON u.a = h.node
+    ),
+    counts AS (
+      SELECT 1 AS hop, src, COUNT(*) AS n_reached FROM (
+        SELECT src, node FROM h1 WHERE node <> src) GROUP BY src
+      UNION ALL
+      SELECT 2, src, COUNT(*) FROM (
+        SELECT src, node FROM h1 WHERE node <> src
+        UNION SELECT src, node FROM h2 WHERE node <> src) GROUP BY src
+      UNION ALL
+      SELECT 3, src, COUNT(*) FROM (
+        SELECT src, node FROM h1 WHERE node <> src
+        UNION SELECT src, node FROM h2 WHERE node <> src
+        UNION SELECT src, node FROM h3 WHERE node <> src) GROUP BY src
+    )
+    SELECT CAST(hop AS INT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(n_reached) AS BIGINT) AS total_reached,
+           CAST(MIN(n_reached) AS BIGINT) AS min_reached,
+           CAST(MAX(n_reached) AS BIGINT) AS max_reached
+    FROM counts GROUP BY hop ORDER BY hop
+    """,
+)
+def graph_khop_reachability(spark, sf_dir):
+    """k-hop reachability profile (hops 1-3) of the co-supply graph
+    from an md5-DETERMINISTIC ~1/8 sample of source nodes — how fast
+    supplier-substitution risk propagates. The source sample is the
+    scale story: full all-pairs BFS frontiers are |V|² at hop
+    saturation, while sampled-source frontiers are bounded by
+    |sources|·|V| BY CONSTRUCTION and the sample is a pure function
+    of the node id (stable across engines/reruns, the engine's
+    sampling discipline). Frontiers expand through the cached
+    undirected edge list with DISTINCT de-dup per hop (cumulative
+    union per hop, self excluded); all outputs are integer counts."""
+    edges = cosupply_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    sources = (
+        und.select("a")
+        .distinct()
+        .filter(
+            F.md5(F.concat(F.lit("khop:"), F.col("a").cast("string")))
+            < "2"
+        )
+        .select(F.col("a").alias("src"))
+    )
+    h1 = (
+        F.broadcast(sources)
+        .join(und, F.col("a") == F.col("src"))
+        .select("src", F.col("b").alias("node"))
+        .distinct()
+    )
+    h2 = (
+        h1.join(und, F.col("a") == F.col("node"))
+        .select("src", F.col("b").alias("node"))
+        .distinct()
+    )
+    h3 = (
+        h2.join(und, F.col("a") == F.col("node"))
+        .select("src", F.col("b").alias("node"))
+        .distinct()
+    )
+
+    def cum(hop, frames):
+        u = frames[0]
+        for fr in frames[1:]:
+            u = u.unionAll(fr)
+        return (
+            u.filter(F.col("node") != F.col("src"))
+            .distinct()
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("n_reached"))
+            .select(F.lit(hop).alias("hop"), "src", "n_reached")
+        )
+
+    counts = (
+        cum(1, [h1])
+        .unionAll(cum(2, [h1, h2]))
+        .unionAll(cum(3, [h1, h2, h3]))
+    )
+    return (
+        counts.groupBy(F.col("hop").cast("int").alias("hop"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.sum("n_reached").cast("bigint").alias("total_reached"),
+            F.min("n_reached").cast("bigint").alias("min_reached"),
+            F.max("n_reached").cast("bigint").alias("max_reached"),
+        )
+        .orderBy("hop")
+    )

@@ -1214,3 +1214,44 @@ def test_modality_token_budget_matches_python_recompute(spark):
     for mt, (n, b, t) in agg.items():
         assert (got[mt]["n_items"], got[mt]["total_bytes"], got[mt]["est_tokens"]) == (n, b, t)
         assert abs(got[mt]["token_share"] - t / total) < 1e-9
+
+
+def test_khop_reachability_matches_python_bfs(spark):
+    import hashlib
+
+    from elastic_freight_spark.operators.graph import cosupply_edges
+
+    rows = _q(spark, "graph_khop_reachability").collect()
+    edges = [(r["u"], r["v"]) for r in cosupply_edges(spark, SF).collect()]
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    sources = [
+        n for n in adj
+        if hashlib.md5(f"khop:{n}".encode()).hexdigest() < "2"
+    ]
+    got = {r["hop"]: r for r in rows}
+    for hop in (1, 2, 3):
+        reached = {}
+        for s in sources:
+            frontier = {s}
+            seen = {s}
+            for _ in range(hop):
+                frontier = {
+                    m for n in frontier for m in adj.get(n, ())
+                }
+                seen |= frontier
+            seen.discard(s)
+            reached[s] = len(seen)
+        r = got[hop]
+        assert r["n_sources"] == len(sources)
+        assert r["total_reached"] == sum(reached.values())
+        assert r["min_reached"] == min(reached.values())
+        assert r["max_reached"] == max(reached.values())
+    # monotone: more hops reach at least as much
+    assert (
+        got[1]["total_reached"]
+        <= got[2]["total_reached"]
+        <= got[3]["total_reached"]
+    )
