@@ -996,3 +996,94 @@ def part_single_source_risk(spark, sf_dir):
             "single_source_share"
         ),
     )
+
+
+@query(
+    "customer_repeat_purchase_curve",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS rn
+      FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey, o_orderdate AS first_dt FROM ranked WHERE rn = 1
+    ),
+    seconds AS (
+      SELECT o_custkey, o_orderdate AS second_dt FROM ranked WHERE rn = 2
+    ),
+    gaps AS (
+      SELECT f.o_custkey,
+             CAST(date_diff('day', f.first_dt, s.second_dt) AS BIGINT)
+               AS gap_days
+      FROM firsts f LEFT JOIN seconds s USING (o_custkey)
+    )
+    SELECT CAST(window_days AS INT) AS window_days,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN gap_days IS NOT NULL
+                          AND gap_days <= window_days
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+           ROUND(SUM(CASE WHEN gap_days IS NOT NULL
+                           AND gap_days <= window_days
+                     THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS repeat_rate
+    FROM gaps, (SELECT unnest([30, 90, 180, 365]) AS window_days)
+    GROUP BY window_days
+    ORDER BY window_days
+    """,
+)
+def customer_repeat_purchase_curve(spark, sf_dir):
+    """Repeat-purchase curve: the share of customers whose SECOND
+    order lands within 30/90/180/365 days of their first — the
+    retention economics number behind CAC payback. One customer-keyed
+    window finds each customer's first two orders (rank 1 and 2 of
+    the same total order — shared by construction, not by parallel
+    definitions); gaps are integer day-diffs; the four windows are a
+    4-row broadcast against the customer-sized gap frame. Customers
+    with one order count in every denominator — that IS the churn
+    signal."""
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 2)
+    firsts = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("first_dt")
+    )
+    seconds = ranked.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("second_dt")
+    )
+    gaps = firsts.join(seconds, "o_custkey", "left").select(
+        "o_custkey",
+        F.datediff("second_dt", "first_dt").cast("bigint").alias(
+            "gap_days"
+        ),
+    )
+    windows = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(30), F.lit(90), F.lit(180), F.lit(365))
+        ).alias("window_days")
+    )
+    hit = F.sum(
+        F.when(
+            F.col("gap_days").isNotNull()
+            & (F.col("gap_days") <= F.col("window_days")),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        gaps.crossJoin(F.broadcast(windows))
+        .groupBy(F.col("window_days").cast("int").alias("window_days"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            hit.cast("bigint").alias("n_repeat"),
+            F.round(hit / F.count(F.lit(1)).cast("double"), 9).alias(
+                "repeat_rate"
+            ),
+        )
+        .orderBy("window_days")
+    )

@@ -1255,3 +1255,35 @@ def test_khop_reachability_matches_python_bfs(spark):
         <= got[2]["total_reached"]
         <= got[3]["total_reached"]
     )
+
+
+def test_repeat_purchase_curve_matches_python_recompute(spark):
+    rows = _q(spark, "customer_repeat_purchase_curve").collect()
+    orders = (
+        load_tables(spark, SF)["orders"]
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .collect()
+    )
+    by_cust = {}
+    for o in orders:
+        by_cust.setdefault(o["o_custkey"], []).append(
+            (o["o_orderdate"], o["o_orderkey"])
+        )
+    gaps = {}
+    for c, os_ in by_cust.items():
+        os_.sort()
+        gaps[c] = (
+            (os_[1][0].date() - os_[0][0].date()).days
+            if len(os_) >= 2
+            else None
+        )
+    got = {r["window_days"]: r for r in rows}
+    assert set(got) == {30, 90, 180, 365}
+    for w, r in got.items():
+        n_rep = sum(1 for g in gaps.values() if g is not None and g <= w)
+        assert r["n_customers"] == len(gaps)
+        assert r["n_repeat"] == n_rep
+        assert abs(r["repeat_rate"] - n_rep / len(gaps)) < 1e-9
+    # the curve is non-decreasing in the window
+    rates = [got[w]["repeat_rate"] for w in (30, 90, 180, 365)]
+    assert rates == sorted(rates)
