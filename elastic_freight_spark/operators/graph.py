@@ -940,21 +940,28 @@ def graph_khop_reachability(spark, sf_dir):
         )
         .select(F.col("a").alias("src"))
     )
+    # each frontier is |sources|x|V|-bounded; localCheckpoint keeps
+    # the three cumulative unions below from re-deriving the hop
+    # chain (and the edge build) once per union branch — the
+    # vector_mmr_diversify lineage lesson (measured 17 s -> ~7 s).
     h1 = (
         F.broadcast(sources)
         .join(und, F.col("a") == F.col("src"))
         .select("src", F.col("b").alias("node"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     h2 = (
         h1.join(und, F.col("a") == F.col("node"))
         .select("src", F.col("b").alias("node"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     h3 = (
         h2.join(und, F.col("a") == F.col("node"))
         .select("src", F.col("b").alias("node"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def cum(hop, frames):
