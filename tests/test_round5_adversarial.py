@@ -1,0 +1,145 @@
+"""Adversarial pins for the round-5 continuation tier: constructed
+corner cases (exact timestamp ties, heavy value ties, zero-activity
+gaps) that the fixture data doesn't naturally exercise."""
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from elastic_freight_spark import registry
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    registry.load_all()
+    return sf
+
+
+def test_attribution_click_at_exact_purchase_timestamp(spark, tmp_path):
+    """A click at EXACTLY the purchase timestamp attributes (c_ts <=
+    p_ts is inclusive), and among same-timestamp clicks the larger
+    event_id wins."""
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        # user 1: click k=0 (organic) strictly before; click k=1
+        # (paid) at EXACT purchase ts with larger event_id -> paid
+        (1, t0 - dt.timedelta(hours=1), 1, "click", 0.0, '{"k": 0}'),
+        (2, t0, 1, "click", 0.0, '{"k": 1}'),
+        (3, t0, 1, "purchase", 50.0, "{}"),
+        # user 2: two clicks at the same exact ts -> larger event_id
+        # (k=2, email) wins
+        (4, t0, 2, "click", 0.0, '{"k": 1}'),
+        (5, t0, 2, "click", 0.0, '{"k": 2}'),
+        (6, t0, 2, "purchase", 10.0, "{}"),
+        # user 3: click only AFTER the purchase -> unattributed
+        (7, t0 + dt.timedelta(seconds=1), 3, "click", 0.0, '{"k": 3}'),
+        (8, t0, 3, "purchase", 99.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        r["channel"]: (r["n_conversions"], r["attributed_value"])
+        for r in registry.QUERIES["events_attribution_last_touch"](
+            spark, sf
+        ).collect()
+    }
+    assert out == {"paid": (1, 50.0), "email": (1, 10.0)}
+
+
+def test_mann_whitney_all_ties_yields_null_z(spark, tmp_path_factory):
+    """Every pooled value identical: sigma = 0 -> z IS NULL (the ANSI
+    guard), U equals its tie-average expectation n_r*n_n/2."""
+    import pyspark.sql.functions as F
+
+    registry.load_all()
+    sf = str(tmp_path_factory.mktemp("mw_ties"))
+    rows = [(i, i % 7, 1, 100.0, "R" if i % 2 else "N") for i in range(40)]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber int,"
+        " l_extendedprice double, l_returnflag string",
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    r = registry.QUERIES["stats_mann_whitney_u"](spark, sf).collect()[0]
+    assert r["z_score"] is None
+    assert r["u_stat"] == r["n_r"] * r["n_n"] / 2
+
+
+def test_ks_identical_samples_zero_distance(spark, tmp_path_factory):
+    registry.load_all()
+    sf = str(tmp_path_factory.mktemp("ks_same"))
+    rows = []
+    for i in range(60):
+        rows.append((2 * i, 1, 1, float(100 + (i % 10)), "R"))
+        rows.append((2 * i + 1, 1, 1, float(100 + (i % 10)), "N"))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber int,"
+        " l_extendedprice double, l_returnflag string",
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    r = registry.QUERIES["stats_ks_two_sample"](spark, sf).collect()[0]
+    assert r["d_num"] == 0 and r["d_stat"] == 0.0
+    assert r["reject_005"] is False
+
+
+def test_dau_wau_mau_with_gap_days(spark, tmp_path):
+    """A user active on day 0 only still counts toward WAU for 7 days
+    and MAU for 30; days with zero events produce no DAU row but the
+    trailing windows stay correct on the surrounding days."""
+    t0 = dt.datetime(2024, 2, 1)
+    rows = [(1, t0, 1, "view", 1.0, "{}")]
+    # second user active on day 10 only
+    rows.append((2, t0 + dt.timedelta(days=10), 2, "view", 1.0, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["day"]: r for r in registry.QUERIES["events_dau_wau_mau"](
+        spark, sf
+    ).collect()}
+    # report starts at lo+6 = Feb 7; only day 10 (Feb 11) has DAU>0
+    assert list(out) == ["2024-02-11"]
+    r = out["2024-02-11"]
+    # user1's 7-day window (days 0-6) has expired; user2 active
+    assert (r["dau"], r["wau"]) == (1, 1)
+    # user1 still inside the 30-day window
+    assert r["mau"] == 2
+    assert r["full_mau"] is False
+
+
+def test_vacuum_then_compaction_roundtrip(spark, tmp_path_factory):
+    """VACUUM followed by copy-on-write compaction leaves a clean
+    tree whose plain read equals the pre-vacuum latest view."""
+    from elastic_freight_spark.indexer import (
+        IndexConfig,
+        apply_vacuum,
+        build_index,
+        compact_index_upserts,
+        read_index,
+        read_index_latest,
+        upsert_index,
+    )
+    from elastic_freight_spark.session import load_tables
+
+    events = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    base = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    out = str(tmp_path_factory.mktemp("vacomp"))
+    man = build_index(
+        base, IndexConfig("vc_idx", "user_id", 4, out, routing="lcg")
+    )
+    upd = base.filter(F.col("user_id") % 2 == 0)
+    for bump in (1, 2):
+        upsert_index(upd.withColumn("n", F.col("n") + bump), man["path"])
+    before = {
+        r["user_id"]: r["n"]
+        for r in read_index_latest(spark, man["path"]).collect()
+    }
+    apply_vacuum(spark, man["path"], keep_versions=0)
+    compact_index_upserts(spark, man["path"])
+    after = {
+        r["user_id"]: r["n"]
+        for r in read_index(spark, man["path"]).collect()
+    }
+    assert after == before
