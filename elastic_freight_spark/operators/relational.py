@@ -3281,3 +3281,88 @@ def agg_weighted_avg(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_boxplot",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.50) AS med,
+             quantile_cont(l_extendedprice, 0.75) AS q3,
+             MIN(l_extendedprice) AS lo,
+             MAX(l_extendedprice) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    fences AS (
+      SELECT *, q3 - q1 AS iqr,
+             q1 - 1.5 * (q3 - q1) AS lo_fence,
+             q3 + 1.5 * (q3 - q1) AS hi_fence
+      FROM q
+    )
+    SELECT f.l_returnflag,
+           ROUND(f.q1, 6) AS q1, ROUND(f.med, 6) AS median,
+           ROUND(f.q3, 6) AS q3, ROUND(f.iqr, 6) AS iqr,
+           ROUND(f.lo_fence, 6) AS lo_fence,
+           ROUND(f.hi_fence, 6) AS hi_fence,
+           CAST(SUM(CASE WHEN l.l_extendedprice < f.lo_fence
+                          OR l.l_extendedprice > f.hi_fence
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM fences f JOIN lineitem l ON l.l_returnflag = f.l_returnflag
+    GROUP BY f.l_returnflag, f.q1, f.med, f.q3, f.iqr, f.lo_fence,
+             f.hi_fence
+    ORDER BY f.l_returnflag
+    """,
+)
+def agg_boxplot(spark, sf_dir):
+    """ES `boxplot` aggregation, exact: quartiles (the interpolation
+    convention Spark `percentile` and DuckDB `quantile_cont` share),
+    IQR, Tukey 1.5·IQR fences, and the OUTLIER COUNT beyond the
+    fences — the robust-spread profile a DQ dashboard renders per
+    segment. Two passes by necessity (fences depend on quartiles; the
+    outlier count re-scans against the broadcast 3-row fence frame);
+    the fence comparisons run on raw doubles computed identically in
+    both engines, rounding only on the reported columns."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("med"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    )
+    fences = q.select(
+        "l_returnflag",
+        "q1",
+        "med",
+        "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    joined = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(fences), "l_returnflag"
+    )
+    out = F.sum(
+        F.when(
+            (F.col("l_extendedprice") < F.col("lo_fence"))
+            | (F.col("l_extendedprice") > F.col("hi_fence")),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        joined.groupBy(
+            "l_returnflag", "q1", "med", "q3", "iqr", "lo_fence", "hi_fence"
+        )
+        .agg(out.cast("bigint").alias("n_outliers"))
+        .select(
+            "l_returnflag",
+            F.round("q1", 6).alias("q1"),
+            F.round("med", 6).alias("median"),
+            F.round("q3", 6).alias("q3"),
+            F.round("iqr", 6).alias("iqr"),
+            F.round("lo_fence", 6).alias("lo_fence"),
+            F.round("hi_fence", 6).alias("hi_fence"),
+            "n_outliers",
+        )
+        .orderBy("l_returnflag")
+    )

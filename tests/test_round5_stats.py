@@ -1287,3 +1287,31 @@ def test_repeat_purchase_curve_matches_python_recompute(spark):
     # the curve is non-decreasing in the window
     rates = [got[w]["repeat_rate"] for w in (30, 90, 180, 365)]
     assert rates == sorted(rates)
+
+
+def test_boxplot_matches_numpy(spark):
+    import numpy as np
+
+    rows = _q(spark, "agg_boxplot").collect()
+    li = (
+        load_tables(spark, SF)["lineitem"]
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    got = {r["l_returnflag"]: r for r in rows}
+    assert set(got) == set(by_flag)
+    for fl, vals in by_flag.items():
+        a = np.array(vals)
+        q1, med, q3 = np.percentile(a, [25, 50, 75])  # linear = R-7
+        r = got[fl]
+        assert abs(r["q1"] - q1) < 1e-4
+        assert abs(r["median"] - med) < 1e-4
+        assert abs(r["q3"] - q3) < 1e-4
+        iqr = q3 - q1
+        n_out = int(
+            ((a < q1 - 1.5 * iqr) | (a > q3 + 1.5 * iqr)).sum()
+        )
+        assert r["n_outliers"] == n_out
