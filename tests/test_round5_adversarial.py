@@ -143,3 +143,20 @@ def test_vacuum_then_compaction_roundtrip(spark, tmp_path_factory):
         for r in read_index(spark, man["path"]).collect()
     }
     assert after == before
+
+
+def test_boxplot_constant_column_no_outliers(spark, tmp_path_factory):
+    """Degenerate spread: a constant column has IQR=0 and fences equal
+    to the value — zero outliers, no errors, in both engines' terms."""
+    registry.load_all()
+    sf = str(tmp_path_factory.mktemp("bx_const"))
+    rows = [(i, 1, 1, 500.0, "R") for i in range(20)]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber int,"
+        " l_extendedprice double, l_returnflag string",
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    r = registry.QUERIES["agg_boxplot"](spark, sf).collect()[0]
+    assert (r["q1"], r["median"], r["q3"]) == (500.0, 500.0, 500.0)
+    assert r["iqr"] == 0.0
+    assert r["n_outliers"] == 0
