@@ -385,13 +385,13 @@ def pagerank_portable(spark, sf_dir):
                 ).alias("r"),
             )
         )
-    from pyspark.sql import Window as W
-
+    # distributed top-25: orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition partial top-k, no vertex-sized single-partition
+    # Window) and the (r desc, v) order is total, so the selected set
+    # equals the row_number<=25 filter the oracle states.
     return (
-        ranks.withColumn(
-            "rn", F.row_number().over(W.orderBy(F.col("r").desc(), "v"))
-        )
-        .filter(F.col("rn") <= 25)
+        ranks.orderBy(F.col("r").desc(), "v")
+        .limit(25)
         .select(
             F.col("v").alias("supplier"), F.col("r").cast("bigint").alias("rank_fp")
         )

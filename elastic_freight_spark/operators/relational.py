@@ -1127,23 +1127,56 @@ def agg_regression_by_group(spark, sf_dir):
 )
 def agg_equidepth_histogram(spark, sf_dir):
     """Equi-DEPTH histogram (the optimizer-statistics kind: equal row
-    mass per bucket, data-driven boundaries) via ntile over a total
-    order — complements the fixed-width `agg_value_histogram`. The
-    tie-break columns make the total order unique so bucket edges are
-    engine-deterministic. At 100 TB the global sort is the cost; the
-    approx_percentile boundary variant trades exactness for a single
-    aggregate when that matters."""
-    t = load_tables(spark, sf_dir)
-    from pyspark.sql import Window as W
+    mass per bucket, data-driven boundaries) — complements the
+    fixed-width `agg_value_histogram`. The oracle states the spec as
+    NTILE(8) over a tie-broken total order; this side computes the
+    SAME answer with no partition-less Window over the raw table
+    (the round-5 scale finding): because the order is price-major,
+    every bucket's lo/hi/count is a pure function of the price ECDF —
+    NTILE hands the first (n mod 8) buckets ceil(n/8) rows and the
+    rest floor(n/8), so bucket b spans global ranks (R_{b-1}, R_b]
+    and lo/hi are the prices AT those ranks. The ECDF rides the
+    bucketed distributed prefix-sum (`windows.bucketed_cum`,
+    price-domain buckets), rank selection is a broadcast join of the
+    16 boundary ranks, and the only data-sized stage is the one
+    groupBy-price scan."""
+    from elastic_freight_spark.operators.windows import bucketed_cum
 
-    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    b = t["lineitem"].select(
-        "l_extendedprice", F.ntile(8).over(w).alias("bucket")
+    li = load_tables(spark, sf_dir)["lineitem"]
+    counts = (
+        li.groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("b", F.expr("cast(floor(v) as bigint) div 100"))
     )
-    return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.min("l_extendedprice"), 2).alias("lo"),
-        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    cum = bucketed_cum(counts, "v", "b", ["c"])
+    n1 = counts.agg(F.sum("c").cast("bigint").alias("n"))
+    # the 8 NTILE bucket extents: size q+1 for bucket <= rem else q
+    buckets = n1.select(
+        "n", F.explode(F.array(*[F.lit(i) for i in range(1, 9)])).alias("bucket")
+    ).select(
+        "bucket",
+        (
+            (F.col("bucket") - 1) * F.expr("n div 8")
+            + F.least(F.col("bucket") - 1, F.expr("n % 8"))
+        ).alias("r_lo_excl"),
+        (
+            F.col("bucket") * F.expr("n div 8")
+            + F.least(F.col("bucket"), F.expr("n % 8"))
+        ).alias("r_hi"),
+    ).filter(F.col("r_hi") > F.col("r_lo_excl"))
+    return (
+        cum.withColumn("cum_lo", F.col("c_cum") - F.col("c"))
+        .join(
+            F.broadcast(buckets),
+            (F.col("c_cum") >= F.col("r_lo_excl") + 1)
+            & (F.col("cum_lo") < F.col("r_hi")),
+        )
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.max(F.col("r_hi") - F.col("r_lo_excl")).alias("n_rows"),
+            F.round(F.min("v"), 2).alias("lo"),
+            F.round(F.max("v"), 2).alias("hi"),
+        )
     )
 
 
@@ -1325,33 +1358,64 @@ def f_variant_shredding(spark, sf_dir):
 def customer_rfm_segments(spark, sf_dir):
     """RFM segmentation — recency/frequency/monetary quartiles per
     customer, then segment sizes: the classic customer-analytics
-    query the built artifact would serve. One aggregate over orders
-    (map-side partial), three ntile windows over the per-customer
-    table (orders-of-magnitude smaller than the fact — the global
-    sort each ntile needs happens AFTER the reduction; ntile ties
-    break deterministically on o_custkey so engines agree), one
-    segment-size aggregate. Monetary sums ride DECIMAL."""
+    query the built artifact would serve. The oracle states each
+    score as NTILE(4) over a custkey-tie-broken total order; this
+    side computes identical scores with no customer-sized
+    partition-less Window (the round-5 scale finding): each
+    dimension's exact global rank comes from `windows.dist_rank`
+    (distinct-value bucketed prefix-sum + bounded in-block tie
+    ranks — recency buckets by calendar month, frequency by its own
+    tiny domain, monetary by value range), and NTILE(4) of rank i is
+    the closed form over (i, n) — the first n mod 4 buckets get
+    ceil(n/4) rows. Monetary sums ride DECIMAL."""
+    from elastic_freight_spark.operators.windows import dist_rank
+
     orders = load_tables(spark, sf_dir)["orders"]
     rfm = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
     )
-    from pyspark.sql import Window as W
+    r_rk = dist_rank(
+        rfm.select("o_custkey", "last_order"),
+        "last_order",
+        "o_custkey",
+        F.expr("year(last_order) * 100 + month(last_order)"),
+        out="ri",
+    ).select("o_custkey", "ri")
+    f_rk = dist_rank(
+        rfm.select("o_custkey", "frequency"),
+        "frequency",
+        "o_custkey",
+        F.col("frequency"),
+        out="fi",
+    ).select("o_custkey", "fi")
+    m_rk = dist_rank(
+        rfm.select("o_custkey", "monetary"),
+        "monetary",
+        "o_custkey",
+        F.expr("cast(floor(monetary) as bigint) div 10000"),
+        out="mi",
+    ).select("o_custkey", "mi")
+    n1 = rfm.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
 
-    scored = rfm.select(
-        F.ntile(4)
-        .over(W.orderBy("last_order", "o_custkey"))
-        .cast("int")
-        .alias("r_score"),
-        F.ntile(4)
-        .over(W.orderBy("frequency", "o_custkey"))
-        .cast("int")
-        .alias("f_score"),
-        F.ntile(4)
-        .over(W.orderBy("monetary", "o_custkey"))
-        .cast("int")
-        .alias("m_score"),
+    def ntile4(i):
+        return F.expr(
+            f"CASE WHEN {i} <= (n % 4) * ((n div 4) + 1)"
+            f" THEN ({i} - 1) div ((n div 4) + 1) + 1"
+            f" ELSE (n % 4) + ({i} - (n % 4) * ((n div 4) + 1) - 1)"
+            f" div (n div 4) + 1 END"
+        ).cast("int")
+
+    scored = (
+        r_rk.join(f_rk, "o_custkey")
+        .join(m_rk, "o_custkey")
+        .join(F.broadcast(n1), F.lit(True), "left")
+        .select(
+            ntile4("ri").alias("r_score"),
+            ntile4("fi").alias("f_score"),
+            ntile4("mi").alias("m_score"),
+        )
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -1383,36 +1447,49 @@ def customer_rfm_segments(spark, sf_dir):
 def customer_value_gini(spark, sf_dir):
     """Gini coefficient of customer order value — the concentration
     number behind "top X% of customers drive Y% of revenue" (and, in
-    a data pipeline, of tokens-per-source concentration). Uses the
-    rank formula G = Σ(2i−n−1)·v / (n·Σv) over values sorted
-    ascending with a deterministic tie-break: one aggregate to
-    per-customer values, one global-sort window over the (customer-
-    sized, already reduced) table, one final aggregate. DECIMAL sums
-    end-to-end; the n·total denominators come from window maxima so
-    no second scan."""
-    from pyspark.sql import Window as W
+    a data pipeline, of tokens-per-source concentration). The oracle
+    states the rank formula G = Σ(2i−n−1)·v / (n·Σv) with per-row
+    ranks; this side needs NO per-row rank (the round-5 scale
+    finding): within a tie block of c equal values starting after
+    cumulative rank s, Σ_{j=1..c}(2(s+j)−n−1)·v collapses to
+    v·(2·c·s + c·(c+1) − c·(n+1)) — an exact integer identity — so
+    the whole statistic is one aggregate over the distinct-value
+    cumulative, which rides the bucketed distributed prefix-sum
+    (`windows.bucketed_cum`, value-domain buckets). DECIMAL sums
+    end-to-end; no partition-less Window anywhere."""
+    from elastic_freight_spark.operators.windows import bucketed_cum
 
     orders = load_tables(spark, sf_dir)["orders"]
     cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("v")
     )
-    w_all = W.orderBy("v", "o_custkey").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
+    counts = (
+        cust.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("b", F.expr("cast(floor(v) as bigint) div 10000"))
     )
-    ranked = cust.select(
-        "v",
-        F.row_number().over(W.orderBy("v", "o_custkey")).alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("v").over(w_all).alias("total"),
+    cum = bucketed_cum(counts, "v", "b", ["c"])
+    s = F.col("c_cum") - F.col("c")
+    c = F.col("c")
+    block_num = F.col("v") * (
+        (2 * c * s + c * (c + 1)).cast("decimal(38,0)")
+        - (c * (F.col("n") + 1)).cast("decimal(38,0)")
     )
-    return ranked.agg(
-        F.max("n").cast("bigint").alias("n_customers"),
-        F.max("total").cast("double").alias("total_value"),
-        F.round(
-            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("v")).cast("double")
-            / (F.max("n") * F.max("total").cast("double")),
-            9,
-        ).alias("gini"),
+    totals = cum.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("total"),
+    )
+    return (
+        cum.join(F.broadcast(totals), F.lit(True), "left")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.max("total").cast("double").alias("total_value"),
+            F.round(
+                F.sum(block_num).cast("double")
+                / (F.max("n") * F.max("total").cast("double")),
+                9,
+            ).alias("gini"),
+        )
     )
 
 
@@ -1431,8 +1508,8 @@ def customer_value_gini(spark, sf_dir):
              SUM(rev) OVER () AS total
       FROM part_rev
     ), classed AS (
-      SELECT CASE WHEN cum_rev / total <= 0.8 THEN 'A'
-                  WHEN cum_rev / total <= 0.95 THEN 'B'
+      SELECT CASE WHEN cum_rev * 5 <= total * 4 THEN 'A'
+                  WHEN cum_rev * 20 <= total * 19 THEN 'B'
                   ELSE 'C' END AS abc_class,
              rev
       FROM ranked
@@ -1450,11 +1527,17 @@ def part_abc_classification(spark, sf_dir):
     descending, class A = the head covering 80% of cumulative
     revenue, B to 95%, C the tail — the 80/20 cut every catalog/
     inventory pipeline draws (and, for a training corpus, the
-    head/torso/tail split of sources by token contribution). The
-    global sort runs on the per-part reduced table; facts are
-    touched once; DECIMAL revenue end-to-end with a deterministic
-    tie-break so the cumulative boundary is engine-stable."""
-    from pyspark.sql import Window as W
+    head/torso/tail split of sources by token contribution).
+    Thresholds compare as exact DECIMAL integer-grain products
+    (cum·5 ≤ total·4, cum·20 ≤ total·19 — the house no-float-compare
+    rule) and the cumulative never runs a part-sized partition-less
+    Window (the round-5 scale finding): the revenue mass cumulative
+    rides the bucketed distributed prefix-sum over DISTINCT revenue
+    values (`windows.bucketed_cum`, desc), whole tie blocks classify
+    from their first/last in-block cumulative (cum_j = S₀ + j·rev is
+    monotone in j), and only the ≤2 blocks that STRADDLE a class
+    boundary explode to per-row terms. DECIMAL end-to-end."""
+    from elastic_freight_spark.operators.windows import bucketed_cum
 
     li = load_tables(spark, sf_dir)["lineitem"]
     part_rev = li.groupBy("l_partkey").agg(
@@ -1464,26 +1547,57 @@ def part_abc_classification(spark, sf_dir):
             )
         ).alias("rev")
     )
-    w_cum = W.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
-        W.unboundedPreceding, 0
+    counts = (
+        part_rev.groupBy("rev")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("mass", (F.col("rev") * F.col("c")).cast("decimal(38,4)"))
+        .withColumn("b", F.expr("cast(floor(rev) as bigint) div 1000"))
     )
-    w_all = W.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    classed = part_rev.select(
-        "rev",
-        F.when(
-            F.sum("rev").over(w_cum) / F.sum("rev").over(w_all) <= 0.8, "A"
+    cum = bucketed_cum(counts, "rev", "b", ["mass"], ascending=False)
+    tot = counts.agg(F.sum("mass").cast("decimal(38,4)").alias("total"))
+
+    def cls(x):
+        return (
+            F.when(x * 5 <= F.col("total") * 4, "A")
+            .when(x * 20 <= F.col("total") * 19, "B")
+            .otherwise("C")
         )
-        .when(F.sum("rev").over(w_cum) / F.sum("rev").over(w_all) <= 0.95, "B")
-        .otherwise("C")
-        .alias("abc_class"),
+
+    blocks = (
+        cum.join(F.broadcast(tot), F.lit(True), "left")
+        .select(
+            "rev",
+            "c",
+            "mass",
+            "total",
+            (F.col("mass_cum") - F.col("mass")).alias("s0"),
+            "mass_cum",
+        )
+        .withColumn("cls_first", cls(F.col("s0") + F.col("rev")))
+        .withColumn("cls_last", cls(F.col("mass_cum")))
+    )
+    whole = blocks.filter(F.col("cls_first") == F.col("cls_last")).select(
+        F.col("cls_first").alias("abc_class"),
+        F.col("c").alias("n_parts_b"),
+        F.col("mass").alias("rev_b"),
+    )
+    strad = blocks.filter(F.col("cls_first") != F.col("cls_last")).select(
+        "rev",
+        "s0",
+        "total",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("c"))).alias("j"),
+    )
+    per_row = strad.select(
+        cls(F.col("s0") + F.col("rev") * F.col("j")).alias("abc_class"),
+        F.lit(1).cast("bigint").alias("n_parts_b"),
+        F.col("rev").cast("decimal(38,4)").alias("rev_b"),
     )
     return (
-        classed.groupBy("abc_class")
+        whole.unionByName(per_row)
+        .groupBy("abc_class")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
-            F.sum("rev").cast("double").alias("class_revenue"),
+            F.sum("n_parts_b").cast("bigint").alias("n_parts"),
+            F.sum("rev_b").cast("double").alias("class_revenue"),
         )
         .orderBy("abc_class")
     )
@@ -3286,82 +3400,177 @@ def agg_weighted_avg(spark, sf_dir):
 @query(
     "agg_boxplot",
     oracle="""
-    WITH q AS (
-      SELECT l_returnflag,
-             quantile_cont(l_extendedprice, 0.25) AS q1,
-             quantile_cont(l_extendedprice, 0.50) AS med,
-             quantile_cont(l_extendedprice, 0.75) AS q3,
-             MIN(l_extendedprice) AS lo,
-             MAX(l_extendedprice) AS hi
-      FROM lineitem GROUP BY l_returnflag
+    WITH counts AS (
+      SELECT l_returnflag AS g,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS vc,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
     ),
-    fences AS (
-      SELECT *, q3 - q1 AS iqr,
-             q1 - 1.5 * (q3 - q1) AS lo_fence,
-             q3 + 1.5 * (q3 - q1) AS hi_fence
+    cum AS (
+      SELECT g, vc, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY vc) AS cum
+      FROM counts
+    ),
+    n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+    ranks AS (
+      SELECT g,
+             (n - 1) // 4 + 1 AS r1lo, (n - 1) // 4 + 2 AS r1hi,
+             (n - 1) % 4 AS g1,
+             (n - 1) // 2 + 1 AS r2lo, (n - 1) // 2 + 2 AS r2hi,
+             ((n - 1) % 2) * 2 AS g2,
+             (3 * (n - 1)) // 4 + 1 AS r3lo, (3 * (n - 1)) // 4 + 2 AS r3hi,
+             (3 * (n - 1)) % 4 AS g3
+      FROM n
+    ),
+    vat AS (
+      SELECT c.g,
+        MIN(CASE WHEN c.cum >= r.r1lo AND c.cum - c.c < r.r1lo THEN c.vc END) AS v1lo,
+        MIN(CASE WHEN c.cum >= r.r1hi AND c.cum - c.c < r.r1hi THEN c.vc END) AS v1hi,
+        MIN(CASE WHEN c.cum >= r.r2lo AND c.cum - c.c < r.r2lo THEN c.vc END) AS v2lo,
+        MIN(CASE WHEN c.cum >= r.r2hi AND c.cum - c.c < r.r2hi THEN c.vc END) AS v2hi,
+        MIN(CASE WHEN c.cum >= r.r3lo AND c.cum - c.c < r.r3lo THEN c.vc END) AS v3lo,
+        MIN(CASE WHEN c.cum >= r.r3hi AND c.cum - c.c < r.r3hi THEN c.vc END) AS v3hi
+      FROM cum c JOIN ranks r ON c.g = r.g GROUP BY c.g
+    ),
+    q AS (
+      SELECT v.g,
+             4 * v.v1lo + r.g1 * (COALESCE(v.v1hi, v.v1lo) - v.v1lo) AS q1_qc,
+             4 * v.v2lo + r.g2 * (COALESCE(v.v2hi, v.v2lo) - v.v2lo) AS med_qc,
+             4 * v.v3lo + r.g3 * (COALESCE(v.v3hi, v.v3lo) - v.v3lo) AS q3_qc
+      FROM vat v JOIN ranks r ON v.g = r.g
+    ),
+    f AS (
+      SELECT g, q1_qc, med_qc, q3_qc, q3_qc - q1_qc AS iqr_qc,
+             2 * q1_qc - 3 * (q3_qc - q1_qc) AS lo_oc,
+             2 * q3_qc + 3 * (q3_qc - q1_qc) AS hi_oc
       FROM q
     )
-    SELECT f.l_returnflag,
-           ROUND(f.q1, 6) AS q1, ROUND(f.med, 6) AS median,
-           ROUND(f.q3, 6) AS q3, ROUND(f.iqr, 6) AS iqr,
-           ROUND(f.lo_fence, 6) AS lo_fence,
-           ROUND(f.hi_fence, 6) AS hi_fence,
-           CAST(SUM(CASE WHEN l.l_extendedprice < f.lo_fence
-                          OR l.l_extendedprice > f.hi_fence
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-    FROM fences f JOIN lineitem l ON l.l_returnflag = f.l_returnflag
-    GROUP BY f.l_returnflag, f.q1, f.med, f.q3, f.iqr, f.lo_fence,
-             f.hi_fence
-    ORDER BY f.l_returnflag
+    SELECT f.g AS l_returnflag,
+           ROUND(CAST(f.q1_qc AS DOUBLE) / 400, 6) AS q1,
+           ROUND(CAST(f.med_qc AS DOUBLE) / 400, 6) AS median,
+           ROUND(CAST(f.q3_qc AS DOUBLE) / 400, 6) AS q3,
+           ROUND(CAST(f.iqr_qc AS DOUBLE) / 400, 6) AS iqr,
+           ROUND(CAST(f.lo_oc AS DOUBLE) / 800, 6) AS lo_fence,
+           ROUND(CAST(f.hi_oc AS DOUBLE) / 800, 6) AS hi_fence,
+           CAST(SUM(CASE WHEN c.vc * 8 < f.lo_oc OR c.vc * 8 > f.hi_oc
+                    THEN c.c ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM f JOIN counts c ON c.g = f.g
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    ORDER BY 1
     """,
 )
 def agg_boxplot(spark, sf_dir):
-    """ES `boxplot` aggregation, exact: quartiles (the interpolation
-    convention Spark `percentile` and DuckDB `quantile_cont` share),
-    IQR, Tukey 1.5·IQR fences, and the OUTLIER COUNT beyond the
-    fences — the robust-spread profile a DQ dashboard renders per
-    segment. Two passes by necessity (fences depend on quartiles; the
-    outlier count re-scans against the broadcast 3-row fence frame);
-    the fence comparisons run on raw doubles computed identically in
-    both engines, rounding only on the reported columns."""
+    """ES `boxplot` aggregation, exact AND engine-independent: Tukey
+    quartiles/fences computed in INTEGER sub-cent units so nothing
+    depends on two engines' float interpolation agreeing bit-for-bit
+    (the round-5 advice finding). Prices are 2-dp values, so linear
+    (R-7) quartiles have an exact quarter-cent grain and 1.5·IQR
+    fences an exact eighth-cent grain: both sides select the two
+    neighbor values at rank floor(p·(n−1))+1(+2) from the per-group
+    integer-cent ECDF and interpolate with integer arithmetic
+    (qc = 4·v_lo + frac4·(v_hi − v_lo)); the outlier comparison is a
+    pure integer compare (vc·8 vs fence) and the reported doubles are
+    the SAME division expression on both sides. Scale shape: one
+    groupBy-(flag, cents) scan; the per-group cumulative rides the
+    bucketed distributed prefix-sum (`windows.bucketed_cum`,
+    price-domain buckets); rank selection and the outlier count are
+    aggregates over the distinct-value frame — the raw table is
+    touched once and no Window ever sees a data-sized partition."""
+    from elastic_freight_spark.operators.windows import bucketed_cum
+
     li = load_tables(spark, sf_dir)["lineitem"]
-    q = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
-        F.percentile("l_extendedprice", F.lit(0.50)).alias("med"),
-        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    counts = (
+        li.groupBy(
+            F.col("l_returnflag").alias("g"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("vc"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("b", F.expr("vc div 10000"))
     )
-    fences = q.select(
-        "l_returnflag",
-        "q1",
-        "med",
-        "q3",
-        (F.col("q3") - F.col("q1")).alias("iqr"),
-        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
-        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    cum = bucketed_cum(counts, "vc", "b", ["c"], grp_cols=["g"])
+    n = counts.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
+    ranks = n.select(
+        "g",
+        F.expr("(n - 1) div 4 + 1").alias("r1lo"),
+        F.expr("(n - 1) div 4 + 2").alias("r1hi"),
+        F.expr("(n - 1) % 4").alias("g1"),
+        F.expr("(n - 1) div 2 + 1").alias("r2lo"),
+        F.expr("(n - 1) div 2 + 2").alias("r2hi"),
+        F.expr("((n - 1) % 2) * 2").alias("g2"),
+        F.expr("(3 * (n - 1)) div 4 + 1").alias("r3lo"),
+        F.expr("(3 * (n - 1)) div 4 + 2").alias("r3hi"),
+        F.expr("(3 * (n - 1)) % 4").alias("g3"),
     )
-    joined = li.select("l_returnflag", "l_extendedprice").join(
-        F.broadcast(fences), "l_returnflag"
+
+    def at(rcol):
+        hit = (F.col("c_cum") >= F.col(rcol)) & (
+            F.col("c_cum") - F.col("c") < F.col(rcol)
+        )
+        return F.min(F.when(hit, F.col("vc")))
+
+    vat = (
+        cum.join(F.broadcast(ranks), "g")
+        .groupBy("g")
+        .agg(
+            at("r1lo").alias("v1lo"),
+            at("r1hi").alias("v1hi"),
+            at("r2lo").alias("v2lo"),
+            at("r2hi").alias("v2hi"),
+            at("r3lo").alias("v3lo"),
+            at("r3hi").alias("v3hi"),
+        )
     )
-    out = F.sum(
-        F.when(
-            (F.col("l_extendedprice") < F.col("lo_fence"))
-            | (F.col("l_extendedprice") > F.col("hi_fence")),
-            1,
-        ).otherwise(0)
+
+    def interp(lo, hi, g):
+        return 4 * F.col(lo) + F.col(g) * (
+            F.coalesce(F.col(hi), F.col(lo)) - F.col(lo)
+        )
+
+    q = vat.join(F.broadcast(ranks), "g").select(
+        "g",
+        interp("v1lo", "v1hi", "g1").alias("q1_qc"),
+        interp("v2lo", "v2hi", "g2").alias("med_qc"),
+        interp("v3lo", "v3hi", "g3").alias("q3_qc"),
+    )
+    f = q.select(
+        "g",
+        "q1_qc",
+        "med_qc",
+        "q3_qc",
+        (F.col("q3_qc") - F.col("q1_qc")).alias("iqr_qc"),
+        (2 * F.col("q1_qc") - 3 * (F.col("q3_qc") - F.col("q1_qc"))).alias(
+            "lo_oc"
+        ),
+        (2 * F.col("q3_qc") + 3 * (F.col("q3_qc") - F.col("q1_qc"))).alias(
+            "hi_oc"
+        ),
     )
     return (
-        joined.groupBy(
-            "l_returnflag", "q1", "med", "q3", "iqr", "lo_fence", "hi_fence"
+        counts.join(F.broadcast(f), "g")
+        .groupBy(
+            "g", "q1_qc", "med_qc", "q3_qc", "iqr_qc", "lo_oc", "hi_oc"
         )
-        .agg(out.cast("bigint").alias("n_outliers"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("vc") * 8 < F.col("lo_oc"))
+                    | (F.col("vc") * 8 > F.col("hi_oc")),
+                    F.col("c"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
         .select(
-            "l_returnflag",
-            F.round("q1", 6).alias("q1"),
-            F.round("med", 6).alias("median"),
-            F.round("q3", 6).alias("q3"),
-            F.round("iqr", 6).alias("iqr"),
-            F.round("lo_fence", 6).alias("lo_fence"),
-            F.round("hi_fence", 6).alias("hi_fence"),
+            F.col("g").alias("l_returnflag"),
+            F.round(F.col("q1_qc").cast("double") / 400, 6).alias("q1"),
+            F.round(F.col("med_qc").cast("double") / 400, 6).alias("median"),
+            F.round(F.col("q3_qc").cast("double") / 400, 6).alias("q3"),
+            F.round(F.col("iqr_qc").cast("double") / 400, 6).alias("iqr"),
+            F.round(F.col("lo_oc").cast("double") / 800, 6).alias("lo_fence"),
+            F.round(F.col("hi_oc").cast("double") / 800, 6).alias("hi_fence"),
             "n_outliers",
         )
         .orderBy("l_returnflag")

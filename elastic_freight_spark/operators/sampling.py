@@ -413,34 +413,90 @@ def batch_padding_plan(spark, sf_dir):
     """Inference/training batch packing audit: pad-to-longest waste of
     batch-size-32 batches under length-sorted vs arrival-order
     assignment (length bucketing is why serving stacks sort by
-    sequence length — this measures exactly what it saves). Both
-    assignments are window row_numbers, the waste is a per-batch
-    MAX window minus the row's length — two passes over a 1-column
-    projection, no Python. At scale the global row_number becomes
-    per-source/per-range bucketing (same plan, partitioned window)."""
-    docs = load_tables(spark, sf_dir)["documents"]
-    from pyspark.sql import Window as W
+    sequence length — this measures exactly what it saves). No global
+    row_number anywhere (the round-5 scale finding):
 
+    - length_sorted is PURE DISTRIBUTION MATH — the sorted sequence
+      is determined by the length multiset, a batch's max is the
+      length at its last global rank, and the number of full batches
+      ending inside a length block is ``cum div 32 − start div 32``,
+      so total padding = Σ 32·v·(full batches ending in v's block)
+      + (n mod 32)·max_len − total tokens, all over the token-length
+      ECDF (`windows.bucketed_cum`, length-domain buckets).
+    - arrival_order genuinely needs per-row ranks; doc_id is unique,
+      so `windows.dist_rank_unique` ranks inside width-65536 id
+      ranges with a two-level bucketed prefix for the offsets, then
+      one groupBy(batch_id) computes each batch's max/sum."""
+    from elastic_freight_spark.operators.windows import (
+        bucketed_cum,
+        dist_rank_unique,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
     tok = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
 
-    def waste(order_cols, strategy):
-        rn = F.row_number().over(W.orderBy(*order_cols))
-        b = tok.withColumn("batch_id", ((rn - 1) / 32).cast("bigint"))
-        pad = F.max("n_tokens").over(W.partitionBy("batch_id")) - F.col("n_tokens")
-        return (
-            b.withColumn("pad", pad)
-            .agg(
-                F.countDistinct("batch_id").alias("n_batches"),
-                F.sum("pad").cast("bigint").alias("total_padding"),
-            )
-            .select(F.lit(strategy).alias("strategy"), "n_batches", "total_padding")
-        )
-
-    return waste([F.col("n_tokens"), F.col("doc_id")], "length_sorted").unionByName(
-        waste([F.col("doc_id")], "arrival_order")
+    counts = (
+        tok.groupBy(F.col("n_tokens").cast("bigint").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("b", F.expr("v div 64"))
     )
+    cum = bucketed_cum(counts, "v", "b", ["c"])
+    stats = counts.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("bigint").alias("tok_total"),
+        F.max("v").alias("vmax"),
+    )
+    s = (
+        cum.join(F.broadcast(stats), F.lit(True), "left")
+        .agg(
+            F.sum(
+                32
+                * F.col("v")
+                * (
+                    F.expr("c_cum div 32")
+                    - F.expr("(c_cum - c) div 32")
+                )
+            ).alias("full_term"),
+            F.max("n").alias("n"),
+            F.max("tok_total").alias("tok_total"),
+            F.max("vmax").alias("vmax"),
+        )
+        .select(
+            F.lit("length_sorted").alias("strategy"),
+            F.expr("cast((n + 31) div 32 as bigint)").alias("n_batches"),
+            (
+                F.col("full_term")
+                + F.when(
+                    F.expr("n % 32") > 0,
+                    F.expr("n % 32") * F.col("vmax"),
+                ).otherwise(0)
+                - F.col("tok_total")
+            )
+            .cast("bigint")
+            .alias("total_padding"),
+        )
+    )
+
+    ranked = dist_rank_unique(tok, "doc_id")
+    batches = (
+        ranked.withColumn("batch_id", F.expr("(rank - 1) div 32"))
+        .groupBy("batch_id")
+        .agg(
+            F.max("n_tokens").alias("mx"),
+            F.sum("n_tokens").alias("sm"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    a = batches.agg(
+        F.lit("arrival_order").alias("strategy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.sum(F.col("mx") * F.col("cnt") - F.col("sm"))
+        .cast("bigint")
+        .alias("total_padding"),
+    )
+    return s.unionByName(a)
 
 
 @query(

@@ -1096,39 +1096,77 @@ def layout_zonemap_effectiveness(spark, sf_dir):
     files, because every file's [min,max] spans the whole date range.
     Also reports mean per-file span in days (integer µs arithmetic).
 
-    This is a planning SIMULATION: the row_number file assignment is
-    the single-partition-window idiom acceptable for a 32-row-out
-    planning query at any corpus size only because the real variant
-    would use the actual file footers (zonemaps in the manifest, as
-    build_range_index records); the simulation exists so the metric
-    itself is hash-verifiable against DuckDB."""
-    from pyspark.sql import Window as W
+    This is a planning SIMULATION (the real variant would read actual
+    file footers — zonemaps in the manifest, as build_range_index
+    records); it exists so the metric is hash-verifiable against
+    DuckDB. Neither layout single-partitions the fact (the round-6
+    conversion): the shipdate-SORTED layout's file extents are pure
+    value-at-rank selections on the shipdate ECDF (dates are monotone
+    in the sort rank — `windows.bucketed_cum`, calendar buckets), and
+    the ARRIVAL layout ranks by the unique composite key
+    l_orderkey·8+l_linenumber via `windows.dist_rank_unique`
+    (bounded two-level key-range windows)."""
+    from elastic_freight_spark.operators.windows import (
+        bucketed_cum,
+        dist_rank_unique,
+    )
 
     li = load_tables(spark, sf_dir)["lineitem"].select(
         "l_shipdate", "l_orderkey", "l_linenumber"
     )
-    n = F.count(F.lit(1)).over(W.partitionBy())
-    per = F.expr(f"(cast(_n as bigint) + {ZONEMAP_FILES - 1}) div {ZONEMAP_FILES}")
-    arrival = li.withColumn("_n", n).select(
-        F.lit("arrival").alias("layout"),
-        "l_shipdate",
-        F.expr(
-            f"(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) "
-            f"div ((_n + {ZONEMAP_FILES - 1}) div {ZONEMAP_FILES})"
-        ).alias("file_id"),
+    nrow = li.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    per = f"((_n + {ZONEMAP_FILES - 1}) div {ZONEMAP_FILES})"
+
+    ranked = dist_rank_unique(
+        li.withColumn("_k", F.expr("l_orderkey * 8 + l_linenumber")), "_k"
     )
-    sorted_ = li.withColumn("_n", n).select(
-        F.lit("shipdate_sorted").alias("layout"),
-        "l_shipdate",
-        F.expr(
-            f"(row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1) "
-            f"div ((_n + {ZONEMAP_FILES - 1}) div {ZONEMAP_FILES})"
-        ).alias("file_id"),
+    arrival_zones = (
+        ranked.join(F.broadcast(nrow), F.lit(True), "left")
+        .select(
+            "l_shipdate",
+            F.expr(f"(rank - 1) div {per}").alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.min("l_shipdate").alias("zmin"),
+            F.max("l_shipdate").alias("zmax"),
+        )
+        .select(F.lit("arrival").alias("layout"), "*")
     )
-    laid = arrival.unionByName(sorted_)
-    zones = laid.groupBy("layout", "file_id").agg(
-        F.min("l_shipdate").alias("zmin"), F.max("l_shipdate").alias("zmax")
+
+    dcnt = (
+        li.groupBy(F.col("l_shipdate").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("b", F.expr("year(v) * 100 + month(v)"))
     )
+    cum = bucketed_cum(dcnt, "v", "b", ["c"])
+    files = (
+        nrow.select(
+            "_n",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(ZONEMAP_FILES)])
+            ).alias("file_id"),
+        )
+        .select(
+            "file_id",
+            F.expr(f"file_id * {per} + 1").alias("r_lo"),
+            F.expr(f"least((file_id + 1) * {per}, _n)").alias("r_hi"),
+        )
+        .filter(F.col("r_lo") <= F.col("r_hi"))
+    )
+    covers = lambda r: (F.col("c_cum") >= F.col(r)) & (
+        F.col("c_cum") - F.col("c") < F.col(r)
+    )
+    sorted_zones = (
+        cum.join(F.broadcast(files), covers("r_lo") | covers("r_hi"))
+        .groupBy("file_id")
+        .agg(
+            F.min(F.when(covers("r_lo"), F.col("v"))).alias("zmin"),
+            F.max(F.when(covers("r_hi"), F.col("v"))).alias("zmax"),
+        )
+        .select(F.lit("shipdate_sorted").alias("layout"), "*")
+    )
+    zones = arrival_zones.unionByName(sorted_zones)
     probes = li.groupBy(F.col("l_shipdate").alias("d")).agg(
         F.count(F.lit(1)).alias("w")
     )
@@ -1512,58 +1550,76 @@ def skew_key_profile(spark, sf_dir):
     n_salts that spreads the hottest key to average-sized tasks.
 
     Scale shape: the only data-sized stage is the per-key count
-    (map-side combinable); the ranked window runs over the KEY
-    distribution (|keys| rows — a single-partition sort, fine up to
-    ~10^7 keys; past that, profile a deterministic md5 sample of
-    KEYS instead, the `range_partition_boundaries` discipline —
-    skew statistics are ratios, stable under uniform key
-    sampling). A uniform corpus reads
+    (map-side combinable). Rank selection never sorts the key frame
+    in one task (the round-5 scale finding): median/p99 come from
+    the DISTINCT-count-value cumulative via the bucketed distributed
+    prefix-sum (`windows.bucketed_cum`, relative-width value
+    buckets), the top-10 mass is a TakeOrderedAndProject, and
+    max/total are plain aggregates. A uniform corpus reads
     skew_ratio ≈ 1 / suggested_salts = 1; this fixture's lineitem
     supplier key is near-uniform, and the test pins the degenerate
     skewed fixture the other way."""
-    from pyspark.sql import Window as W
+    from elastic_freight_spark.operators.windows import bucketed_cum
 
     li = load_tables(spark, sf_dir)["lineitem"]
     keyed = li.groupBy(F.col("l_suppkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    ranked = keyed.select(
-        "n",
-        F.row_number()
-        .over(W.orderBy(F.col("n").desc(), "key"))
-        .alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("k_keys"),
-        F.sum("n").over(W.partitionBy()).alias("total"),
+    g = keyed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_n"),
     )
-    return ranked.agg(
-        F.max("k_keys").cast("bigint").alias("n_keys"),
-        F.max("total").cast("bigint").alias("n_rows"),
-        F.max(F.when(F.col("rk") == 1, F.col("n")))
-        .cast("bigint")
-        .alias("max_n"),
-        F.max(
-            F.when(F.col("rk") == F.expr("(k_keys + 1) div 2"), F.col("n"))
+    # distribution over DISTINCT per-key counts, descending: buckets
+    # are relative-width (3 significant digits), so the bucket index
+    # is monotone in n, #buckets <= ~900 per decade, and each bucket
+    # holds at most 0.1% of the n-domain — never the key count.
+    rel_bucket = F.expr(
+        "length(cast(n as string)) * 10000 + n div cast(power(10,"
+        " greatest(length(cast(n as string)) - 3, 0)) as bigint)"
+    )
+    dist = (
+        keyed.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("kc"))
+        .withColumn("b", rel_bucket)
+    )
+    cum = bucketed_cum(dist, "n", "b", ["kc"], ascending=False)
+
+    def at(rank_expr):
+        hit = (F.col("kc_cum") >= rank_expr) & (
+            F.col("kc_cum") - F.col("kc") < rank_expr
         )
-        .cast("bigint")
-        .alias("median_n"),
-        F.max(
-            F.when(F.col("rk") == F.expr("(k_keys + 99) div 100"), F.col("n"))
+        return F.max(F.when(hit, F.col("n"))).cast("bigint")
+
+    sel = (
+        cum.join(F.broadcast(g.select("n_keys")), F.lit(True), "left")
+        .agg(
+            at(F.expr("(n_keys + 1) div 2")).alias("median_n"),
+            at(F.expr("(n_keys + 99) div 100")).alias("p99_n"),
         )
-        .cast("bigint")
-        .alias("p99_n"),
-        F.sum(F.when(F.col("rk") <= 10, F.col("n")).otherwise(0))
-        .cast("bigint")
-        .alias("top10_n"),
-        F.round(
-            F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("double")
-            * F.max("k_keys")
-            / F.max("total"),
-            9,
-        ).alias("skew_ratio"),
-        F.expr(
-            "cast((max(case when rk = 1 then n end) * max(k_keys)"
-            " + max(total) - 1) div max(total) as bigint)"
-        ).alias("suggested_salts"),
+    )
+    top10 = (
+        keyed.orderBy(F.col("n").desc(), "key")
+        .limit(10)
+        .agg(F.sum("n").cast("bigint").alias("top10_n"))
+    )
+    return (
+        g.join(F.broadcast(sel), F.lit(True), "left")
+        .join(F.broadcast(top10), F.lit(True), "left")
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_n",
+            "median_n",
+            "p99_n",
+            "top10_n",
+            F.round(
+                F.col("max_n").cast("double") * F.col("n_keys") / F.col("n_rows"), 9
+            ).alias("skew_ratio"),
+            F.expr(
+                "cast((max_n * n_keys + n_rows - 1) div n_rows as bigint)"
+            ).alias("suggested_salts"),
+        )
     )
 
 

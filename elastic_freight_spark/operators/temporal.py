@@ -2119,25 +2119,35 @@ def t_theil_sen_trend(spark, sf_dir):
     ranked = pairs.crossJoin(F.broadcast(np_)).withColumn(
         "rk", F.row_number().over(W.orderBy("slope", "t1", "t2"))
     )
-    med_slope = ranked.filter(
+    med_sel = ranked.filter(
         F.col("rk") == F.expr("(n_pairs + 1) div 2")
-    ).select("n_pairs", "slope")
-    resid = idx.crossJoin(F.broadcast(med_slope)).select(
-        "n_pairs",
-        "slope",
+    ).select("slope")
+    nn = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    # Degenerate shape is explicit: the one output row is built from
+    # the always-one-row count aggregates, with the median slope and
+    # residual LEFT-joined in — a single-day series (n_pairs = 0)
+    # yields (n_days, 0, NULL, NULL) exactly like the oracle's
+    # FROM-less scalar-subquery SELECT, instead of zero rows.
+    base = nn.join(np_, F.lit(True), "left").join(
+        med_sel, F.lit(True), "left"
+    )
+    resid = idx.crossJoin(F.broadcast(base.select("slope"))).select(
         "t",
         (
             F.col("x").cast("double")
             - F.col("slope") * F.col("t").cast("double")
         ).alias("r"),
     )
-    nn = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
-    icpt = (
+    icpt_sel = (
         resid.crossJoin(F.broadcast(nn))
-        .withColumn("rk", F.row_number().over(W.orderBy("r", "t")))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.asc_nulls_last("r"), "t")),
+        )
         .filter(F.col("rk") == F.expr("(n_days + 1) div 2"))
+        .select("r")
     )
-    return icpt.select(
+    return base.join(icpt_sel, F.lit(True), "left").select(
         "n_days",
         "n_pairs",
         F.round("slope", 9).alias("slope"),
@@ -2927,11 +2937,11 @@ def t_cohort_ltv_curve(spark, sf_dir):
            CAST(CEIL(
              POWER(1.959964 * SQRT(2 * pbar * (1 - pbar))
                    + 0.841621 * SQRT(p0 * (1 - p0) + p1 * (1 - p1)), 2)
-             / (delta * delta)) AS BIGINT) AS n_per_arm,
+             / NULLIF(delta * delta, 0)) AS BIGINT) AS n_per_arm,
            (CAST(CEIL(
              POWER(1.959964 * SQRT(2 * pbar * (1 - pbar))
                    + 0.841621 * SQRT(p0 * (1 - p0) + p1 * (1 - p1)), 2)
-             / (delta * delta)) AS BIGINT) * 2 <= n_users) AS feasible_now
+             / NULLIF(delta * delta, 0)) AS BIGINT) * 2 <= n_users) AS feasible_now
     FROM (
       SELECT b.*, m.mde_rel,
              LEAST(b.p0 * (1 + m.mde_rel), 1.0) AS p1,
@@ -3007,7 +3017,7 @@ def events_ab_power_analysis(spark, sf_dir):
             + 0.841621 * F.sqrt(p0 * (1 - p0) + p1 * (1 - p1)),
             2,
         )
-        / (delta * delta)
+        / F.nullif(delta * delta, F.lit(0.0))
     ).cast("bigint")
     return mdes.select(
         "mde_rel",

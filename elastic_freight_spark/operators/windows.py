@@ -603,3 +603,135 @@ def w_rolling_median_daily(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact ranks: bucketed prefix sums over value/key domains.
+# The round-5 verdict flagged six queries whose global rank/ntile ran a
+# partition-less Window over a data- or entity-sized frame; these
+# helpers are the reusable conversion (the pooled_price_cum /
+# skewed_running_sum plan generalized): every Window below is
+# partitioned, and each partition is bounded by a DOMAIN constant
+# (bucket width / #buckets), never by the data volume.
+# ---------------------------------------------------------------------------
+
+
+def bucketed_cum(counts, order_col, bucket_col, sum_cols, grp_cols=(), ascending=True):
+    """Inclusive cumulative sums over a distinct-value frame with no
+    data-sized single-partition Window.
+
+    ``counts`` must hold ONE row per (group, distinct order value),
+    and ``bucket_col`` must be monotone in ``order_col`` for the
+    requested direction with equal order values sharing a bucket
+    (e.g. ``floor(v) div 100`` for prices — bounded by the value
+    DOMAIN). Plan: within-(group, bucket) running sums over the
+    distinct values in that bucket, plus a per-group prefix over the
+    per-bucket totals (#buckets rows — domain-bounded), joined back
+    broadcast. Adds ``{c}_cum`` (inclusive) for every c in sum_cols.
+    """
+    grp = list(grp_cols)
+    ob = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    bb = F.col(bucket_col).asc() if ascending else F.col(bucket_col).desc()
+    win_in = (
+        W.partitionBy(*(grp + [bucket_col]))
+        .orderBy(*ob)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = counts.select(
+        "*", *[F.sum(c).over(win_in).alias(f"_in_{c}") for c in sum_cols]
+    )
+    btot = counts.groupBy(*(grp + [bucket_col])).agg(
+        *[F.sum(c).alias(f"_bt_{c}") for c in sum_cols]
+    )
+    win_b = (
+        (W.partitionBy(*grp) if grp else W.partitionBy())
+        .orderBy(bb)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = btot.select(
+        *grp,
+        bucket_col,
+        *[
+            F.coalesce(F.sum(f"_bt_{c}").over(win_b), F.lit(0)).alias(f"_off_{c}")
+            for c in sum_cols
+        ],
+    )
+    joined = within.join(F.broadcast(offs), grp + [bucket_col])
+    return joined.select(
+        *counts.columns,
+        *[
+            (F.col(f"_in_{c}") + F.col(f"_off_{c}")).alias(f"{c}_cum")
+            for c in sum_cols
+        ],
+    )
+
+
+def dist_rank_unique(df, key_col, key_div=65536, bucket_div=4096, out="rank"):
+    """Exact 1-based global rank over a UNIQUE numeric key with no
+    data-sized single-partition Window: rows rank locally inside
+    width-``key_div`` key ranges (<= key_div rows each, by key
+    uniqueness), range totals get a two-level bucketed prefix
+    (``bucketed_cum`` over range index div ``bucket_div``), and the
+    offsets join back broadcast-free on the range index. Rank values
+    are exact and independent of partitioning."""
+    rows = df.withColumn("_kb", F.expr(f"{key_col} div {key_div}"))
+    w_loc = W.partitionBy("_kb").orderBy(key_col)
+    loc = rows.withColumn("_lrn", F.row_number().over(w_loc).cast("bigint"))
+    kcnt = (
+        rows.groupBy("_kb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_kc"))
+        .withColumn("_kbb", F.expr(f"_kb div {bucket_div}"))
+    )
+    koff = bucketed_cum(kcnt, "_kb", "_kbb", ["_kc"]).select(
+        "_kb", (F.col("_kc_cum") - F.col("_kc")).alias("_koff")
+    )
+    return (
+        loc.join(F.broadcast(koff), "_kb")
+        .withColumn(out, F.col("_koff") + F.col("_lrn"))
+        .drop("_kb", "_lrn", "_koff")
+    )
+
+
+def dist_rank(df, v_col, key_col, v_bucket, key_div=65536, out="rank"):
+    """Exact 1-based global rank by ``(v, key)`` ascending (``key``
+    unique, the deterministic tie-break) with every Window bounded:
+
+    1. distinct-v cumulative counts via ``bucketed_cum`` (``v_bucket``
+       must be monotone in v, equal v sharing a bucket) gives each tie
+       block its starting rank;
+    2. inside a block, rows rank locally within width-``key_div`` key
+       ranges (<= key_div rows by key uniqueness) and the per-(v,
+       range) totals take a per-v prefix over the range index
+       (<= key_domain/key_div rows per partition).
+
+    The result equals ``row_number() over (order by v, key)`` exactly,
+    with no partition-less Window anywhere in the plan."""
+    vb = df.withColumn("_vb", v_bucket)
+    counts = vb.groupBy(v_col, "_vb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    starts = bucketed_cum(counts, v_col, "_vb", ["_c"]).select(
+        v_col, (F.col("_c_cum") - F.col("_c")).alias("_start")
+    )
+    rows = df.withColumn("_kb", F.expr(f"{key_col} div {key_div}"))
+    w_loc = W.partitionBy(v_col, "_kb").orderBy(key_col)
+    loc = rows.withColumn("_lrn", F.row_number().over(w_loc).cast("bigint"))
+    kcnt = rows.groupBy(v_col, "_kb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_kc")
+    )
+    w_koff = (
+        W.partitionBy(v_col)
+        .orderBy("_kb")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    koff = kcnt.select(
+        v_col,
+        "_kb",
+        F.coalesce(F.sum("_kc").over(w_koff), F.lit(0)).alias("_koff"),
+    )
+    return (
+        loc.join(koff, [v_col, "_kb"])
+        .join(starts, v_col)
+        .withColumn(out, F.col("_start") + F.col("_koff") + F.col("_lrn"))
+        .drop("_kb", "_lrn", "_koff", "_start")
+    )

@@ -295,3 +295,43 @@ def test_paragraph_span_dedup_single_pre_agg_shape(spark):
     # ≈ span count, NOT token count)
     assert s["n_shuffles"] <= 2, s
     assert s["shuffle_records_written"] < 3 * s["scan_rows"] * 5, s
+
+
+def test_plan_audit_unpartitioned_window_parser():
+    """The plan_audit window lint must flag exactly the Window nodes
+    with an empty partition spec (order-spec-only or bare), and pass
+    partitioned ones — including the partitioned-but-unordered shape
+    whose second bracket group carries no ASC/DESC."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", "/root/repo/tools/plan_audit.py"
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    partitioned = (
+        "+- Window [sum(x#1L) windowspecdefinition(g#2L, x#1L ASC NULLS"
+        " FIRST, specifiedwindowframe(RangeFrame, unboundedpreceding$(),"
+        " currentrow$())) AS s#3L], [g#2L], [x#1L ASC NULLS FIRST]"
+    )
+    part_unordered = "+- Window [count(1) AS n#4L], [g#2L]"
+    unpartitioned = (
+        "   +- Window [row_number() windowspecdefinition(x#1L ASC NULLS"
+        " FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(),"
+        " currentrow$())) AS rn#5], [x#1L ASC NULLS FIRST]"
+    )
+    global_unordered = "+- Window [count(1) AS n#6L]"
+    group_limit = "+- WindowGroupLimit [x#1L ASC NULLS FIRST], rank, 25"
+
+    assert pa.unpartitioned_windows(partitioned) == 0
+    assert pa.unpartitioned_windows(part_unordered) == 0
+    assert pa.unpartitioned_windows(unpartitioned) == 1
+    assert pa.unpartitioned_windows(global_unordered) == 1
+    assert pa.unpartitioned_windows(group_limit) == 0
+    assert (
+        pa.unpartitioned_windows(
+            "\n".join([partitioned, unpartitioned, unpartitioned])
+        )
+        == 2
+    )

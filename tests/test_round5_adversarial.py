@@ -160,3 +160,75 @@ def test_boxplot_constant_column_no_outliers(spark, tmp_path_factory):
     assert (r["q1"], r["median"], r["q3"]) == (500.0, 500.0, 500.0)
     assert r["iqr"] == 0.0
     assert r["n_outliers"] == 0
+
+
+def _oracle_df(sf, name):
+    """Run a registered query's DuckDB oracle against a fixture dir."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+        " documents embeddings".split()
+    ):
+        p = f"{sf}/{t}.parquet"
+        if os.path.isdir(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return con.execute(registry.ORACLE[name]).df()
+
+
+def test_theil_sen_one_day_series_degenerate(spark, tmp_path):
+    """A single-day series has zero pairwise slopes: BOTH engines must
+    emit exactly one row (n_days=1, n_pairs=0, NULL slope/intercept) —
+    the round-5 advice found the Spark side returned zero rows while
+    the oracle's FROM-less scalar-subquery SELECT always emits one."""
+    t0 = dt.datetime(2024, 6, 1, 8, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "view", 1.0, "{}")
+        for i in range(5)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = registry.QUERIES["t_theil_sen_trend"](spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_days"], r["n_pairs"], r["slope"], r["intercept"]) == (
+        1,
+        0,
+        None,
+        None,
+    )
+    o = _oracle_df(sf, "t_theil_sen_trend")
+    assert len(o) == 1
+    assert int(o["n_days"][0]) == 1 and int(o["n_pairs"][0]) == 0
+    assert o["slope"].isna()[0] and o["intercept"].isna()[0]
+
+
+def test_power_analysis_zero_baseline_degenerate(spark, tmp_path):
+    """A corpus with no qualifying conversion (no purchase with value
+    >= 200) has p0 = 0, so delta = 0: the NULLIF guard must degrade
+    n_per_arm (and feasible_now) to NULL in BOTH engines instead of
+    DIVIDE_BY_ZERO in Spark / CAST(inf) failure in DuckDB."""
+    t0 = dt.datetime(2024, 6, 1, 8, 0, 0)
+    rows = [
+        (1, t0, 1, "purchase", 50.0, "{}"),
+        (2, t0, 2, "purchase", 199.0, "{}"),
+        (3, t0, 3, "view", 0.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = registry.QUERIES["events_ab_power_analysis"](spark, sf).collect()
+    assert len(got) == 3
+    for r in got:
+        assert r["baseline_cr"] == 0.0
+        assert r["n_per_arm"] is None
+        assert r["feasible_now"] is None
+    o = _oracle_df(sf, "events_ab_power_analysis")
+    assert len(o) == 3
+    assert o["n_per_arm"].isna().all()

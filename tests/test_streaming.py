@@ -1545,3 +1545,213 @@ def test_stream_percolate_matches_batch(spark, tmp_path_factory):
         for r in percolate_matches(docs, stored, qsize).collect()
     }
     assert got == expect and expect
+
+
+def test_stream_attribution_endurance_restart(spark, tmp_path_factory):
+    """24 time-ordered micro-batches through the stateful last-touch
+    attributor with a forced restart after 12 (same checkpoint): the
+    resumed state store must carry each user's latest click across
+    the restart so the converged per-purchase attributions equal the
+    batch report, state stays bounded by |users|, and a fresh-
+    checkpoint replay over the same source is idempotent."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.session import load_tables
+    from elastic_freight_spark.streaming.structured import (
+        read_parquet_stream,
+        stream_attribution_state,
+    )
+
+    registry.load_all()
+    base = tmp_path_factory.mktemp("attr_endurance")
+    sf = SF_DIR
+    events = load_tables(spark, sf)["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    n = events.count()
+    per = -(-n // N_ENDURANCE_CHUNKS)
+    numbered = events.withColumn(
+        "_rn", F.row_number().over(W.orderBy("ts", "event_id"))
+    )
+    src = str(base / "src")
+    _os.makedirs(src)
+    t0 = _time.time() - 86_400
+
+    def _stage(chunk_ids, offset):
+        import glob as _glob
+        import shutil as _shutil
+
+        for i in chunk_ids:
+            cdir = str(base / f"c{i}")
+            (
+                numbered.filter(
+                    (F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per)
+                )
+                .drop("_rn")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(cdir)
+            )
+            f = _glob.glob(_os.path.join(cdir, "part-*.parquet"))[0]
+            dst = _os.path.join(src, f"chunk_{i:02d}.parquet")
+            _shutil.copy(f, dst)
+            _os.utime(dst, (t0 + offset + i, t0 + offset + i))
+
+    out = str(base / "updates")
+    ckpt = str(base / "ckpt")
+    schema = events.schema
+
+    def _sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    def _run(checkpoint):
+        stream = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+        q = (
+            stream_attribution_state(stream)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return q
+
+    _stage(range(N_ENDURANCE_CHUNKS // 2), 0)
+    q1 = _run(ckpt)
+    _stage(range(N_ENDURANCE_CHUNKS // 2, N_ENDURANCE_CHUNKS), 1000)
+    q2 = _run(ckpt)
+
+    def _converged():
+        import math
+
+        rows = spark.read.parquet(out).collect()
+        per_purchase = {}
+        for r in rows:
+            per_purchase[r["p_id"]] = (r["channel"], round(r["value"], 4))
+        by_ch = {}
+        for ch, v in per_purchase.values():
+            by_ch.setdefault(ch, []).append(v)
+        # fsum over sorted terms: emission/iteration order can't leak
+        # float tails into the comparison
+        return {
+            ch: (len(vs), round(math.fsum(sorted(vs)), 4))
+            for ch, vs in by_ch.items()
+        }
+
+    expect = {
+        r["channel"]: (r["n_conversions"], r["attributed_value"])
+        for r in registry.QUERIES["events_attribution_last_touch"](
+            spark, sf
+        ).collect()
+    }
+    got = _converged()
+    assert set(got) == set(expect)
+    for ch, (cnt, val) in expect.items():
+        assert got[ch][0] == cnt, (ch, got[ch], cnt)
+        assert abs(got[ch][1] - val) < 1e-6
+
+    # state bounded by |users| (one latest-click slot per user)
+    distinct_users = events.select("user_id").distinct().count()
+    for q in (q1, q2):
+        for p in q.recentProgress:
+            prog = _json.loads(p.json) if hasattr(p, "json") else p
+            for op in prog.get("stateOperators", []):
+                total = op.get("numRowsTotal")
+                if total is not None:
+                    assert total <= distinct_users
+
+    # replay idempotence: fresh checkpoint, same source — duplicate
+    # emissions are final-value re-emissions, so the converged report
+    # is unchanged
+    _run(str(base / "ckpt_replay"))
+    assert _converged() == got
+
+
+def test_stream_percolate_endurance_restart(spark, tmp_path_factory):
+    """24 document micro-batches through the streaming percolator with
+    a forced restart after 12 (same checkpoint): the marker-guarded
+    batch-keyed ledger must end up equal to the batch percolate over
+    the full corpus, and a fresh-checkpoint replay must be a no-op on
+    the ledger (idempotent overwrite-by-marker)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from elastic_freight_spark.operators.search import (
+        percolate_frames,
+        percolate_matches,
+    )
+    from elastic_freight_spark.session import load_tables
+    from elastic_freight_spark.streaming.structured import (
+        read_parquet_stream,
+        stream_percolate,
+    )
+
+    base = tmp_path_factory.mktemp("percolate_endurance")
+    sf = SF_DIR
+    docs = load_tables(spark, sf)["documents"].select("doc_id", "text")
+    src = str(base / "src")
+    _os.makedirs(src)
+
+    def _stage(chunk_ids):
+        for i in chunk_ids:
+            cdir = str(base / f"c{i}")
+            (
+                docs.filter(
+                    F.pmod(F.col("doc_id"), F.lit(N_ENDURANCE_CHUNKS)) == i
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(cdir)
+            )
+            f = _glob.glob(_os.path.join(cdir, "part-*.parquet"))[0]
+            _shutil.copy(f, _os.path.join(src, f"chunk_{i:02d}.parquet"))
+
+    schema = docs.schema
+    out = str(base / "matches")
+    ckpt = str(base / "ckpt")
+
+    def _run(checkpoint):
+        stream = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+        q = stream_percolate(stream, out, checkpoint, available_now=True)
+        q.awaitTermination(600)
+
+    _stage(range(N_ENDURANCE_CHUNKS // 2))
+    _run(ckpt)
+    n_markers_1 = len([f for f in _os.listdir(out) if f.endswith(".done")])
+    assert n_markers_1 >= N_ENDURANCE_CHUNKS // 2 - 1
+
+    _stage(range(N_ENDURANCE_CHUNKS // 2, N_ENDURANCE_CHUNKS))
+    _run(ckpt)
+    markers = sorted(f for f in _os.listdir(out) if f.endswith(".done"))
+    assert len(markers) >= 20  # the endurance bar
+
+    def _ledger():
+        return {
+            (r["query_id"], r["doc_id"])
+            for r in spark.read.parquet(
+                *sorted(_glob.glob(_os.path.join(out, "batch=*")))
+            ).collect()
+        }
+
+    got = _ledger()
+    stored, qsize = percolate_frames(spark)
+    expect = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate_matches(docs, stored, qsize).collect()
+    }
+    assert got == expect and expect
+
+    # fresh-checkpoint replay: every batch re-offers, markers skip the
+    # rewrite, the ledger is byte-identical
+    _run(str(base / "ckpt_replay"))
+    assert sorted(
+        f for f in _os.listdir(out) if f.endswith(".done")
+    ) == markers
+    assert _ledger() == got

@@ -12,6 +12,15 @@ can hide.
    broadcast crossJoins plan as BroadcastNestedLoopJoin, so anything
    that still plans as CartesianProduct is an unbroadcast cross —
    quadratic at scale.
+3. UNPARTITIONED WINDOW — a physical Window node with an EMPTY
+   partition spec moves its whole input to ONE partition. Fine over a
+   provably bounded frame (a post-aggregation calendar/domain/top-k
+   frame, or the #buckets offsets frame of the bucketed-prefix-sum
+   helpers); a scale killer over a data- or entity-sized frame — the
+   round-5 verdict found six of those hiding behind green rows.
+   Every query that legitimately plans one must be allowlisted in
+   WINDOW_ALLOW with the boundedness argument inline; anything else
+   is flagged.
 
 Exit code 1 if anything is flagged. Complements
 tests/test_plans.py::test_every_registered_query_plans_jvm_only
@@ -41,6 +50,84 @@ ALLOW = {
 
 TABLE_WIDTHS = {}
 
+# query -> reason its empty-partition Window input is BOUNDED (never
+# data- or entity-sized). Populated from the round-6 sweep; any new
+# unpartitioned window must argue its bound here or get partitioned.
+BUCKET_OFFSETS = (
+    "windows.bucketed_cum offsets frame: one row per value-domain "
+    "bucket (#buckets is a domain constant, not data-sized)"
+)
+CALENDAR = "post-aggregation calendar-day series (span-bounded)"
+WINDOW_ALLOW = {
+    # bucketed-prefix-sum offsets frames (the conversion target itself)
+    "agg_equidepth_histogram": BUCKET_OFFSETS,
+    "customer_value_gini": BUCKET_OFFSETS,
+    "part_abc_classification": BUCKET_OFFSETS,
+    "customer_rfm_segments": BUCKET_OFFSETS,
+    "skew_key_profile": BUCKET_OFFSETS + "; relative-width count buckets",
+    "batch_padding_plan": BUCKET_OFFSETS + "; + dist_rank_unique bucket-of-buckets",
+    "layout_zonemap_effectiveness": BUCKET_OFFSETS + "; calendar buckets + dist_rank_unique",
+    "customer_pareto_threshold": "revenue-band offsets frame (one row per 100k-wide band)",
+    "stats_spearman_rank": BUCKET_OFFSETS,
+    "stats_ks_two_sample": BUCKET_OFFSETS + " (pooled_price_cum)",
+    "stats_mann_whitney_u": BUCKET_OFFSETS + " (pooled_price_cum)",
+    "stats_chi_square_independence": "event-type x value-band contingency frame (domain-bounded)",
+    # calendar-bounded daily series
+    "orders_backlog_over_time": CALENDAR,
+    "events_changepoint_cusum": CALENDAR,
+    "events_survival_km": CALENDAR + " (duration-day frame)",
+    "t_autocorrelation_daily": CALENDAR + " (one window per lag)",
+    "t_theil_sen_trend": "pairwise-slope frame is (span_days choose 2) — calendar-bounded",
+    "t_seasonal_decompose_daily": CALENDAR,
+    "t_anomaly_seasonal_adjusted": CALENDAR,
+    "t_cross_correlation_click_purchase": CALENDAR + " (one window per lag)",
+    # other provably small frames
+    "bpe_merge_pairs": "adjacent-character-pair frame (alphabet^2-bounded vocabulary stage)",
+    "compaction_bin_packing": "per-ship-month partition manifest (metadata-sized)",
+    "range_partition_boundaries": "deterministic md5-fraction sample (sample-size-bounded)",
+    "sketch_kmv_distinct": "k=32-row KMV synopsis frame",
+    "orders_basket_size_distribution": "basket-size histogram frame (size-domain-bounded)",
+}
+
+
+def _toplevel_groups(seg: str) -> list:
+    """Split `[...], [...], [...]` into top-level bracket groups."""
+    groups, depth, cur = [], 0, ""
+    for ch in seg:
+        if ch == "[":
+            depth += 1
+        if depth > 0:
+            cur += ch
+        if ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                cur = ""
+    return groups
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count physical Window nodes whose partition spec is empty.
+    Node text is `Window [exprs], [partSpec], [orderSpec]`; with no
+    partition it prints `Window [exprs], [orderSpec]` (order specs
+    carry ASC/DESC) or `Window [exprs]` when unordered too."""
+    hits = 0
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx == -1:
+            continue
+        # require a node boundary (tree-drawing prefix only), so
+        # WindowGroupLimit / windowspecdefinition text never matches
+        if not re.match(r"^[\s:+\-*()0-9]*$", line[:idx]):
+            continue
+        groups = _toplevel_groups(line[idx + len("Window ") :])
+        if len(groups) >= 3:
+            continue  # partitioned
+        if len(groups) == 2 and not re.search(r" (ASC|DESC)", groups[1]):
+            continue  # partitioned, unordered
+        hits += 1
+    return hits
+
 
 def main() -> None:
     spark = get_spark(
@@ -62,6 +149,11 @@ def main() -> None:
             continue
         if "CartesianProduct" in plan:
             findings.append({"query": name, "kind": "cartesian_product"})
+        nwin = unpartitioned_windows(plan)
+        if nwin and name not in WINDOW_ALLOW:
+            findings.append(
+                {"query": name, "kind": "unpartitioned_window", "n": nwin}
+            )
         for m in re.finditer(
             r"FileScan parquet \[([^\]]*)\].*?/([a-z]+)\.parquet", plan
         ):
