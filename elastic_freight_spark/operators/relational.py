@@ -1376,6 +1376,9 @@ def customer_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
     )
+    # NOT localCheckpoint-ed: AQE exchange reuse already dedupes the
+    # identical orders-groupBy exchange across the 3 dist_rank branches
+    # (measured: a checkpoint here is 1.7x SLOWER at sf0.1)
     r_rk = dist_rank(
         rfm.select("o_custkey", "last_order"),
         "last_order",
@@ -3488,6 +3491,10 @@ def agg_boxplot(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .withColumn("b", F.expr("vc div 10000"))
+        # the ECDF/ranks/outlier stages each re-instantiate this frame
+        # (5 plan branches): one executor-local materialization of the
+        # bounded distinct-(flag, cents) frame replaces 5 fact scans
+        .localCheckpoint(eager=False)
     )
     cum = bucketed_cum(counts, "vc", "b", ["c"], grp_cols=["g"])
     n = counts.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))

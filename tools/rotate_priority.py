@@ -8,10 +8,11 @@ which burns one of the 50 budget slots for a guaranteed non-green
 result (round-4 judge finding). Their correctness evidence is their
 pinning unit tests.
 
-Round-N workflow: after CORRECTNESS_r{N-1}.json lands, update ledger
-rows (green -> rN-1; a rows-only->hash oracle promotion resets the row
-to `never`), run this, paste the list into registry._PRIORITY.
-Do NOT rotate mid-round.
+Round-N workflow: after CORRECTNESS_r{N-1}.json lands, fold it into
+the ledger with `python tools/update_ledger.py CORRECTNESS_r{N-1}.json
+r{N-1}` (a rows-only->hash oracle promotion still resets its row to
+`never` by hand), refresh the Totals paragraph, run this, paste the
+list into registry._PRIORITY. Do NOT rotate mid-round.
 """
 import re
 import sys
