@@ -118,6 +118,13 @@ def main() -> None:
         "power_iteration_portable",
         "bloom_fpr_calibration",
         "skew_key_profile",
+        # round-6 scale conversions (bucketed distributed prefix sums)
+        "agg_boxplot",
+        "agg_equidepth_histogram",
+        "customer_rfm_segments",
+        "customer_value_gini",
+        "part_abc_classification",
+        "batch_padding_plan",
         "bpe_merge_pairs",
         "sample_temperature_sweep",
         "apply_in_arrow_group_rank",

@@ -624,7 +624,9 @@ def bucketed_cum(counts, order_col, bucket_col, sum_cols, grp_cols=(), ascending
     and ``bucket_col`` must be monotone in ``order_col`` for the
     requested direction with equal order values sharing a bucket
     (e.g. ``floor(v) div 100`` for prices — bounded by the value
-    DOMAIN). Plan: within-(group, bucket) running sums over the
+    DOMAIN; note Spark's ``div`` truncates toward zero, which stays
+    monotone on signed domains but makes bucket 0 double-width —
+    harmless for boundedness, just don't assume equal widths). Plan: within-(group, bucket) running sums over the
     distinct values in that bucket, plus a per-group prefix over the
     per-bucket totals (#buckets rows — domain-bounded), joined back
     broadcast. Adds ``{c}_cum`` (inclusive) for every c in sum_cols.
