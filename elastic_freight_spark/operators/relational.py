@@ -1538,8 +1538,9 @@ def part_abc_classification(spark, sf_dir):
     rides the bucketed distributed prefix-sum over DISTINCT revenue
     values (`windows.bucketed_cum`, desc), whole tie blocks classify
     from their first/last in-block cumulative (cum_j = S₀ + j·rev is
-    monotone in j), and only the ≤2 blocks that STRADDLE a class
-    boundary explode to per-row terms. DECIMAL end-to-end."""
+    monotone in j), and the ≤2 blocks that STRADDLE a class boundary
+    split in closed form (exact integer `div` on unscaled decimals),
+    so block size never materializes anywhere. DECIMAL end-to-end."""
     from elastic_freight_spark.operators.windows import bucketed_cum
 
     li = load_tables(spark, sf_dir)["lineitem"]
@@ -1584,19 +1585,63 @@ def part_abc_classification(spark, sf_dir):
         F.col("c").alias("n_parts_b"),
         F.col("mass").alias("rev_b"),
     )
-    strad = blocks.filter(F.col("cls_first") != F.col("cls_last")).select(
-        "rev",
-        "s0",
-        "total",
-        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("c"))).alias("j"),
+
+    # Straddling blocks (first/last row classes differ — which forces
+    # rev > 0) split in CLOSED FORM, never by exploding the block:
+    # row j is A iff 5·(s0 + j·rev) <= 4·total, i.e. j <= jA =
+    # floor((4·total − 5·s0) / (5·rev)), and A-or-B iff j <= jB
+    # likewise at 19/20. The floor is an exact integer `div` on the
+    # UNSCALED decimals (×10⁴ recovers the 4-dp integer grain), so a
+    # tie block of ANY size costs three output rows — no sequence()
+    # array ever materializes (a data-sized tie block at a Pareto
+    # boundary would otherwise build a c-element array in one task).
+    def unscaled(col):
+        return (col * 10000).cast("decimal(38,0)")
+
+    strad = (
+        blocks.filter(F.col("cls_first") != F.col("cls_last"))
+        .withColumn("_numA", unscaled(4 * F.col("total") - 5 * F.col("s0")))
+        .withColumn("_denA", unscaled(5 * F.col("rev")))
+        .withColumn(
+            "_numB", unscaled(19 * F.col("total") - 20 * F.col("s0"))
+        )
+        .withColumn("_denB", unscaled(20 * F.col("rev")))
+        .withColumn(
+            "_jA",
+            F.expr("least(c, greatest(cast(0 as bigint), _numA div _denA))"),
+        )
+        .withColumn(
+            "_jB", F.expr("least(c, greatest(_jA, _numB div _denB))")
+        )
     )
-    per_row = strad.select(
-        cls(F.col("s0") + F.col("rev") * F.col("j")).alias("abc_class"),
-        F.lit(1).cast("bigint").alias("n_parts_b"),
-        F.col("rev").cast("decimal(38,4)").alias("rev_b"),
+    per_class = (
+        strad.select(
+            "rev",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("A").alias("abc_class"), F.col("_jA").alias("n")
+                    ),
+                    F.struct(
+                        F.lit("B").alias("abc_class"),
+                        (F.col("_jB") - F.col("_jA")).alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("C").alias("abc_class"),
+                        (F.col("c") - F.col("_jB")).alias("n"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(
+            F.col("s.abc_class").alias("abc_class"),
+            F.col("s.n").alias("n_parts_b"),
+            (F.col("rev") * F.col("s.n")).cast("decimal(38,4)").alias("rev_b"),
+        )
+        .filter(F.col("n_parts_b") > 0)
     )
     return (
-        whole.unionByName(per_row)
+        whole.unionByName(per_class)
         .groupBy("abc_class")
         .agg(
             F.sum("n_parts_b").cast("bigint").alias("n_parts"),
@@ -2515,14 +2560,15 @@ _PRICE_ECDF_SQL = """counts AS (
 
 def pooled_price_cum(spark, sf_dir):
     """Spark twin of _PRICE_ECDF_SQL: per-distinct-value two-sample
-    counts with exact pooled cumulatives, built with the bucketed
-    distributed-prefix-sum plan — per-value windows run inside
-    price-range buckets (floor(v) div 100: bounded by the value
-    DOMAIN, not the data volume) and a bucket-offset frame adds the
-    across-bucket prefix, so the only single-partition window is over
-    the ~1k bucket totals (the windows.skewed_running_sum plan).
-    Returns (cum_frame[v, ca, cb, cuma, cumb], totals_frame)."""
-    from pyspark.sql import Window as W
+    counts with exact pooled cumulatives, built on the ONE shared
+    bucketed-prefix-sum definition (`windows.bucketed_cum` — the
+    round-6 generalization of the fragment that used to live inline
+    here): per-value windows run inside price-range buckets
+    (floor(v) div 100: bounded by the value DOMAIN, not the data
+    volume) and the only empty-partition window is over the ~1k
+    bucket totals. Returns (cum_frame[v, ca, cb, cuma, cumb],
+    totals_frame)."""
+    from elastic_freight_spark.operators.windows import bucketed_cum
 
     li = load_tables(spark, sf_dir)["lineitem"].filter(
         F.col("l_returnflag").isin("R", "N")
@@ -2543,34 +2589,12 @@ def pooled_price_cum(spark, sf_dir):
         F.sum("ca").cast("bigint").alias("n_r"),
         F.sum("cb").cast("bigint").alias("n_n"),
     )
-    win_in = (
-        W.partitionBy("bucket")
-        .orderBy("v")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    within = counts.select(
-        "bucket",
+    cum = bucketed_cum(counts, "v", "bucket", ["ca", "cb"]).select(
         "v",
         "ca",
         "cb",
-        F.sum("ca").over(win_in).alias("ca_in"),
-        F.sum("cb").over(win_in).alias("cb_in"),
-    )
-    btot = counts.groupBy("bucket").agg(
-        F.sum("ca").alias("ba"), F.sum("cb").alias("bb")
-    )
-    win_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-    offsets = btot.select(
-        "bucket",
-        F.coalesce(F.sum("ba").over(win_b), F.lit(0)).alias("offa"),
-        F.coalesce(F.sum("bb").over(win_b), F.lit(0)).alias("offb"),
-    )
-    cum = within.join(F.broadcast(offsets), "bucket").select(
-        "v",
-        "ca",
-        "cb",
-        (F.col("offa") + F.col("ca_in")).alias("cuma"),
-        (F.col("offb") + F.col("cb_in")).alias("cumb"),
+        F.col("ca_cum").alias("cuma"),
+        F.col("cb_cum").alias("cumb"),
     )
     return cum, tot
 
@@ -3018,32 +3042,21 @@ def stats_spearman_rank(spark, sf_dir):
     li = load_tables(spark, sf_dir)["lineitem"]
 
     def ranks(col):
-        # bucketed distributed prefix sum (the pooled_price_cum plan):
-        # the cumulative over distinct VALUES must not be a data-sized
-        # single-partition window — value-range buckets carry the
-        # within-bucket running sum, a domain-sized offset frame adds
-        # the across-bucket prefix.
-        counts = li.groupBy(F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("t")
-        ).withColumn("bucket", F.expr("cast(floor(v) as bigint) div 100"))
-        win_in = (
-            W.partitionBy("bucket")
-            .orderBy("v")
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        # ONE shared bucketed-prefix-sum definition (windows.
+        # bucketed_cum — the round-6 generalization of this very
+        # fragment): the cumulative over distinct VALUES never runs
+        # a data-sized single-partition window.
+        from elastic_freight_spark.operators.windows import bucketed_cum
+
+        counts = (
+            li.groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+            .withColumn("bucket", F.expr("cast(floor(v) as bigint) div 100"))
         )
-        within = counts.withColumn("cum_in", F.sum("t").over(win_in))
-        btot = counts.groupBy("bucket").agg(F.sum("t").alias("bt"))
-        win_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-        offsets = btot.select(
-            "bucket",
-            F.coalesce(F.sum("bt").over(win_b), F.lit(0)).alias("off"),
-        )
-        cum = within.join(F.broadcast(offsets), "bucket").withColumn(
-            "cum", F.col("off") + F.col("cum_in")
-        )
+        cum = bucketed_cum(counts, "v", "bucket", ["t"])
         return cum.select(
             "v",
-            (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1).alias("r2"),
+            (2 * (F.col("t_cum") - F.col("t")) + F.col("t") + 1).alias("r2"),
         )
 
     rx = ranks("l_quantity")

@@ -687,8 +687,11 @@ def dist_rank_unique(df, key_col, key_div=65536, bucket_div=4096, out="rank"):
     koff = bucketed_cum(kcnt, "_kb", "_kbb", ["_kc"]).select(
         "_kb", (F.col("_kc_cum") - F.col("_kc")).alias("_koff")
     )
+    # plain shuffle join: koff grows with the key domain (one row per
+    # non-empty 65536-wide range), so broadcasting it would rebuild
+    # the driver-sized bottleneck this helper exists to remove
     return (
-        loc.join(F.broadcast(koff), "_kb")
+        loc.join(koff, "_kb")
         .withColumn(out, F.col("_koff") + F.col("_lrn"))
         .drop("_kb", "_lrn", "_koff")
     )

@@ -164,25 +164,9 @@ def test_boxplot_constant_column_no_outliers(spark, tmp_path_factory):
 
 def _oracle_df(sf, name):
     """Run a registered query's DuckDB oracle against a fixture dir."""
-    import os
+    from tests.oracle_util import oracle_df
 
-    import duckdb
-
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events"
-        " documents embeddings".split()
-    ):
-        p = f"{sf}/{t}.parquet"
-        if os.path.isdir(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
-            )
-        elif os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-            )
-    return con.execute(registry.ORACLE[name]).df()
+    return oracle_df(sf, registry.ORACLE[name])
 
 
 def test_theil_sen_one_day_series_degenerate(spark, tmp_path):

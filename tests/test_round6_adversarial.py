@@ -31,19 +31,10 @@ def _write(spark, tmp_path, table, rows, schema):
 
 
 def _both(spark, sf, name):
+    from tests.oracle_util import oracle_df
+
     got = registry.QUERIES[name](spark, sf).toPandas()
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events"
-        " documents embeddings".split()
-    ):
-        p = f"{sf}/{t}.parquet"
-        if os.path.isdir(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM"
-                f" read_parquet('{p}/*.parquet')"
-            )
-    want = con.execute(registry.ORACLE[name]).df()
+    want = oracle_df(sf, registry.ORACLE[name])
     g = got.reindex(sorted(got.columns), axis=1).sort_values(
         by=sorted(got.columns), ignore_index=True
     )
@@ -177,3 +168,46 @@ def test_skew_profile_uniform_and_hot_key(spark, tmp_path):
     assert int(got["median_n"]) == 2
     # ceil(60 * 10 / 78) = 8 salts spread the hot key to ~average tasks
     assert int(got["suggested_salts"]) == -(-60 * 10 // 78)
+
+
+def test_ntile_closed_form_matches_duckdb_exhaustively():
+    """The NTILE closed form used by customer_rfm_segments (4 tiles)
+    and agg_equidepth_histogram (8 tiles, as rank extents) must equal
+    engine NTILE for EVERY n up to 200 and every rank — pure
+    arithmetic, no Spark: first (n mod k) tiles take ceil(n/k)."""
+
+    def closed(i, n, k):
+        q, rem = divmod(n, k)
+        if i <= rem * (q + 1):
+            return (i - 1) // (q + 1) + 1
+        return rem + (i - rem * (q + 1) - 1) // q + 1
+
+    con = duckdb.connect()
+    for k in (4, 8):
+        for n in range(1, 201):
+            want = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT NTILE({k}) OVER (ORDER BY i) FROM"
+                    f" range({n}) t(i) ORDER BY i"
+                ).fetchall()
+            ]
+            got = [closed(i, n, k) for i in range(1, n + 1)]
+            assert got == want, (k, n)
+
+
+def test_equidepth_bucket_extents_match_ntile_sizes():
+    """The rank-extent formula the equidepth rewrite uses
+    (R_b = b*(n div 8) + min(b, n mod 8)) must reproduce NTILE(8)
+    bucket sizes for every n up to 500 — the closed form the oracle's
+    NTILE is replaced by."""
+    for n in range(1, 501):
+        q, rem = divmod(n, 8)
+        sizes = []
+        prev = 0
+        for b in range(1, 9):
+            r_hi = b * q + min(b, rem)
+            sizes.append(r_hi - prev)
+            prev = r_hi
+        want = [(q + 1 if b <= rem else q) for b in range(1, 9)]
+        assert sizes == want and sum(sizes) == n

@@ -50,43 +50,44 @@ ALLOW = {
 
 TABLE_WIDTHS = {}
 
-# query -> reason its empty-partition Window input is BOUNDED (never
-# data- or entity-sized). Populated from the round-6 sweep; any new
-# unpartitioned window must argue its bound here or get partitioned.
 BUCKET_OFFSETS = (
     "windows.bucketed_cum offsets frame: one row per value-domain "
     "bucket (#buckets is a domain constant, not data-sized)"
 )
 CALENDAR = "post-aggregation calendar-day series (span-bounded)"
+# query -> (max allowed unpartitioned-Window NODES, boundedness
+# argument). The count is load-bearing: an allowlisted query that
+# grows MORE unpartitioned windows than its audited plan (e.g. a
+# data-sized global ntile sneaking back in) is flagged, not excused.
 WINDOW_ALLOW = {
     # bucketed-prefix-sum offsets frames (the conversion target itself)
-    "agg_equidepth_histogram": BUCKET_OFFSETS,
-    "customer_value_gini": BUCKET_OFFSETS,
-    "part_abc_classification": BUCKET_OFFSETS,
-    "customer_rfm_segments": BUCKET_OFFSETS,
-    "skew_key_profile": BUCKET_OFFSETS + "; relative-width count buckets",
-    "batch_padding_plan": BUCKET_OFFSETS + "; + dist_rank_unique bucket-of-buckets",
-    "layout_zonemap_effectiveness": BUCKET_OFFSETS + "; calendar buckets + dist_rank_unique",
-    "customer_pareto_threshold": "revenue-band offsets frame (one row per 100k-wide band)",
-    "stats_spearman_rank": BUCKET_OFFSETS,
-    "stats_ks_two_sample": BUCKET_OFFSETS + " (pooled_price_cum)",
-    "stats_mann_whitney_u": BUCKET_OFFSETS + " (pooled_price_cum)",
-    "stats_chi_square_independence": "event-type x value-band contingency frame (domain-bounded)",
+    "agg_equidepth_histogram": (1, BUCKET_OFFSETS),
+    "customer_value_gini": (1, BUCKET_OFFSETS),
+    "part_abc_classification": (2, BUCKET_OFFSETS),
+    "customer_rfm_segments": (3, BUCKET_OFFSETS + " (one per dist_rank)"),
+    "skew_key_profile": (1, BUCKET_OFFSETS + "; relative-width count buckets"),
+    "batch_padding_plan": (2, BUCKET_OFFSETS + "; + dist_rank_unique bucket-of-buckets"),
+    "layout_zonemap_effectiveness": (4, BUCKET_OFFSETS + "; calendar buckets + dist_rank_unique"),
+    "customer_pareto_threshold": (1, "revenue-band offsets frame (one row per 100k-wide band)"),
+    "stats_spearman_rank": (2, BUCKET_OFFSETS),
+    "stats_ks_two_sample": (1, BUCKET_OFFSETS + " (pooled_price_cum)"),
+    "stats_mann_whitney_u": (1, BUCKET_OFFSETS + " (pooled_price_cum)"),
+    "stats_chi_square_independence": (2, "event-type x value-band contingency frame (domain-bounded)"),
     # calendar-bounded daily series
-    "orders_backlog_over_time": CALENDAR,
-    "events_changepoint_cusum": CALENDAR,
-    "events_survival_km": CALENDAR + " (duration-day frame)",
-    "t_autocorrelation_daily": CALENDAR + " (one window per lag)",
-    "t_theil_sen_trend": "pairwise-slope frame is (span_days choose 2) — calendar-bounded",
-    "t_seasonal_decompose_daily": CALENDAR,
-    "t_anomaly_seasonal_adjusted": CALENDAR,
-    "t_cross_correlation_click_purchase": CALENDAR + " (one window per lag)",
+    "orders_backlog_over_time": (1, CALENDAR),
+    "events_changepoint_cusum": (2, CALENDAR),
+    "events_survival_km": (1, CALENDAR + " (duration-day frame)"),
+    "t_autocorrelation_daily": (7, CALENDAR + " (one window per lag)"),
+    "t_theil_sen_trend": (3, "pairwise-slope frame is (span_days choose 2) — calendar-bounded"),
+    "t_seasonal_decompose_daily": (1, CALENDAR),
+    "t_anomaly_seasonal_adjusted": (2, CALENDAR),
+    "t_cross_correlation_click_purchase": (6, CALENDAR + " (one window per lag)"),
     # other provably small frames
-    "bpe_merge_pairs": "adjacent-character-pair frame (alphabet^2-bounded vocabulary stage)",
-    "compaction_bin_packing": "per-ship-month partition manifest (metadata-sized)",
-    "range_partition_boundaries": "deterministic md5-fraction sample (sample-size-bounded)",
-    "sketch_kmv_distinct": "k=32-row KMV synopsis frame",
-    "orders_basket_size_distribution": "basket-size histogram frame (size-domain-bounded)",
+    "bpe_merge_pairs": (1, "adjacent-character-pair frame (alphabet^2-bounded vocabulary stage)"),
+    "compaction_bin_packing": (1, "per-ship-month partition manifest (metadata-sized)"),
+    "range_partition_boundaries": (2, "deterministic md5-fraction sample (sample-size-bounded)"),
+    "sketch_kmv_distinct": (2, "k=32-row KMV synopsis frame"),
+    "orders_basket_size_distribution": (1, "basket-size histogram frame (size-domain-bounded)"),
 }
 
 
@@ -150,9 +151,15 @@ def main() -> None:
         if "CartesianProduct" in plan:
             findings.append({"query": name, "kind": "cartesian_product"})
         nwin = unpartitioned_windows(plan)
-        if nwin and name not in WINDOW_ALLOW:
+        allowed = WINDOW_ALLOW.get(name, (0,))[0]
+        if nwin > allowed:
             findings.append(
-                {"query": name, "kind": "unpartitioned_window", "n": nwin}
+                {
+                    "query": name,
+                    "kind": "unpartitioned_window",
+                    "n": nwin,
+                    "allowed": allowed,
+                }
             )
         for m in re.finditer(
             r"FileScan parquet \[([^\]]*)\].*?/([a-z]+)\.parquet", plan
