@@ -214,7 +214,7 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
-    out = {
+    full = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -222,16 +222,42 @@ def main() -> None:
         "sf": sf,
     }
     if prev_ratio:
-        out["prev"] = prev_name
-        out["prev_ratio"] = prev_ratio
-    line = json.dumps(out)
+        full["prev"] = prev_name
+        full["prev_ratio"] = prev_ratio
     # in-repo copy first: even if the driver's stdout capture garbles
-    # the console, the structured record survives
+    # the console, the structured record survives. Per-round archives
+    # (BENCH_FULL_r{N}.json, copied from this file at round start)
+    # keep the full per-query history for _prev_bench.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
         "w",
     ) as f:
-        f.write(line + "\n")
+        f.write(json.dumps(full) + "\n")
+    # The driver's stdout tail capture is ~2 KB; the full per-query
+    # dict (~4.7 KB at 109 queries) outlived it every round since r4
+    # ("parsed": null). Print a COMPACT summary as the last line —
+    # total, count, sf, prev-geomean, slowest 5 — and keep the full
+    # detail only in BENCH_LOCAL.json / BENCH_FULL_r{N}.json.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "sf": sf,
+        "detail": "BENCH_LOCAL.json",
+    }
+    if prev_ratio:
+        import math
+
+        compact["prev"] = prev_name
+        compact["prev_ratio_geomean"] = round(
+            math.exp(sum(math.log(r) for r in prev_ratio.values()) / len(prev_ratio)),
+            3,
+        )
+    line = json.dumps(compact)
+    assert len(line) <= 1500, f"compact bench line too long ({len(line)} B)"
     # stop the session BEFORE printing so no executor/JVM output can
     # land after (or interleave with) the JSON line; then emit it as
     # the very last thing on stdout
@@ -242,13 +268,27 @@ def main() -> None:
 
 
 def _prev_bench(repo_dir: str):
-    """Latest *usable* BENCH_r{N}.json in the repo root, or (None, None).
+    """Latest *usable* per-query bench record, or (None, None).
 
-    Walks backwards past crash records (a failed round stores
+    Prefers the BENCH_FULL_r{N}.json archives (full per-query detail,
+    copied from BENCH_LOCAL.json at each round start — the driver's
+    own BENCH_r{N}.json carries only the compact summary line since
+    round 7). Falls back to parsing/salvaging BENCH_r{N}.json, walking
+    backwards past crash records (a failed round stores
     ``{"rc": 1, "parsed": null}`` — BENCH_r02 is one) so a regression
     diff always compares against real timings.
     """
     import glob
+
+    fulls = sorted(glob.glob(os.path.join(repo_dir, "BENCH_FULL_r*.json")))
+    for last in reversed(fulls):
+        try:
+            with open(last) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(data.get("queries"), dict) and len(data["queries"]) >= 10:
+            return os.path.basename(last), data
 
     files = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
     for last in reversed(files):

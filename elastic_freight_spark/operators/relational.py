@@ -1403,11 +1403,15 @@ def customer_rfm_segments(spark, sf_dir):
     n1 = rfm.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
 
     def ntile4(i):
+        # greatest(n div 4, 1) guards the ELSE divisor against n < 4
+        # (ANSI DIVIDE_BY_ZERO): today CASE's lazy evaluation makes the
+        # branch unreachable when n < 4, but a refactor that hoists the
+        # expression would trip it; greatest() is unreachable-neutral.
         return F.expr(
             f"CASE WHEN {i} <= (n % 4) * ((n div 4) + 1)"
             f" THEN ({i} - 1) div ((n div 4) + 1) + 1"
             f" ELSE (n % 4) + ({i} - (n % 4) * ((n div 4) + 1) - 1)"
-            f" div (n div 4) + 1 END"
+            f" div greatest(n div 4, 1) + 1 END"
         ).cast("int")
 
     scored = (
@@ -3506,7 +3510,12 @@ def agg_boxplot(spark, sf_dir):
         .withColumn("b", F.expr("vc div 10000"))
         # the ECDF/ranks/outlier stages each re-instantiate this frame
         # (5 plan branches): one executor-local materialization of the
-        # bounded distinct-(flag, cents) frame replaces 5 fact scans
+        # bounded distinct-(flag, cents) frame replaces 5 fact scans.
+        # Trade-off: localCheckpoint truncates lineage, so losing an
+        # executor that holds checkpointed blocks fails the job instead
+        # of recomputing — acceptable for this run-once report query;
+        # long-lived pipelines should prefer AQE exchange reuse (as
+        # customer_rfm_segments does) or reliable checkpoint().
         .localCheckpoint(eager=False)
     )
     cum = bucketed_cum(counts, "vc", "b", ["c"], grp_cols=["g"])

@@ -675,7 +675,13 @@ def dist_rank_unique(df, key_col, key_div=65536, bucket_div=4096, out="rank"):
     uniqueness), range totals get a two-level bucketed prefix
     (``bucketed_cum`` over range index div ``bucket_div``), and the
     offsets join back broadcast-free on the range index. Rank values
-    are exact and independent of partitioning."""
+    are exact and independent of partitioning.
+
+    Signed keys: ``div`` truncates toward zero, which is still
+    MONOTONE in ``key_col``, so ranks stay exact for negative keys;
+    the only effect is that range 0 spans (-key_div, key_div) —
+    double width, still bounded (pinned in
+    tests/test_dist_rank.py::test_dist_rank_unique_negative_keys)."""
     rows = df.withColumn("_kb", F.expr(f"{key_col} div {key_div}"))
     w_loc = W.partitionBy("_kb").orderBy(key_col)
     loc = rows.withColumn("_lrn", F.row_number().over(w_loc).cast("bigint"))
@@ -710,7 +716,14 @@ def dist_rank(df, v_col, key_col, v_bucket, key_div=65536, out="rank"):
        (<= key_domain/key_div rows per partition).
 
     The result equals ``row_number() over (order by v, key)`` exactly,
-    with no partition-less Window anywhere in the plan."""
+    with no partition-less Window anywhere in the plan.
+
+    Signed domains are safe in both bucketings: truncating ``div`` is
+    monotone (range 0 merely double-width), and ``v_bucket`` only has
+    to be monotone in v — callers with signed v should still prefer
+    an explicitly monotone expression (e.g. ``floor(v / w)``) over
+    ``div`` if equal-width buckets matter for skew. Pinned in
+    tests/test_dist_rank.py (negative / sparse-64-bit / all-ties)."""
     vb = df.withColumn("_vb", v_bucket)
     counts = vb.groupBy(v_col, "_vb").agg(
         F.count(F.lit(1)).cast("bigint").alias("_c")

@@ -65,7 +65,34 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quiet_benign_window_warnings(spark)
     return spark
+
+
+def quiet_benign_window_warnings(spark: SparkSession) -> None:
+    """Raise ``o.a.s.sql.execution.window``'s log level to ERROR for
+    this JVM.
+
+    Every unpartitioned Window the engine still plans is an
+    allowlisted DOMAIN-BOUNDED frame (tools/plan_audit.py
+    ``WINDOW_ALLOW`` — bucket-offset frames, calendar series, k-sized
+    synopses), yet each prints WindowExec's "No Partition Defined"
+    WARN — ~19 per full contract run, burying any real warning.
+    ``plan_audit`` is the real guard (it FLAGS new unpartitioned
+    windows); this only de-noises the log. Called from ``get_spark``
+    (tuned sessions) and opt-in by our own harnesses
+    (tools/drive_contract.py) — NEVER from ``load_tables``, so an
+    external driver's vanilla session keeps its own logging intact.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        # alternate logging backend / no py4j gateway: cosmetic only
+        pass
 
 
 TABLES = (

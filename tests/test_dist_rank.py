@@ -120,6 +120,107 @@ def test_bucketed_cum_grouped_multi_sum(spark):
     }
 
 
+def test_dist_rank_unique_negative_keys(spark):
+    """Signed-domain pin (round-6 advisor): Spark's `div` truncates
+    toward zero, which is monotone — range 0 is just double-width —
+    so ranks stay exact for negative keys. Keys straddle every edge:
+    -key_div, -1, 0, key_div-1, and deep negatives."""
+    random.seed(17)
+    ks = random.sample(range(-50_000, 50_000), 600)
+    for edge in (-64, -1, 0, 63, 64, -65):
+        if edge not in ks:
+            ks.append(edge)
+    df = spark.createDataFrame([(k,) for k in ks], "k long")
+    got = {
+        tuple(r)
+        for r in dist_rank_unique(df, "k", key_div=64, bucket_div=8)
+        .select("k", "rank")
+        .collect()
+    }
+    assert got == {(k, i + 1) for i, k in enumerate(sorted(ks))}
+
+
+def test_dist_rank_negative_values_and_keys(spark):
+    """dist_rank with negative v AND negative unique keys: the
+    truncating `div` bucketing stays monotone on both axes."""
+    random.seed(19)
+    rows = [
+        (k, random.randint(-30, 30))
+        for k in random.sample(range(-5_000, 5_000), 400)
+    ]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        tuple(r)
+        for r in dist_rank(df, "v", "k", F.expr("v div 7"), key_div=37)
+        .select("k", "rank")
+        .collect()
+    }
+    assert got == _ranks(df, ["v", "k"])
+
+
+def test_dist_rank_unique_sparse_64bit_domain(spark):
+    """Ultra-wide sparse key domain (64-bit ids): most key ranges and
+    most bucket-of-bucket ranges hold a single row, so every offset
+    path is exercised with huge `_kb` values (no overflow: bigint all
+    the way through)."""
+    random.seed(23)
+    # random.sample needs len(range) < 2**63; draw directly instead
+    ks = sorted({random.randrange(-(2**62), 2**62) for _ in range(500)})
+    df = spark.createDataFrame([(k,) for k in ks], "k long")
+    got = {
+        tuple(r)
+        for r in dist_rank_unique(df, "k", key_div=65536, bucket_div=4096)
+        .select("k", "rank")
+        .collect()
+    }
+    assert got == {(k, i + 1) for i, k in enumerate(sorted(ks))}
+
+
+def test_dist_rank_all_ties_sparse_keys(spark):
+    """All-ties frame over a sparse signed key domain: the value
+    machinery contributes one tie block; ordering comes entirely from
+    key ranges that are mostly singletons."""
+    random.seed(29)
+    ks = random.sample(range(-(2**40), 2**40), 300)
+    df = spark.createDataFrame([(k, 0) for k in ks], "k long, v long")
+    got = {
+        tuple(r)
+        for r in dist_rank(df, "v", "k", F.expr("v div 3"), key_div=64)
+        .select("k", "rank")
+        .collect()
+    }
+    assert got == {(k, i + 1) for i, k in enumerate(sorted(ks))}
+
+
+@pytest.mark.parametrize("ascending", [True, False])
+def test_bucketed_cum_negative_value_domain(spark, ascending):
+    """bucketed_cum on a signed value domain with the truncating-div
+    bucketing its docstring blesses: monotone, bucket 0 double-width,
+    cumulative sums exact both directions."""
+    random.seed(31)
+    rows = [(v, random.randint(1, 9)) for v in random.sample(range(-400, 400), 120)]
+    cnt = spark.createDataFrame(rows, "v long, c long").withColumn(
+        "b", F.expr("v div 7")
+    )
+    got = {
+        (r["v"], r["c_cum"])
+        for r in bucketed_cum(cnt, "v", "b", ["c"], ascending=ascending).collect()
+    }
+    order = F.col("v").asc() if ascending else F.col("v").desc()
+    want = {
+        (r["v"], r["c_cum"])
+        for r in cnt.select(
+            "v",
+            F.sum("c")
+            .over(
+                W.orderBy(order).rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            .alias("c_cum"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_dist_rank_plan_has_no_unpartitioned_window(spark):
     """The helper's whole point: every Window it plans is partitioned
     (the offsets prefix included — it partitions on the bucket-of-

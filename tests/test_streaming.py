@@ -1755,3 +1755,378 @@ def test_stream_percolate_endurance_restart(spark, tmp_path_factory):
         f for f in _os.listdir(out) if f.endswith(".done")
     ) == markers
     assert _ledger() == got
+
+
+def test_stream_countmin_endurance_restart(spark, chunked_events, tmp_path_factory):
+    """24 one-file micro-batches of Count-Min grid maintenance with a
+    forced restart after 12 (same checkpoint): the resumed run must
+    fold only the new files, the merged serve must still equal the
+    one-grid batch twin exactly (mergeability is restart-invariant),
+    per-batch grids stay constant-bounded, and a fresh-checkpoint
+    replay over the marker ledger is idempotent."""
+    import os as _os
+    import shutil as _shutil
+
+    from elastic_freight_spark.operators.scale import CMS_ROWS, cms_bucket, cms_cells
+    from elastic_freight_spark.streaming.structured import (
+        serve_countmin_estimate,
+        stream_countmin_cells,
+    )
+
+    paths, schema, batch = chunked_events
+    base = tmp_path_factory.mktemp("cms_endurance")
+    src = str(base / "src")
+    cells_path = str(base / "cells")
+    ckpt = str(base / "ckpt")
+    _os.makedirs(src)
+    _os.makedirs(cells_path)
+
+    def _run(checkpoint):
+        q = stream_countmin_cells(
+            read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+            "user_id",
+            cells_path,
+            checkpoint,
+            available_now=True,
+        )
+        q.awaitTermination(300)
+
+    for p in paths[: N_ENDURANCE_CHUNKS // 2]:
+        _shutil.copy(p, src)
+    _run(ckpt)
+    n_markers_1 = len([f for f in _os.listdir(cells_path) if f.endswith(".done")])
+    assert n_markers_1 >= N_ENDURANCE_CHUNKS // 2 - 1
+
+    # forced restart: remaining files appear, SAME checkpoint resumes
+    for p in paths[N_ENDURANCE_CHUNKS // 2 :]:
+        _shutil.copy(p, src)
+    _run(ckpt)
+    markers = sorted(f for f in _os.listdir(cells_path) if f.endswith(".done"))
+    assert len(markers) >= 20  # the endurance bar
+    for d in _os.listdir(cells_path):
+        if d.startswith("batch="):
+            n = spark.read.parquet(_os.path.join(cells_path, d)).count()
+            assert n <= CMS_ROWS * 256  # constant-bounded per-batch state
+
+    probes = batch.select("user_id").distinct()
+    streamed = {
+        r["key"]: r["est_n"]
+        for r in serve_countmin_estimate(
+            spark, cells_path, probes, "user_id"
+        ).collect()
+    }
+    grid = cms_cells(batch, "user_id")
+    hashed = (
+        probes.select(F.col("user_id").alias("key"))
+        .withColumn("r", F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])))
+        .withColumn("bucket", cms_bucket(F.col("key"), F.col("r")))
+    )
+    batch_est = {
+        r["key"]: r["est_n"]
+        for r in hashed.join(F.broadcast(grid), ["r", "bucket"], "left")
+        .groupBy("key")
+        .agg(
+            F.min(F.coalesce(F.col("cell_n"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_n")
+        )
+        .collect()
+    }
+    assert streamed == batch_est  # restart-invariant mergeability
+
+    # fresh-checkpoint replay: markers skip every rewrite, serve unchanged
+    _run(str(base / "ckpt_replay"))
+    assert (
+        sorted(f for f in _os.listdir(cells_path) if f.endswith(".done"))
+        == markers
+    )
+    streamed2 = {
+        r["key"]: r["est_n"]
+        for r in serve_countmin_estimate(
+            spark, cells_path, probes, "user_id"
+        ).collect()
+    }
+    assert streamed2 == streamed
+
+
+def test_stream_kmv_endurance_restart(spark, chunked_events, tmp_path_factory):
+    """24 one-file micro-batches of KMV minima maintenance with a
+    forced restart after 12 (same checkpoint): the union-ranked serve
+    must still equal the one-pass batch sketch EXACTLY (lossless merge
+    is restart-invariant), per-batch ledgers stay <= k rows, and a
+    fresh-checkpoint replay is idempotent."""
+    import os as _os
+    import shutil as _shutil
+
+    from elastic_freight_spark.operators.scale import KMV_K, kmv_topk
+    from elastic_freight_spark.streaming.structured import (
+        serve_kmv_distinct,
+        stream_kmv_minima,
+    )
+
+    paths, schema, batch = chunked_events
+    base = tmp_path_factory.mktemp("kmv_endurance")
+    src = str(base / "src")
+    minima_path = str(base / "minima")
+    ckpt = str(base / "ckpt")
+    _os.makedirs(src)
+    _os.makedirs(minima_path)
+
+    def _run(checkpoint):
+        q = stream_kmv_minima(
+            read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+            "user_id",
+            minima_path,
+            checkpoint,
+            available_now=True,
+        )
+        q.awaitTermination(300)
+
+    for p in paths[: N_ENDURANCE_CHUNKS // 2]:
+        _shutil.copy(p, src)
+    _run(ckpt)
+    n_markers_1 = len([f for f in _os.listdir(minima_path) if f.endswith(".done")])
+    assert n_markers_1 >= N_ENDURANCE_CHUNKS // 2 - 1
+
+    for p in paths[N_ENDURANCE_CHUNKS // 2 :]:
+        _shutil.copy(p, src)
+    _run(ckpt)
+    markers = sorted(f for f in _os.listdir(minima_path) if f.endswith(".done"))
+    assert len(markers) >= 20  # the endurance bar
+    for d in _os.listdir(minima_path):
+        if d.startswith("batch="):
+            n = spark.read.parquet(_os.path.join(minima_path, d)).count()
+            assert n <= KMV_K  # constant-bounded per-batch state
+
+    served = serve_kmv_distinct(spark, minima_path).collect()[0]
+    hashed = batch.select(
+        F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h")
+    ).distinct()
+    sk = kmv_topk(hashed, [], KMV_K).collect()
+    assert served["n_hashes"] == len(sk)
+    assert served["kth_min"] == max(r["h"] for r in sk)  # lossless merge
+
+    # fresh-checkpoint replay: markers skip rewrites, serve unchanged
+    _run(str(base / "ckpt_replay"))
+    assert (
+        sorted(f for f in _os.listdir(minima_path) if f.endswith(".done"))
+        == markers
+    )
+    assert serve_kmv_distinct(spark, minima_path).collect()[0] == served
+
+
+def test_stream_interval_coverage_endurance_restart(
+    spark, chunked_events, tmp_path_factory
+):
+    """24 in-order micro-batches through the stateful interval-coverage
+    operator with a forced restart after 12 (same checkpoint): the
+    resumed state store must carry every user's merged islands across
+    the restart so the converged totals equal the batch
+    t_interval_coverage answer, with state rows bounded by |users|."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.streaming.structured import stream_interval_coverage
+
+    paths, schema, batch = chunked_events
+    base = tmp_path_factory.mktemp("coverage_endurance")
+    src = str(base / "src")
+    ckpt = str(base / "ckpt")
+    out = str(base / "updates")
+    _os.makedirs(src)
+    t0 = _time.time() - 86_400
+
+    def _stage(chunk_paths, offset):
+        # in-order delivery is the operator's documented precondition;
+        # pin strictly increasing mtimes (ms-precision FS collisions
+        # reorder micro-batches — the funnel endurance discipline)
+        for i, p in enumerate(chunk_paths):
+            dst = _os.path.join(src, _os.path.basename(p))
+            _shutil.copy(p, dst)
+            _os.utime(dst, (t0 + offset + i, t0 + offset + i))
+
+    def _sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    def _run():
+        stream = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+        q = (
+            stream_interval_coverage(stream)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    _stage(paths[: N_ENDURANCE_CHUNKS // 2], 0)
+    q1 = _run()
+    _stage(paths[N_ENDURANCE_CHUNKS // 2 :], 1000)
+    q2 = _run()
+
+    distinct_users = batch.select("user_id").distinct().count()
+    for q in (q1, q2):
+        for p in q.recentProgress:
+            prog = _json.loads(p.json) if hasattr(p, "json") else p
+            for op in prog.get("stateOperators", []):
+                total = op.get("numRowsTotal")
+                if total is not None:
+                    assert total <= distinct_users
+
+    # coverage totals only grow batch-over-batch, so max covered_us
+    # per user identifies the converged row (duplicate emissions from
+    # an uncommitted replayed batch are harmless under this merge)
+    final = {}
+    for r in spark.read.parquet(out).collect():
+        prev = final.get(r["user_id"])
+        if prev is None or r["covered_us"] >= prev[1]:
+            final[r["user_id"]] = (r["n_islands"], r["covered_us"], r["span_us"])
+    registry.load_all()
+    want = {
+        r["user_id"]: (r["n_islands"], r["covered_us"], r["span_us"])
+        for r in registry.QUERIES["t_interval_coverage"](spark, SF_DIR).collect()
+    }
+    assert final == want
+
+
+def test_stream_scd2_endurance_restart(spark, chunked_events, tmp_path_factory):
+    """24 in-order micro-batches through the streaming SCD2 operator
+    with a forced restart after 12 (same checkpoint): versions that
+    close ACROSS the restart boundary are exactly the rows that die if
+    the open-version state isn't restored — closed rows must equal the
+    batch history and the last open emission per user the batch
+    current row."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.streaming.structured import stream_scd2_history
+
+    paths, schema, batch = chunked_events
+    base = tmp_path_factory.mktemp("scd2_endurance")
+    src = str(base / "src")
+    ckpt = str(base / "ckpt")
+    out = str(base / "updates")
+    _os.makedirs(src)
+    t0 = _time.time() - 86_400
+
+    def _stage(chunk_paths, offset):
+        for i, p in enumerate(chunk_paths):
+            dst = _os.path.join(src, _os.path.basename(p))
+            _shutil.copy(p, dst)
+            _os.utime(dst, (t0 + offset + i, t0 + offset + i))
+
+    def _sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    def _run():
+        stream = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+        q = (
+            stream_scd2_history(stream)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _stage(paths[: N_ENDURANCE_CHUNKS // 2], 0)
+    _run()
+    _stage(paths[N_ENDURANCE_CHUNKS // 2 :], 1000)
+    _run()
+
+    closed = set()
+    open_latest = {}
+    for r in spark.read.parquet(out).collect():
+        row = (r["user_id"], r["state"], r["valid_from_us"], r["valid_to_us"])
+        if r["is_current"] == 0:
+            closed.add(row)
+        else:
+            prev = open_latest.get(r["user_id"])
+            if prev is None or r["valid_from_us"] >= prev[2]:
+                open_latest[r["user_id"]] = row
+    registry.load_all()
+    batch_closed = set()
+    batch_open = {}
+    for r in registry.QUERIES["index_scd2_history"](spark, SF_DIR).collect():
+        row = (r["user_id"], r["state"], r["valid_from_us"], r["valid_to_us"])
+        if r["is_current"] == 0:
+            batch_closed.add(row)
+        else:
+            batch_open[r["user_id"]] = row
+    assert closed == batch_closed
+    assert open_latest == batch_open
+
+
+def test_stream_dedup_endurance_restart(spark, chunked_events, tmp_path_factory):
+    """24 in-order micro-batches through stateful dropDuplicates with a
+    forced restart after 12 (same checkpoint): keys first seen before
+    the restart must STAY deduplicated after it — exactly the rows that
+    double if dedup state isn't restored. The appended output must hold
+    each (user_id, event_type) once, matching the batch distinct set.
+    Watermark 2400h keeps all state live across the fixture's ~30-day
+    event-time span (the interval-join tests' rationale)."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    paths, schema, batch = chunked_events
+    base = tmp_path_factory.mktemp("dedup_endurance")
+    src = str(base / "src")
+    ckpt = str(base / "ckpt")
+    out = str(base / "out")
+    _os.makedirs(src)
+    t0 = _time.time() - 86_400
+
+    def _stage(chunk_paths, offset):
+        for i, p in enumerate(chunk_paths):
+            dst = _os.path.join(src, _os.path.basename(p))
+            _shutil.copy(p, dst)
+            _os.utime(dst, (t0 + offset + i, t0 + offset + i))
+
+    def _run():
+        stream = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+        q = (
+            dedup_stream(stream, ["user_id", "event_type"], watermark="2400 hours")
+            .select("user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _stage(paths[: N_ENDURANCE_CHUNKS // 2], 0)
+    _run()
+    n_first = spark.read.parquet(out).count()
+    _stage(paths[N_ENDURANCE_CHUNKS // 2 :], 1000)
+    _run()
+
+    got = spark.read.parquet(out)
+    want = batch.select("user_id", "event_type").distinct()
+    # exact-once per key: count equals the distinct count (no key
+    # re-emitted across the restart boundary) and the key sets match.
+    # At sf0.001 the first half already covers ALL pairs, so this is
+    # the strictest possible restart check: run 2 may emit ZERO rows,
+    # which only happens if every key's dedup state survived the
+    # restart — lost state would re-emit and push the count past want.
+    assert got.count() == want.count()
+    assert {(r["user_id"], r["event_type"]) for r in got.collect()} == {
+        (r["user_id"], r["event_type"]) for r in want.collect()
+    }
+    # first run was itself exact: one row per distinct key of chunks 0-11
+    first_half_want = (
+        spark.read.parquet(*paths[: N_ENDURANCE_CHUNKS // 2])
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert n_first == first_half_want

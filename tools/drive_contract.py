@@ -16,6 +16,13 @@ spark = (
     .config("spark.ui.showConsoleProgress", "false")
     .getOrCreate()
 )
+# harness log hygiene ONLY (session stays vanilla): the allowlisted
+# bounded unpartitioned windows each print a benign WindowExec WARN
+# that buries real warnings; plan_audit.py remains the actual guard
+from elastic_freight_spark.session import quiet_benign_window_warnings
+
+quiet_benign_window_warnings(spark)
+
 import __spark_entry__ as e
 
 rows = e.entry(spark).collect()

@@ -44,6 +44,12 @@ def main() -> None:
     ledgered = set(
         re.findall(r"^\| (\S+) \| \S+ \| \S+ \|$", txt, flags=re.M)
     )
+    if "\nTotals:" not in txt:
+        sys.exit(
+            "CORRECTNESS_LEDGER.md has no 'Totals:' paragraph — the tool "
+            "anchors missing-row insertion and the tally rewrite on it. "
+            "Restore the paragraph (starts with 'Totals:') and re-run."
+        )
     missing = [q for q in registry.QUERIES if q not in ledgered]
     if missing:
         # insert before the Totals paragraph
@@ -53,14 +59,43 @@ def main() -> None:
         )
         i = txt.index("\nTotals:")
         txt = txt[: i + 1] + rows + txt[i + 1 :]
+
+    # Recompute the Totals tally sentence from the table itself so the
+    # counts can never drift from the rows (the drift class this tool
+    # exists to prevent — flagged again by the round-6 advisor).
+    pairs = re.findall(r"^\| \S+ \| (hash|rows-only) \| (\S+) \|$", txt, flags=re.M)
+    pairs = [(o, t) for o, t in pairs if t != "last"]  # drop header-ish rows
+
+    def _tally(kind):
+        tags = [t for o, t in pairs if o == kind]
+        order = {f"r{i}": i for i in range(1, 100)}
+        order.update({"never": 998, "J3": 999})
+        counts = {}
+        for t in tags:
+            counts[t] = counts.get(t, 0) + 1
+        return ", ".join(
+            f"{counts[t]} {t}" for t in sorted(counts, key=lambda x: order.get(x, 500))
+        )
+
+    n_hash = sum(1 for o, _ in pairs if o == "hash")
+    n_rows = sum(1 for o, _ in pairs if o == "rows-only")
+    tally = (
+        f"Totals: {n_hash + n_rows} registered ({n_hash} hash-oracle, "
+        f"{n_rows} rows-only) — hash rows: {_tally('hash')}; "
+        f"rows-only rows: {_tally('rows-only')}."
+    )
+    # Replace only the first sentence of the Totals paragraph (up to the
+    # first '.' followed by a space/newline); the prose after it is
+    # per-round commentary maintained by hand.
+    m = re.search(r"Totals:.*?\.(?=\s)", txt, flags=re.S)
+    txt = txt[: m.start()] + tally + txt[m.end():]
     open(LEDGER, "w").write(txt)
     print(
         f"updated {len(updated)} rows to {tag}; appended {len(missing)} "
         f"missing as never; greens not in ledger: "
         f"{sorted(green - set(updated) - set(missing))}"
     )
-    print("NOTE: refresh the Totals paragraph tallies by hand "
-          "(grep -oE '\\| (hash|rows-only) \\| \\S+ \\|$' | sort | uniq -c).")
+    print(f"Totals recomputed: {tally}")
 
 
 if __name__ == "__main__":
