@@ -2130,3 +2130,103 @@ def test_stream_dedup_endurance_restart(spark, chunked_events, tmp_path_factory)
         .count()
     )
     assert n_first == first_half_want
+
+
+def test_stream_upsert_endurance_restart(spark, tmp_path_factory):
+    """24 in-order CDC micro-batches through stream_upsert_index with
+    a forced restart after 12 (same checkpoint): merge-on-read must
+    show the LAST writer of every doc across the restart boundary
+    (versions that straddle it are exactly the rows that go stale if
+    the resumed query re-read or skipped deltas), the manifest version
+    must advance once per applied batch, and a full fresh-checkpoint
+    replay must leave the served view unchanged (latest-wins
+    idempotency, the operator's documented replay story)."""
+    import os as _os
+    import time as _time
+
+    from elastic_freight_spark.indexer import (
+        IndexConfig,
+        build_index,
+        read_index_latest,
+        read_manifest,
+    )
+    from elastic_freight_spark.streaming.structured import stream_upsert_index
+
+    out = str(tmp_path_factory.mktemp("upsert_endurance_base"))
+    cfg = IndexConfig(
+        index_name="docs_live", doc_id_col="doc_id", num_shards=4, output_path=out
+    )
+    n_docs = 50
+    base = spark.createDataFrame(
+        [(i, f"w-1_{i}") for i in range(n_docs)], "doc_id bigint, body string"
+    )
+    build_index(base, cfg)
+    index_path = _os.path.join(out, "docs_live")
+
+    # 24 overlapping update waves; wave w rewrites 10 rolling doc ids
+    src = str(tmp_path_factory.mktemp("upsert_endurance_src"))
+    waves = [
+        [(w * 3 + j) % n_docs for j in range(10)]
+        for w in range(N_ENDURANCE_CHUNKS)
+    ]
+    t0 = _time.time() - 86_400
+
+    def _stage(wave_ids, offset):
+        for w in wave_ids:
+            d = _os.path.join(src, f"wave_{w:02d}")
+            spark.createDataFrame(
+                [(i, f"w{w}_{i}") for i in waves[w]],
+                "doc_id bigint, body string",
+            ).coalesce(1).write.parquet(d)
+            # one data file per wave dir; in-order by pinned mtime
+            for name in _os.listdir(d):
+                p = _os.path.join(d, name)
+                _os.utime(p, (t0 + offset + w, t0 + offset + w))
+
+    # flatten: the file source reads a flat dir; stage writes files
+    # into per-wave subdirs, so point the source at src/*/ via glob
+    schema = base.schema
+    ckpt = str(tmp_path_factory.mktemp("upsert_endurance_ckpt"))
+
+    def _run(checkpoint):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(src, "wave_*"))
+        )
+        q = stream_upsert_index(stream, index_path, checkpoint, available_now=True)
+        q.awaitTermination(300)
+
+    _stage(range(N_ENDURANCE_CHUNKS // 2), 0)
+    _run(ckpt)
+    v_mid = read_manifest(index_path)["version"]
+    assert v_mid == N_ENDURANCE_CHUNKS // 2
+
+    _stage(range(N_ENDURANCE_CHUNKS // 2, N_ENDURANCE_CHUNKS), 1000)
+    _run(ckpt)  # forced restart, same checkpoint: only new waves apply
+    v_full = read_manifest(index_path)["version"]
+    assert v_full == N_ENDURANCE_CHUNKS
+
+    last_writer = {i: -1 for i in range(n_docs)}
+    for w in range(N_ENDURANCE_CHUNKS):
+        for i in waves[w]:
+            last_writer[i] = w
+    want = {
+        i: (f"w{w}_{i}" if w >= 0 else f"w-1_{i}")
+        for i, w in last_writer.items()
+    }
+    got = {
+        r["doc_id"]: r["body"]
+        for r in read_index_latest(spark, index_path).collect()
+    }
+    assert got == want
+
+    # fresh-checkpoint replay: every wave re-applies at a NEW version;
+    # latest-wins keeps the served view identical
+    _run(str(tmp_path_factory.mktemp("upsert_endurance_ckpt_replay")))
+    assert read_manifest(index_path)["version"] > v_full
+    got2 = {
+        r["doc_id"]: r["body"]
+        for r in read_index_latest(spark, index_path).collect()
+    }
+    assert got2 == want
