@@ -3514,8 +3514,10 @@ def agg_boxplot(spark, sf_dir):
         # Trade-off: localCheckpoint truncates lineage, so losing an
         # executor that holds checkpointed blocks fails the job instead
         # of recomputing — acceptable for this run-once report query;
-        # long-lived pipelines should prefer AQE exchange reuse (as
-        # customer_rfm_segments does) or reliable checkpoint().
+        # long-lived pipelines should prefer reliable checkpoint().
+        # Measured (round 7, sf0.1 warm ×3): dropping this in favor of
+        # AQE exchange reuse plans ZERO ReusedExchange nodes (the five
+        # branches diverge before the exchange) and runs ~10% slower.
         .localCheckpoint(eager=False)
     )
     cum = bucketed_cum(counts, "vc", "b", ["c"], grp_cols=["g"])

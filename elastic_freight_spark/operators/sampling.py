@@ -202,7 +202,14 @@ def sample_source_mix_plan(spark, sf_dir):
         "lang",
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.round(mix, 6).alias("mix_weight"),
-        F.floor(F.lit(10000) * mix).cast("bigint").alias("docs_per_epoch"),
+        # (10000*w)/wsum, the oracle's association — NOT 10000*(w/wsum),
+        # which double-rounds and can floor one off at exact-integer
+        # boundaries (the sample_temperature_sweep sf0.001 finding;
+        # sqrt weights make a hit unlikely here, but the expressions
+        # must be the same tree on both sides regardless)
+        F.floor(F.lit(10000) * F.col("w") / F.col("wsum"))
+        .cast("bigint")
+        .alias("docs_per_epoch"),
         F.round(mix / share, 6).alias("upsample_factor"),
     )
 
@@ -1156,7 +1163,17 @@ def sample_temperature_sweep(spark, sf_dir):
         "lang",
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.round(mix, 9).alias("mix_weight"),
-        F.floor(F.lit(10000) * mix).cast("bigint").alias("docs_per_epoch"),
+        # MUST associate as (10000*w)/wsum — the oracle's left-to-right
+        # parse — not 10000*(w/wsum): at alpha=1.0 the weights are
+        # integer counts, so (10000*w)/wsum is one correctly-rounded
+        # division (EXACT whenever the true ratio is an integer), while
+        # w/wsum first rounds the small ratio and 10000*x re-rounds it,
+        # landing a hair under integer boundaries and flooring one off
+        # (caught by the sf0.001 degenerate sweep: de = 1420000/1000
+        # floored to 1419 on this side, 1420 in DuckDB).
+        F.floor(F.lit(10000) * F.col("w") / F.col("wsum"))
+        .cast("bigint")
+        .alias("docs_per_epoch"),
         F.round(mix / share, 9).alias("upsample_factor"),
     )
 

@@ -7,7 +7,10 @@ import duckdb
 import pandas as pd
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+# override for degenerate-regime sweeps (e.g. sf0.001, where tiny
+# groups / empty tails / single-day spans exercise the edge paths the
+# driver's sf0.01 compare never reaches)
+SF = os.environ.get("EFS_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 spark = (

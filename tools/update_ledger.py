@@ -8,12 +8,15 @@ run this once per round, right after the driver writes the file:
     python tools/update_ledger.py CORRECTNESS_r06.json r6
 """
 import json
+import os
 import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-LEDGER = "/root/repo/CORRECTNESS_LEDGER.md"
+# overridable for tests (tests/test_ledger_tools.py folds a fake
+# results file into a COPY of the real ledger)
+LEDGER = os.environ.get("EFS_LEDGER_PATH", "/root/repo/CORRECTNESS_LEDGER.md")
 
 
 def main() -> None:
