@@ -673,7 +673,8 @@ def semdedup_ivf_cells(spark, sf_dir):
     "vector_label_centroids",
     oracle="""
     SELECT label, CAST(pos AS INT) AS pos,
-           CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean_val
+           CAST(SUM(CAST(FLOOR(v * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1e9 / COUNT(*) AS mean_val
     FROM (
       SELECT label,
              unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
@@ -689,9 +690,15 @@ def vector_label_centroids(spark, sf_dir):
     nearest-centroid classification and per-cluster summarization.
     posexplode → one (label, pos) aggregation: the shuffle carries
     |labels| × dim partial sums thanks to map-side combine, never the
-    raw vectors. Component sums ride DECIMAL so the centroid is
-    identical at any partition count; long format keeps the result
-    engine-portable (array renderings aren't)."""
+    raw vectors. Components quantize to the 1e-9 grain with PURE
+    double arithmetic — floor(v*1e9 + 0.5), three IEEE ops both
+    engines execute identically — then sum as exact BIGINTs, so the
+    centroid is identical at any partition count AND engine. (The
+    previous CAST(v AS DECIMAL(18,9)) quantization left the rounding
+    of exact .5-boundary components to each engine's decimal-cast
+    mode; the round-7 sf0.1 sweep caught one (label,pos) cell off by
+    4.6e-12 that way.) Long format keeps the result engine-portable
+    (array renderings aren't)."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select(
         "label", F.posexplode(_as_double_array("embedding")).alias("pos0", "v")
@@ -700,7 +707,10 @@ def vector_label_centroids(spark, sf_dir):
         e.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
         .agg(
             (
-                F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+                F.sum(
+                    F.floor(F.col("v") * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+                ).cast("double")
+                / F.lit(1e9)
                 / F.count(F.lit(1))
             ).alias("mean_val")
         )

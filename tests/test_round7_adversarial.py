@@ -69,3 +69,41 @@ def test_source_mix_plan_same_tree_on_exact_fixture(spark, docs_exact_ratio):
     assert len(g) == len(w) == 4
     for c in g.columns:
         assert list(g[c]) == list(w[c]), (c, list(g[c]), list(w[c]))
+
+
+def test_label_centroids_decimal_tie_components(spark, tmp_path):
+    """Embedding components that sit EXACTLY on a 1e-9 rounding tie
+    (2^-10 = 0.0009765625 -> x1e9 = 976562.5, all values dyadic and
+    the products exact): the old CAST(v AS DECIMAL(18,9)) quantization
+    left the tie to each engine's decimal-cast rounding mode (Spark
+    HALF_UP vs DuckDB round-half-even — the round-7 sf0.1 sweep caught
+    a live 4.6e-12 divergence this way); the floor(v*1e9 + 0.5) form
+    is three IEEE ops both engines execute identically."""
+    from tests.oracle_util import oracle_df
+
+    from elastic_freight_spark import registry
+
+    tie = 2.0**-10  # * 1e9 == 976562.5 exactly
+    rows = [
+        (1, [tie, -tie, 0.25], 0),
+        (2, [tie, tie, -0.5], 0),
+        (3, [-tie, 3 * tie, 1.0], 1),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    registry.load_all()
+    name = "vector_label_centroids"
+    got = registry.QUERIES[name](spark, sf).toPandas()
+    want = oracle_df(sf, registry.ORACLE[name])
+    g = got.sort_values(["label", "pos"], ignore_index=True)
+    w = want.sort_values(["label", "pos"], ignore_index=True)
+    assert len(g) == len(w) == 6
+    for c in g.columns:
+        assert list(g[c]) == list(w[c]), (c, list(g[c]), list(w[c]))
+    # and the tie rounded UP by the floor(+0.5) definition on both
+    # engines: label 0 pos 1 mean = (tie + tie)/2 with the quantized
+    # component being 976563e-9, not 976562e-9
+    m = g[(g["label"] == 0) & (g["pos"] == 1)]["mean_val"].iloc[0]
+    assert m == 976563e-9 / 1e0  # 0.000976563

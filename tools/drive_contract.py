@@ -53,8 +53,15 @@ def vhash(df):
     return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()
 
 q, o = e.queries(), e.oracle_sql()
+# comma-separated names to fence out — the deliberately-quadratic
+# audit twins when driving at sf0.1 (EFS_SF_DIR), mirroring
+# sweep_registry.py's AUDIT_TIER fence
+skip = {s for s in os.environ.get("EFS_SKIP", "").split(",") if s}
 fails = []
 for i, name in enumerate(q):
+    if name in skip:
+        print(f"[{i+1}/{len(q)}] {name}: SKIPPED (EFS_SKIP)")
+        continue
     try:
         spdf = norm(q[name](spark, SF).toPandas())
         if name in o:
