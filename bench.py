@@ -21,6 +21,125 @@ import tempfile
 import time
 
 
+# headline set: write pipeline + scan-agg + joins + windows +
+# dedup/text + vectors + streaming-shaped agg. Module-level so
+# tests/test_bench_tools.py can pin every name against the registry —
+# a renamed query must fail a unit test, not the driver's bench run
+# (the BENCH_r02 rc=1 crash class).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "shard_distribution",
+    "agg_multi_measure",
+    "w_running_revenue",
+    "t2_tumbling_window_events",
+    "t3_session_windows",
+    "join_asof_click_before_purchase",
+    "join_salted_skew_supplier_volume",
+    "sq4_exists_returned_orders",
+    "sq18_in_having_subquery",
+    "dedup_exact",
+    "text_token_counts",
+    "f_array_token_profile",
+    "mm_binary_stats",
+    "neardup_ngram_jaccard",
+    "neardup_minhash_lsh",
+    "dedup_corpus_lsh",
+    "search_tfidf_topk",
+    "search_bm25_topk",
+    "knn_bruteforce_cosine",
+    "ann_lsh_cosine",
+    "ann_ivf_cosine",
+    "w_running_revenue_skewed",
+    "apply_in_pandas_group_rank",
+    "join_bloom_semi_orders",
+    "q10_returned_items",
+    "quality_filter_chain",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "mm_phash_neardup",
+    "pretrain_pipeline_report",
+    "dedup_paragraph_spans",
+    "join_interval_binned",
+    "udtf_text_segments",
+    "dedup_incremental_gate",
+    "t_mad_outliers",
+    "sample_quality_weighted",
+    "neardup_ngram_jaccard_uncapped_audit",
+    # round-4 additions
+    "supplier_triangle_count",
+    "graph_degree_histogram",
+    "part_market_basket",
+    "w_sliding_distinct_users",
+    "events_funnel_conversion",
+    "agg_weighted_median",
+    "skew_heavy_hitters",
+    "compaction_bin_packing",
+    "er_part_name_match",
+    "text_bigram_lm_score",
+    "neardup_minhash_portable",
+    "neardup_containment",
+    "dsir_importance_weights",
+    "orders_churn_labels",
+    # round-5 additions
+    "pq_error_portable",
+    "ann_pq_portable",
+    "sketch_countmin_portable",
+    "range_partition_boundaries",
+    "sketch_countmin_merge",
+    "layout_zonemap_effectiveness",
+    "minhash_estimate_calibration",
+    "dq_embeddings_constraints",
+    "decontaminate_semantic",
+    "ann_ivf_portable",
+    "sketch_kmv_distinct",
+    "epoch_shuffle_plan",
+    "pagerank_portable",
+    "power_iteration_portable",
+    "bloom_fpr_calibration",
+    "skew_key_profile",
+    # round-6 scale conversions (bucketed distributed prefix sums)
+    "agg_boxplot",
+    "agg_equidepth_histogram",
+    "customer_rfm_segments",
+    "customer_value_gini",
+    "part_abc_classification",
+    "batch_padding_plan",
+    "bpe_merge_pairs",
+    "sample_temperature_sweep",
+    "apply_in_arrow_group_rank",
+    "ann_ivfpq_portable",
+    "embedding_int8_quantize",
+    "embedding_dim_truncation_recall",
+    "search_scorer_agreement",
+    "t_interval_coverage",
+    "graph_kcore_peel",
+    "sample_weighted_reservoir",
+    "dq_referential_integrity",
+    "events_audience_overlap",
+    "search_fuzzy_suggest",
+    "search_more_like_this",
+    "search_bool_query",
+    "agg_composite_pagination",
+    "embedding_variance_profile",
+    "index_scd2_history",
+    "graph_assortativity",
+    "er_blocking_efficiency",
+    "t_time_weighted_average",
+    "sketch_kmv_intersection",
+    "join_asof_nearest",
+    "supplier_herfindahl",
+    "part_substitution_candidates",
+    "events_survival_km",
+    "events_ab_test_report",
+    "graph_modularity",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -40,126 +159,11 @@ def main() -> None:
 
     queries = entry_mod.queries()
 
-    # headline set: write pipeline + scan-agg + joins + windows +
-    # dedup/text + vectors + streaming-shaped agg
-    headline = [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "q6_revenue_change",
-        "shard_distribution",
-        "agg_multi_measure",
-        "w_running_revenue",
-        "t2_tumbling_window_events",
-        "t3_session_windows",
-        "join_asof_click_before_purchase",
-        "join_salted_skew_supplier_volume",
-        "sq4_exists_returned_orders",
-        "sq18_in_having_subquery",
-        "dedup_exact",
-        "text_token_counts",
-        "f_array_token_profile",
-        "mm_binary_stats",
-        "neardup_ngram_jaccard",
-        "neardup_minhash_lsh",
-        "dedup_corpus_lsh",
-        "search_tfidf_topk",
-        "search_bm25_topk",
-        "knn_bruteforce_cosine",
-        "ann_lsh_cosine",
-        "ann_ivf_cosine",
-        "w_running_revenue_skewed",
-        "apply_in_pandas_group_rank",
-        "join_bloom_semi_orders",
-        "q10_returned_items",
-        "quality_filter_chain",
-        "q9_product_profit",
-        "q13_customer_distribution",
-        "q17_small_quantity_revenue",
-        "q21_waiting_suppliers",
-        "mm_phash_neardup",
-        "pretrain_pipeline_report",
-        "dedup_paragraph_spans",
-        "join_interval_binned",
-        "udtf_text_segments",
-        "dedup_incremental_gate",
-        "t_mad_outliers",
-        "sample_quality_weighted",
-        "neardup_ngram_jaccard_uncapped_audit",
-        # round-4 additions
-        "supplier_triangle_count",
-        "graph_degree_histogram",
-        "part_market_basket",
-        "w_sliding_distinct_users",
-        "events_funnel_conversion",
-        "agg_weighted_median",
-        "skew_heavy_hitters",
-        "compaction_bin_packing",
-        "er_part_name_match",
-        "text_bigram_lm_score",
-        "neardup_minhash_portable",
-        "neardup_containment",
-        "dsir_importance_weights",
-        "orders_churn_labels",
-        # round-5 additions
-        "pq_error_portable",
-        "ann_pq_portable",
-        "sketch_countmin_portable",
-        "range_partition_boundaries",
-        "sketch_countmin_merge",
-        "layout_zonemap_effectiveness",
-        "minhash_estimate_calibration",
-        "dq_embeddings_constraints",
-        "decontaminate_semantic",
-        "ann_ivf_portable",
-        "sketch_kmv_distinct",
-        "epoch_shuffle_plan",
-        "pagerank_portable",
-        "power_iteration_portable",
-        "bloom_fpr_calibration",
-        "skew_key_profile",
-        # round-6 scale conversions (bucketed distributed prefix sums)
-        "agg_boxplot",
-        "agg_equidepth_histogram",
-        "customer_rfm_segments",
-        "customer_value_gini",
-        "part_abc_classification",
-        "batch_padding_plan",
-        "bpe_merge_pairs",
-        "sample_temperature_sweep",
-        "apply_in_arrow_group_rank",
-        "ann_ivfpq_portable",
-        "embedding_int8_quantize",
-        "embedding_dim_truncation_recall",
-        "search_scorer_agreement",
-        "t_interval_coverage",
-        "graph_kcore_peel",
-        "sample_weighted_reservoir",
-        "dq_referential_integrity",
-        "events_audience_overlap",
-        "search_fuzzy_suggest",
-        "search_more_like_this",
-        "search_bool_query",
-        "agg_composite_pagination",
-        "embedding_variance_profile",
-        "index_scd2_history",
-        "graph_assortativity",
-        "er_blocking_efficiency",
-        "t_time_weighted_average",
-        "sketch_kmv_intersection",
-        "join_asof_nearest",
-        "supplier_herfindahl",
-        "part_substitution_candidates",
-        "events_survival_km",
-        "events_ab_test_report",
-        "graph_modularity",
-    ]
-
     # warm up JVM + file listing once (excluded from timings)
     load_tables(spark, sf_dir)["lineitem"].count()
 
     timings: dict[str, float] = {}
-    for name in headline:
+    for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

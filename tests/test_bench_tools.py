@@ -78,3 +78,15 @@ def test_nothing_usable(tmp_path):
     _write(tmp_path, "BENCH_r02.json", {"rc": 1, "parsed": None})
     name, data = bench._prev_bench(str(tmp_path))
     assert name is None and data is None
+
+
+def test_headline_names_all_registered():
+    """Every bench headline name must resolve in the registry — a
+    renamed/dropped query must fail HERE, not crash the driver's
+    per-round bench run (the BENCH_r02 rc=1 class)."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    missing = [n for n in bench.HEADLINE if n not in q]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dupes
