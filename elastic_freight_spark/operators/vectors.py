@@ -698,7 +698,18 @@ def vector_label_centroids(spark, sf_dir):
     of exact .5-boundary components to each engine's decimal-cast
     mode; the round-7 sf0.1 sweep caught one (label,pos) cell off by
     4.6e-12 that way.) Long format keeps the result engine-portable
-    (array renderings aren't)."""
+    (array renderings aren't).
+
+    Overflow envelope: each quantized term is bounded by
+    max(|v|)*1e9, and Spark's non-ANSI sum(BIGINT) WRAPS silently
+    while DuckDB's promotes to HUGEINT — so the bridge is exact only
+    while rows_per_(label,pos) * max(|v|) * 1e9 < 2^63 (~9.2e18).
+    With unit-normalized embeddings (|v| <= 1) that is ~9.2e9 rows
+    per label — far above any tested scale and above the per-label
+    corpus sizes the 100 TB framing implies, but NOT unconditional;
+    tests/test_round8_adversarial.py pins the envelope arithmetic so
+    the bound stays visible. If a corpus ever approaches it, switch
+    the partial sums to DECIMAL(38,0)."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select(
         "label", F.posexplode(_as_double_array("embedding")).alias("pos0", "v")

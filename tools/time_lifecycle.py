@@ -112,7 +112,10 @@ def main() -> None:
             checkpoint_dir=os.path.join(base, "ckpt"),
             available_now=True,
         )
-        q.awaitTermination(1800)
+        finished = q.awaitTermination(1800)
+        if not finished:
+            q.stop()
+            raise AssertionError("stream_index timed out after 1800 s")
         timings["stream_index_10_batches"] = round(time.perf_counter() - t0, 2)
         ingested = spark.read.parquet(os.path.join(base, "idx_stream")).count()
         assert ingested == n_events, (ingested, n_events)

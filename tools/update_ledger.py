@@ -91,6 +91,13 @@ def main() -> None:
     # first '.' followed by a space/newline); the prose after it is
     # per-round commentary maintained by hand.
     m = re.search(r"Totals:.*?\.(?=\s)", txt, flags=re.S)
+    if m is None:
+        sys.exit(
+            "CORRECTNESS_LEDGER.md's 'Totals:' paragraph has no sentence "
+            "terminator ('.' followed by whitespace) — the tally rewrite "
+            "anchors on it. Restore the paragraph (first sentence ends "
+            "with '. ') and re-run."
+        )
     txt = txt[: m.start()] + tally + txt[m.end():]
     open(LEDGER, "w").write(txt)
     print(
