@@ -1,0 +1,279 @@
+"""Round-8 adversarial pins — the systematized tie-hunt (round-7
+verdict task 3). Both round-7 bugs were cross-engine rounding ties on
+shared numeric bridges, so this file pins each numeric-bridge FAMILY
+at its tie boundary instead of waiting for a sweep to trip over the
+next instance:
+
+1. ROUND(double, 9) at dyadic half-way points — engines AGREE
+   (both round the scaled double half away from zero); pinned so a
+   future engine upgrade that changes either side fails loudly here.
+2. CAST(double AS DECIMAL(18,9)) at the same ties — engines AGREE.
+3. DECIMAL → lower-scale DECIMAL casts — engines DIVERGE (Spark
+   HALF_UP, DuckDB truncates toward zero), at ANY value with digits
+   beyond the target scale, not just ties. The primitive is BANNED
+   from oracle-paired paths; this test is the documentation.
+4. Negative zero: DuckDB ROUND(double) preserves IEEE sign-of-zero
+   (-1e-12 -> "-0.0" in the to_csv hash) while Spark's BigDecimal
+   round has no signed zero ("0.0"). registry.query() closes the
+   family by wrapping every oracle ROUND call as (ROUND(...) + 0);
+   pinned at the primitive level AND end-to-end through a registered
+   query on a crafted tiny-negative-delta fixture.
+5. vector_label_centroids' sum(BIGINT) overflow envelope (round-7
+   advisor): Spark's non-ANSI sum wraps while DuckDB promotes to
+   HUGEINT, so the bridge is exact only below ~9.2e9 unit-normalized
+   rows per (label,pos); the envelope arithmetic is pinned so the
+   bound stays visible.
+"""
+import duckdb
+import pytest
+
+from elastic_freight_spark import registry
+from elastic_freight_spark.registry import _normalize_round_zero_sign
+
+# Dyadic doubles whose *1e9 scaling is an exact .5 (p odd, k=10:
+# p * 2**-10 * 1e9 = p * 976562.5), plus coarse-grain .5 ties.
+DYADIC_TIES = [
+    2.0**-10,
+    -(2.0**-10),
+    3 * 2.0**-10,
+    -(3 * 2.0**-10),
+    5 * 2.0**-10,
+    0.5,
+    1.5,
+    2.5,
+    -0.5,
+    -1.5,
+    -2.5,
+]
+
+
+def _duck_one(expr, v):
+    return duckdb.sql(
+        f"SELECT {expr.format(v=repr(v))} AS x"
+    ).fetchone()[0]
+
+
+def test_round9_dyadic_ties_cross_engine(spark):
+    """Family 1: ROUND(double, 9) at exact binary half-way points must
+    agree between Spark and DuckDB (both half-away-from-zero on the
+    scaled double)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in DYADIC_TIES], "v double")
+    got = {
+        r.v: r.r
+        for r in df.select("v", F.round("v", 9).alias("r")).collect()
+    }
+    for v in DYADIC_TIES:
+        want = _duck_one("ROUND(CAST({v} AS DOUBLE), 9)", v)
+        assert got[v] == want, (v, got[v], want)
+
+
+def test_double_to_decimal_quantize_ties_cross_engine(spark):
+    """Family 2: CAST(double AS DECIMAL(18,9)) at the same dyadic
+    ties must agree (both engines round the scaled value half away
+    from zero at these magnitudes — the round-7 centroid fix removed
+    the one site that did NOT hold, at sf0.1-only inputs; the plain
+    cast of these ties is pinned stable here)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in DYADIC_TIES], "v double")
+    got = {
+        r.v: str(r.d)
+        for r in df.select(
+            "v", F.col("v").cast("decimal(18,9)").alias("d")
+        ).collect()
+    }
+    for v in DYADIC_TIES:
+        want = str(_duck_one("CAST(CAST({v} AS DOUBLE) AS DECIMAL(18,9))", v))
+        assert got[v] == want, (v, got[v], want)
+
+
+def test_decimal_scale_down_cast_diverges_and_is_banned(spark):
+    """Family 3: DECIMAL(18,4) -> DECIMAL(18,2) rounds HALF_UP in
+    Spark but TRUNCATES toward zero in DuckDB — divergent at any
+    value with nonzero digits beyond the target scale (1.019 -> 1.02
+    vs 1.01), not just ties. No oracle-paired bridge may reduce a
+    decimal's scale; quantize the DOUBLE once at the final scale
+    instead (the centroid floor(v*1e9 + 0.5) pattern). This test
+    documents the ban by proving the divergence."""
+    from pyspark.sql import functions as F
+
+    vals = ["1.005", "1.015", "1.019", "2.675", "-1.005"]
+    df = spark.createDataFrame([(s,) for s in vals], "s string")
+    spark_down = {
+        r.s: str(r.d)
+        for r in df.select(
+            "s",
+            F.col("s")
+            .cast("decimal(18,4)")
+            .cast("decimal(18,2)")
+            .alias("d"),
+        ).collect()
+    }
+    duck_down = {
+        s: str(
+            duckdb.sql(
+                f"SELECT CAST(CAST('{s}' AS DECIMAL(18,4)) AS DECIMAL(18,2))"
+            ).fetchone()[0]
+        )
+        for s in vals
+    }
+    # Spark HALF_UP
+    assert spark_down == {
+        "1.005": "1.01",
+        "1.015": "1.02",
+        "1.019": "1.02",
+        "2.675": "2.68",
+        "-1.005": "-1.01",
+    }
+    # DuckDB truncation toward zero
+    assert duck_down == {
+        "1.005": "1.00",
+        "1.015": "1.01",
+        "1.019": "1.01",
+        "2.675": "2.67",
+        "-1.005": "-1.00",
+    }
+    assert all(spark_down[s] != duck_down[s] for s in vals)
+
+
+def test_negative_zero_round_primitive(spark):
+    """Family 4, primitive level: DuckDB ROUND keeps IEEE -0.0 (which
+    to_csv renders '-0.0'), Spark's BigDecimal round cannot; integer
+    + 0 normalizes DuckDB's to +0.0. This asymmetry is why
+    registry.query() wraps every oracle ROUND as (ROUND(...) + 0)."""
+    from pyspark.sql import functions as F
+
+    raw, plus0 = duckdb.sql(
+        "SELECT ROUND(-1e-12, 9), ROUND(-1e-12, 9) + 0"
+    ).fetchone()
+    assert str(raw) == "-0.0"
+    assert str(plus0) == "0.0"
+    sp = (
+        spark.createDataFrame([(-1e-12,)], "v double")
+        .select(F.round("v", 9).alias("r"))
+        .collect()[0]
+        .r
+    )
+    assert str(sp) == "0.0"
+
+
+def test_round_normalizer_rewrites_calls_only():
+    """The registration-time rewriter wraps every ROUND CALL —
+    including nested ones and calls after paren-bearing string
+    literals — and never touches bare `round` identifiers (the
+    graph_kcore_peel output column)."""
+    cases = [
+        ("SELECT ROUND(x, 9) AS r", "SELECT (ROUND(x, 9) + 0) AS r"),
+        (
+            "SELECT ROUND(ROUND(x,4), 2)",
+            "SELECT (ROUND((ROUND(x,4) + 0), 2) + 0)",
+        ),
+        (
+            "SELECT 1 AS round, r ORDER BY round",
+            "SELECT 1 AS round, r ORDER BY round",
+        ),
+        (
+            "SELECT ROUND(REPLACE(s, '(', ')') :: DOUBLE, 2)",
+            "SELECT (ROUND(REPLACE(s, '(', ')') :: DOUBLE, 2) + 0)",
+        ),
+        (
+            "SELECT LENGTH('ROUND(') + ROUND(x,1)",
+            "SELECT LENGTH('ROUND(') + (ROUND(x,1) + 0)",
+        ),
+        ("SELECT xround(x,1)", "SELECT xround(x,1)"),
+    ]
+    for src, want in cases:
+        assert _normalize_round_zero_sign(src) == want, src
+    # and the live registry carries only normalized ROUND calls
+    import re
+
+    registry.load_all()
+    for name, sql in registry.ORACLE.items():
+        for m in re.finditer(r"\bROUND\s*\(", sql, flags=re.I):
+            assert sql[m.start() - 1] == "(", (
+                f"{name}: un-normalized ROUND at offset {m.start()}"
+            )
+
+
+def test_negative_zero_end_to_end_lag_delta(spark, tmp_path):
+    """Family 4, end-to-end: two consecutive orders whose totalprice
+    differs by -2^-40 (~ -9.1e-13, exactly representable so both
+    engines compute the identical double). ROUND(delta, 4) is -0.0 in
+    raw DuckDB and +0.0 in Spark — '-0.0' vs '0.0' under the driver's
+    to_csv hash — so this test fails if the (ROUND(...) + 0) oracle
+    normalization ever regresses."""
+    import datetime
+
+    from tests.oracle_util import oracle_df
+
+    tiny = 2.0**-40
+    rows = [
+        (1, 101, 1000.0, datetime.date(1995, 1, 1)),
+        (1, 102, 1000.0 - tiny, datetime.date(1995, 2, 1)),
+        (2, 201, 500.0, datetime.date(1995, 1, 15)),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "o_custkey bigint, o_orderkey bigint, o_totalprice double,"
+        " o_orderdate date",
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    registry.load_all()
+    name = "w_lag_lead_price_delta"
+    got = (
+        registry.QUERIES[name](spark, sf)
+        .toPandas()
+        .sort_values(["o_custkey", "o_orderkey"], ignore_index=True)
+    )
+    want = oracle_df(sf, registry.ORACLE[name]).sort_values(
+        ["o_custkey", "o_orderkey"], ignore_index=True
+    )
+    assert sorted(got.columns) == sorted(want.columns)
+    d_spark = got["delta"].map(str).tolist()
+    d_duck = want["delta"].map(str).tolist()
+    assert d_spark == d_duck, (d_spark, d_duck)
+    # the crafted row really hit the tiny-negative branch and both
+    # sides rendered POSITIVE zero
+    assert d_spark[1] == "0.0"
+    # and the raw (un-normalized) oracle would have diverged — the pin
+    # has teeth
+    import re
+
+    raw_sql = re.sub(
+        r"\((ROUND\()", r"\1", registry.ORACLE[name], flags=re.I
+    ).replace(") + 0)", ")", 1)
+    raw = oracle_df(sf, raw_sql).sort_values(
+        ["o_custkey", "o_orderkey"], ignore_index=True
+    )
+    assert str(raw["delta"].iloc[1]) == "-0.0"
+
+
+def test_label_centroids_bigint_overflow_envelope(spark, tmp_path):
+    """Family 5 (round-7 advisor): the centroid bridge sums
+    floor(v*1e9 + 0.5) as BIGINT. Spark's non-ANSI sum(long) WRAPS
+    silently on overflow while DuckDB promotes to HUGEINT, so the
+    bridge is exact only while rows_per_label * max|v| * 1e9 < 2^63.
+    Pin the envelope arithmetic and prove the quantized terms on the
+    real test corpus sit far inside it."""
+    from pyspark.sql import functions as F
+
+    # envelope: unit-normalized embeddings (|v| <= 1) keep the bridge
+    # exact up to ~9.2e9 rows per label
+    assert int(2**63 / 1e9) == 9_223_372_036
+    # worst-case quantized term magnitude on the real sf0.001 corpus
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n_rows = emb.count()
+    mx = (
+        emb.select(F.explode("embedding").alias("v"))
+        .agg(F.max(F.abs(F.col("v").cast("double"))).alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    term_bound = int(mx * 1e9) + 1
+    # a (label,pos) group has at most n_rows terms; the BIGINT sum can
+    # only wrap once group size reaches 2^63/term_bound rows — assert
+    # at least four orders of magnitude of headroom on this corpus
+    assert 2**63 // term_bound > n_rows * 10**4, (term_bound, n_rows)
