@@ -43,10 +43,17 @@ from elastic_freight_spark.session import load_tables
 
 TOPK_PARTNERS = 5
 
-# spliced as the body of `WITH edges AS (...)` in every graph oracle;
-# a nested WITH names the pair-weight aggregate ONCE so the dominant
-# part-keyed self-join is evaluated a single time per oracle run
-# (DuckDB supports WITH inside a CTE body).
+# spliced as the body of `WITH edges AS MATERIALIZED (...)` in every
+# graph oracle; a nested WITH names the pair-weight aggregate ONCE so
+# the dominant part-keyed self-join is evaluated a single time per
+# oracle run (DuckDB supports WITH inside a CTE body). MATERIALIZED
+# is load-bearing at sf0.1: DuckDB's default CTE inlining re-evaluates
+# the whole edge build once per reference, and the multi-hop oracles
+# (kcore peel, khop frontiers) reference their chain enough times to
+# compound that into an OOM/spill (kcore >69 GB in round 7; khop OOM
+# in round 8's at-scale sweep) — materialized, each CTE is one
+# edge-sized (≤ k·|V|) temp and every graph oracle runs sub-second
+# under an 8 GB cap.
 _EDGES_SQL = f"""
       WITH weights AS (
         SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
@@ -122,7 +129,7 @@ def cosupply_edges(spark, sf_dir, top_k: int = TOPK_PARTNERS):
 @query(
     "supplier_triangle_count",
     oracle=f"""
-    WITH edges AS ({_EDGES_SQL}),
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
     wedges AS (
       SELECT e1.u AS a, e1.v AS b, e2.v AS c
       FROM edges e1 JOIN edges e2 ON e1.v = e2.u
@@ -168,7 +175,7 @@ def supplier_triangle_count(spark, sf_dir):
 @query(
     "graph_degree_histogram",
     oracle=f"""
-    WITH edges AS ({_EDGES_SQL}),
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
     deg AS (
       SELECT u AS node, COUNT(*) AS degree
       FROM (SELECT u FROM edges UNION ALL SELECT v AS u FROM edges) t(u)
@@ -202,7 +209,7 @@ def graph_degree_histogram(spark, sf_dir):
 @query(
     "graph_link_prediction",
     oracle=f"""
-    WITH edges AS ({_EDGES_SQL}),
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
     und AS (
       SELECT u AS a, v AS b FROM edges
       UNION ALL
@@ -319,7 +326,7 @@ def _pr_oracle() -> str:
     )""")
         prev = f"r{i}"
     return f"""
-    WITH edges AS ({_EDGES_SQL}),
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
     dir AS (
       SELECT u AS src, v AS dst FROM edges
       UNION ALL SELECT v AS src, u AS dst FROM edges
@@ -407,17 +414,26 @@ KCORE_ROUNDS = 4
 
 
 def _kcore_oracle() -> str:
-    parts = [f"WITH edges AS ({_EDGES_SQL})"]
+    # Every CTE is MATERIALIZED: the peel chains e1→e2→e3→e4 with ~5
+    # references per round (degree union, two IN probes, carry, count),
+    # and DuckDB's default CTE inlining re-evaluates the whole upstream
+    # tree per reference — the `edges` self-join re-ran O(5^rounds)
+    # times and spilled >69 GB at sf0.1 (the round-7 EFS_SKIP fence).
+    # Materializing pins each round to one edge-sized (≤ k·|V|) temp —
+    # the same bounded-memory shape the Spark side gets from its
+    # per-round localCheckpoint — and runs the sf0.1 oracle in <1 s
+    # under an 8 GB cap, so the fence is gone.
+    parts = [f"WITH edges AS MATERIALIZED ({_EDGES_SQL})"]
     prev = "edges"
     selects = []
     for r in range(1, KCORE_ROUNDS + 1):
         parts.append(
-            f""", d{r} AS (
+            f""", d{r} AS MATERIALIZED (
       SELECT x, COUNT(*) AS deg FROM (
         SELECT u AS x FROM {prev} UNION ALL SELECT v FROM {prev}
       ) GROUP BY x
-    ), s{r} AS (SELECT x FROM d{r} WHERE deg >= {KCORE_K}),
-    e{r} AS (
+    ), s{r} AS MATERIALIZED (SELECT x FROM d{r} WHERE deg >= {KCORE_K}),
+    e{r} AS MATERIALIZED (
       SELECT u, v FROM {prev}
       WHERE u IN (SELECT x FROM s{r}) AND v IN (SELECT x FROM s{r})
     )"""
@@ -494,7 +510,7 @@ def graph_kcore_peel(spark, sf_dir):
 @query(
     "graph_assortativity",
     oracle=f"""
-    WITH edges AS ({_EDGES_SQL}),
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
     deg AS (
       SELECT x, COUNT(*) AS d FROM (
         SELECT u AS x FROM edges UNION ALL SELECT v FROM edges
@@ -570,7 +586,7 @@ def graph_assortativity(spark, sf_dir):
 @query(
     "graph_modularity",
     oracle=f"""
-    WITH edges AS ({_EDGES_SQL}),
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
     nat AS (SELECT s_suppkey, s_nationkey FROM supplier),
     lab AS (
       SELECT e.u, e.v, a.s_nationkey AS cu, b.s_nationkey AS cv
@@ -695,7 +711,7 @@ def graph_modularity(spark, sf_dir):
 @query(
     "graph_clustering_coefficient",
     oracle=f"""
-    WITH edges AS ({_EDGES_SQL}),
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
     tri AS (
       SELECT w.a, w.b, w.c
       FROM (SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -778,7 +794,7 @@ def graph_clustering_coefficient(spark, sf_dir):
 @query(
     "graph_partition_conductance",
     oracle=f"""
-    WITH edges AS ({_EDGES_SQL}),
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
     nat AS (SELECT s_suppkey, s_nationkey FROM supplier),
     lab AS (
       SELECT e.u, e.v, a.s_nationkey AS cu, b.s_nationkey AS cv
@@ -873,25 +889,25 @@ def graph_partition_conductance(spark, sf_dir):
 @query(
     "graph_khop_reachability",
     oracle=f"""
-    WITH edges AS ({_EDGES_SQL}),
-    und AS (
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    und AS MATERIALIZED (
       SELECT u AS a, v AS b FROM edges
       UNION ALL SELECT v, u FROM edges
     ),
-    sources AS (
+    sources AS MATERIALIZED (
       SELECT a AS src FROM (
         SELECT DISTINCT a FROM und
       ) WHERE md5(concat('khop:', CAST(a AS VARCHAR))) < '2'
     ),
-    h1 AS (
+    h1 AS MATERIALIZED (
       SELECT DISTINCT s.src, u.b AS node
       FROM sources s JOIN und u ON u.a = s.src
     ),
-    h2 AS (
+    h2 AS MATERIALIZED (
       SELECT DISTINCT h.src, u.b AS node
       FROM h1 h JOIN und u ON u.a = h.node
     ),
-    h3 AS (
+    h3 AS MATERIALIZED (
       SELECT DISTINCT h.src, u.b AS node
       FROM h2 h JOIN und u ON u.a = h.node
     ),
