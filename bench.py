@@ -163,6 +163,27 @@ def main() -> None:
     load_tables(spark, sf_dir)["lineitem"].count()
 
     timings: dict[str, float] = {}
+
+    # Deterministic cache warm-up (round 8): the shared per-session
+    # caches (co-supply edges, search postings, shingle sets, IVF
+    # layout, PQ codebooks) used to be built by whichever headline
+    # query touched them first, so per-query times depended on list
+    # order (graph_assortativity: 12.3 s cold-first vs 1.7 s warm —
+    # the round-7 prev_ratio noise). Build them in a FIXED pre-pass
+    # timed as its own line item: the build cost stays in the total
+    # (it is real work a deployment pays once per corpus), and every
+    # query then measures its steady-state plan, so prev_ratio
+    # compares like against like run-over-run.
+    from elastic_freight_spark.operators import graph, search, text, vectors
+
+    t0 = time.perf_counter()
+    graph.cosupply_edges(spark, sf_dir).count()
+    search.indexed_postings(spark, sf_dir)[0].count()
+    text.shingle_sets(spark, sf_dir).count()
+    vectors.ivf_index(spark, sf_dir)[1].count()
+    vectors._pq_books(spark, sf_dir)
+    vectors._pq_books_portable(spark, sf_dir)
+    timings["cache_warm_pre_pass"] = round(time.perf_counter() - t0, 3)
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
@@ -261,7 +282,15 @@ def main() -> None:
             3,
         )
     line = json.dumps(compact)
-    assert len(line) <= 1500, f"compact bench line too long ({len(line)} B)"
+    # Degrade, never abort: an oversized line must not turn the round's
+    # bench record into the rc=1 crash class this summary exists to
+    # eliminate (full detail is already in BENCH_LOCAL.json). Shrink by
+    # trimming the slowest-N dict, then drop it entirely if needed.
+    for fallback in (dict(list(slowest.items())[:3]), {}):
+        if len(line) <= 1500:
+            break
+        compact["queries"] = fallback
+        line = json.dumps(compact)
     # stop the session BEFORE printing so no executor/JVM output can
     # land after (or interleave with) the JSON line; then emit it as
     # the very last thing on stdout
@@ -283,8 +312,16 @@ def _prev_bench(repo_dir: str):
     diff always compares against real timings.
     """
     import glob
+    import re
 
-    fulls = sorted(glob.glob(os.path.join(repo_dir, "BENCH_FULL_r*.json")))
+    # Sort by round NUMBER, not lexicographically — "_r9" would sort
+    # after "_r10" as a string and silently pin the diff to a stale
+    # archive once rounds pass r9/r99.
+    def _round_num(path):
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    fulls = sorted(glob.glob(os.path.join(repo_dir, "BENCH_FULL_r*.json")), key=_round_num)
     for last in reversed(fulls):
         try:
             with open(last) as f:
@@ -294,7 +331,7 @@ def _prev_bench(repo_dir: str):
         if isinstance(data.get("queries"), dict) and len(data["queries"]) >= 10:
             return os.path.basename(last), data
 
-    files = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+    files = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), key=_round_num)
     for last in reversed(files):
         try:
             with open(last) as f:
