@@ -2094,9 +2094,10 @@ def er_blocking_efficiency(spark, sf_dir):
     SELECT n.n_name AS nation,
            t.n_suppliers,
            CAST(t.nation_rev AS DOUBLE) AS nation_rev,
-           ROUND(CAST(SUM(CAST(POWER(CAST(v.rev AS DOUBLE)
-                           / CAST(t.nation_rev AS DOUBLE), 2)
-                          AS DECIMAL(28,18))) AS DOUBLE), 9) AS hhi
+           ROUND(CAST(SUM(CAST(FLOOR(
+                    (CAST(v.rev AS DOUBLE) / CAST(t.nation_rev AS DOUBLE))
+                    * (CAST(v.rev AS DOUBLE) / CAST(t.nation_rev AS DOUBLE))
+                    * 1e15 + 0.5) AS BIGINT)) AS DOUBLE) / 1e15, 9) AS hhi
     FROM vol v
     JOIN tot t ON t.s_nationkey = v.s_nationkey
     JOIN nation n ON n.n_nationkey = v.s_nationkey
@@ -2112,10 +2113,16 @@ def supplier_herfindahl(spark, sf_dir):
     1.0 for monopoly; a nation whose supply concentrates in two
     suppliers is a resilience risk no matter how long the tail is.
     Revenue sums ride DECIMAL (exact, order-independent); both
-    engines square bit-identical share quotients, and the squared
-    shares are cast back to DECIMAL before the cross-supplier SUM so
-    aggregation order can't leak into the 9th decimal. The per-nation
-    aggregate is |suppliers|-sized after the first reduce."""
+    engines square bit-identical share quotients (share·share on both
+    sides — never POWER vs pow), and each squared share quantizes to
+    the 1e-15 grain with floor(s²·1e15 + 0.5) before an exact BIGINT
+    cross-supplier SUM, so neither aggregation order nor the engines'
+    divergent scale-≥10 decimal-cast tie rounding can leak into the
+    9th decimal (round-8 tie-hunt: the previous DECIMAL(28,18) cast
+    scaled by 1e18 — past 2^53 exactness AND onto DuckDB's half-even
+    int128 tie path; Σshare² ≤ 1 keeps the BIGINT sum ≤ 1e15). The
+    per-nation aggregate is |suppliers|-sized after the first
+    reduce."""
     t = load_tables(spark, sf_dir)
     vol = (
         t["lineitem"]
@@ -2149,12 +2156,20 @@ def supplier_herfindahl(spark, sf_dir):
         .agg(
             F.round(
                 F.sum(
-                    F.pow(
-                        F.col("rev").cast("double")
-                        / F.col("nation_rev").cast("double"),
-                        2,
-                    ).cast("decimal(28,18)")
-                ).cast("double"),
+                    F.floor(
+                        (
+                            F.col("rev").cast("double")
+                            / F.col("nation_rev").cast("double")
+                        )
+                        * (
+                            F.col("rev").cast("double")
+                            / F.col("nation_rev").cast("double")
+                        )
+                        * F.lit(1e15)
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(1e15),
                 9,
             ).alias("hhi")
         )

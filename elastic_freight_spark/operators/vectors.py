@@ -669,9 +669,12 @@ def semdedup_ivf_cells(spark, sf_dir):
     )
 
 
-@query(
-    "vector_label_centroids",
-    oracle="""
+# ONE centroid aggregation fragment, shared by vector_label_centroids
+# and embedding_ood_candidates' oracle CTE (the round-7 fix had been
+# applied to the former only — the ood oracle carried a verbatim copy
+# of the PRE-fix CAST(v AS DECIMAL(18,9)) form, exactly the silent
+# shared-fragment desync CLAUDE.md warns about; round 8 unified them).
+_CENTROID_AGG_SQL = """
     SELECT label, CAST(pos AS INT) AS pos,
            CAST(SUM(CAST(FLOOR(v * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
              / 1e9 / COUNT(*) AS mean_val
@@ -682,7 +685,12 @@ def semdedup_ivf_cells(spark, sf_dir):
       FROM embeddings
     )
     GROUP BY label, pos
-    """,
+"""
+
+
+@query(
+    "vector_label_centroids",
+    oracle=_CENTROID_AGG_SQL,
 )
 def vector_label_centroids(spark, sf_dir):
     """Per-label centroid vectors (element-wise mean pooling), in long
@@ -1582,7 +1590,8 @@ def embedding_top_component(spark, sf_dir):
     oracle="""
     WITH norms AS (
       SELECT vec_id,
-             sqrt(CAST(SUM(CAST(x * x AS DECIMAL(24,12))) AS DOUBLE))
+             sqrt(CAST(SUM(CAST(FLOOR(x * x * 1e12 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e12)
                AS l2_norm
       FROM (
         SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS x
@@ -1606,10 +1615,17 @@ def vector_norm_outliers(spark, sf_dir):
     runs before indexing (norm outliers are typically failed
     encodes, truncated inputs, or un-normalized batches; they poison
     cosine buckets and PQ codebooks). Per-vector L2 norms via a
-    posexplode + DECIMAL-exact sum of squares (order-independent →
-    engine-portable), corpus mean/σ as a 1-row crossJoin riding the
-    plan, |z| > 2 rows reported. One dimension-explode shuffle, one
-    scalar aggregate — no driver pulls."""
+    posexplode + exact sum of squares: each x² quantizes to the 1e-12
+    grain with floor(x²·1e12 + 0.5) — pure IEEE ops both engines run
+    identically — and sums as exact BIGINTs (order-independent →
+    engine-portable; the previous CAST(x*x AS DECIMAL(24,12)) left
+    .5-landing float products to each engine's decimal-cast rounding,
+    which DIVERGES at scale ≥ 10: Spark HALF_UP vs DuckDB half-even —
+    the round-8 tie-hunt primitive finding; max per-vector sum is
+    dims·max(x²)·1e12 ≈ 2e13 ≪ 2^63, no wrap). Corpus mean/σ as a
+    1-row crossJoin riding the plan, |z| > 2 rows reported. One
+    dimension-explode shuffle, one scalar aggregate — no driver
+    pulls."""
     e = load_tables(spark, sf_dir)["embeddings"]
     sq = e.select(
         "vec_id",
@@ -1618,9 +1634,12 @@ def vector_norm_outliers(spark, sf_dir):
     )
     norms = sq.groupBy("vec_id").agg(
         F.sqrt(
-            F.sum((F.col("x") * F.col("x")).cast("decimal(24,12)")).cast(
-                "double"
-            )
+            F.sum(
+                F.floor(
+                    F.col("x") * F.col("x") * F.lit(1e12) + F.lit(0.5)
+                ).cast("bigint")
+            ).cast("double")
+            / F.lit(1e12)
         ).alias("l2_norm")
     )
     stats = norms.agg(
@@ -1885,10 +1904,12 @@ def power_iteration_portable(spark, sf_dir):
     )
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           ROUND(CAST(SUM(CAST(qerr AS DECIMAL(24,12))) AS DOUBLE)
+           ROUND(CAST(SUM(CAST(FLOOR(qerr * 1e12 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 1e12
                  / COUNT(*), 9) AS avg_qerr,
            ROUND(MAX(qerr), 9) AS max_qerr,
-           ROUND(CAST(SUM(CAST(scale AS DECIMAL(24,12))) AS DOUBLE)
+           ROUND(CAST(SUM(CAST(FLOOR(scale * 1e12 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 1e12
                  / COUNT(*), 9) AS avg_scale
     FROM err
     GROUP BY label
@@ -1906,8 +1927,11 @@ def embedding_int8_quantize(spark, sf_dir):
     error ‖x − q·scale‖. Per label: count, mean/max error, mean
     scale. ONE map-side pass of JVM higher-order functions — no
     shuffle until the |labels|-row aggregate; per-row error folds are
-    fixed left-to-right in both engines, cross-vector means ride
-    DECIMAL (the embedding_dimension_stats discipline). Zero vectors
+    fixed left-to-right in both engines, cross-vector means quantize
+    each term to the 1e-12 grain with floor(v·1e12 + 0.5) and sum as
+    exact BIGINTs (plain CAST AS DECIMAL(24,12) diverges at scale ≥
+    10 ties: Spark HALF_UP vs DuckDB half-even — round-8 tie-hunt;
+    sums stay ≪ 2^63 at ≤1e10/term). Zero vectors
     quantize through NULLIF(scale,0) → NULL qerr, excluded by SUM on
     both sides identically."""
     e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
@@ -1935,13 +1959,23 @@ def embedding_int8_quantize(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(
-                F.sum(F.col("qerr").cast("decimal(24,12)")).cast("double")
+                F.sum(
+                    F.floor(
+                        F.col("qerr") * F.lit(1e12) + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(1e12)
                 / F.count(F.lit(1)),
                 9,
             ).alias("avg_qerr"),
             F.round(F.max("qerr"), 9).alias("max_qerr"),
             F.round(
-                F.sum(F.col("scale").cast("decimal(24,12)")).cast("double")
+                F.sum(
+                    F.floor(
+                        F.col("scale") * F.lit(1e12) + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(1e12)
                 / F.count(F.lit(1)),
                 9,
             ).alias("avg_scale"),
@@ -2091,8 +2125,10 @@ def embedding_dim_truncation_recall(spark, sf_dir):
     per_dim AS (
       SELECT CAST(dim AS INT) AS dim,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(24,10))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(x * x AS DECIMAL(24,10))) AS DOUBLE) AS s2
+             CAST(SUM(CAST(FLOOR(x * 1e10 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e10 AS s1,
+             CAST(SUM(CAST(FLOOR(x * x * 1e10 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e10 AS s2
       FROM dims GROUP BY dim
     ),
     stats AS (
@@ -2116,9 +2152,13 @@ def embedding_variance_profile(spark, sf_dir):
     ``embedding_dim_truncation_recall`` empirically prices and
     ``embedding_top_component`` extracts the principal direction of).
     One posexplode pass, dimension-keyed aggregate (map-side partials
-    carry |dims| rows per task); population variance from
-    DECIMAL-routed Σx/Σx² so cross-partition order can't leak into
-    the 9th decimal; the trace rides back as a broadcast 1-row
+    carry |dims| rows per task); population variance from Σx/Σx²
+    quantized per-term to the 1e-10 grain with floor(v·1e10 + 0.5)
+    and summed as exact BIGINTs so neither cross-partition order nor
+    the engines' divergent scale-≥10 decimal-cast tie rounding (Spark
+    HALF_UP vs DuckDB half-even — round-8 tie-hunt) can leak into the
+    9th decimal; the trace (a sum of already-ROUND(9) doubles, the
+    tie-safe cast class) rides back as a broadcast 1-row
     aggregate of the |dims|-row frame, and var_share divides the
     already-rounded var_x by a DECIMAL-summed trace, so the quotient
     sees bit-identical inputs on both engines."""
@@ -2130,10 +2170,20 @@ def embedding_variance_profile(spark, sf_dir):
     )
     per_dim = dims.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast("decimal(24,10)")).cast("double").alias("s1"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(24,10)"))
-        .cast("double")
-        .alias("s2"),
+        (
+            F.sum(
+                F.floor(F.col("x") * F.lit(1e10) + F.lit(0.5)).cast("bigint")
+            ).cast("double")
+            / F.lit(1e10)
+        ).alias("s1"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("x") * F.col("x") * F.lit(1e10) + F.lit(0.5)
+                ).cast("bigint")
+            ).cast("double")
+            / F.lit(1e10)
+        ).alias("s2"),
     )
     stats = per_dim.select(
         F.col("dim").cast("int").alias("dim"),
@@ -2533,19 +2583,7 @@ def sample_coreset_kcenter(spark, sf_dir, k: int = 8, pool: int = 64):
 @query(
     "embedding_ood_candidates",
     oracle=f"""
-    WITH centroids AS (
-      SELECT label, CAST(pos AS INT) AS pos,
-             CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
-               AS mean_val
-      FROM (
-        SELECT label,
-               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-                 AS v,
-               unnest(range(1, len(embedding) + 1)) AS pos
-        FROM embeddings
-      )
-      GROUP BY label, pos
-    ),
+    WITH centroids AS ({_CENTROID_AGG_SQL}),
     carr AS (
       SELECT label, list(mean_val ORDER BY pos) AS cvec
       FROM centroids GROUP BY label
@@ -2566,8 +2604,11 @@ def embedding_ood_candidates(spark, sf_dir):
     farthest (squared L2) from their OWN label centroid — the
     nearest-centroid mislabel heuristic every embedding-curation
     pass runs before training a classifier head. Reuses the
-    hash-green `vector_label_centroids` aggregation verbatim (called
-    as a function — one definition), pivots the long centroid format
+    hash-green `vector_label_centroids` aggregation as ONE definition
+    on BOTH sides (Spark: called as a function; oracle: the shared
+    `_CENTROID_AGG_SQL` fragment — round 8 removed a drifted verbatim
+    copy that still carried the pre-r7 decimal-cast form), pivots the
+    long centroid format
     into per-label arrays (|labels| rows, broadcast), and computes
     each distance with the SAME left-to-right fold the knn/kcenter
     queries certify — array folds are order-deterministic where a

@@ -277,3 +277,90 @@ def test_label_centroids_bigint_overflow_envelope(spark, tmp_path):
     # only wrap once group size reaches 2^63/term_bound rows — assert
     # at least four orders of magnitude of headroom on this corpus
     assert 2**63 // term_bound > n_rows * 10**4, (term_bound, n_rows)
+
+
+def test_double_to_decimal_scale10plus_ties_diverge(spark):
+    """Family 2b (the round-8 primitive finding that drove the
+    floor-form conversions): double -> DECIMAL casts at scale >= 10
+    land on DuckDB's int128 path, which rounds exact .5 ties HALF-EVEN
+    while Spark's BigDecimal cast is HALF_UP at every scale — so
+    2^-13 (x1e12 = ...312.5) quantizes to ...313 in Spark and ...312
+    in DuckDB. scale <= 9 agrees (both half-away; pinned above). If
+    an engine upgrade makes this test fail, re-evaluate the oracle
+    lint below before relaxing anything."""
+    from pyspark.sql import functions as F
+
+    t13 = 2.0**-13
+    sp = str(
+        spark.createDataFrame([(t13,)], "v double")
+        .select(F.col("v").cast("decimal(24,12)").alias("d"))
+        .collect()[0]
+        .d
+    )
+    du = str(
+        duckdb.sql(
+            f"SELECT CAST(CAST({t13!r} AS DOUBLE) AS DECIMAL(24,12))"
+        ).fetchone()[0]
+    )
+    assert sp == "0.000122070313"  # HALF_UP
+    assert du == "0.000122070312"  # half-even
+    assert sp != du
+
+
+def test_no_oracle_casts_to_decimal_scale10plus():
+    """Lint: after the round-8 conversions (vector_norm_outliers,
+    embedding_int8_quantize, embedding_variance_profile,
+    supplier_herfindahl -> exact floor(v*10^s + 0.5) BIGINT bridges),
+    NO oracle may cast to a DECIMAL with scale >= 10 — that cast is
+    cross-engine divergent at ties (test above) and, past 2^53 of
+    scaled magnitude, at every value. Quantize the double once with
+    the floor form instead (the vector_label_centroids pattern)."""
+    import re
+
+    registry.load_all()
+    offenders = [
+        (name, m.group(0))
+        for name, sql in registry.ORACLE.items()
+        for m in re.finditer(r"DECIMAL\(\s*\d+\s*,\s*(\d+)\s*\)", sql, re.I)
+        if int(m.group(1)) >= 10
+    ]
+    assert offenders == [], offenders
+
+
+def test_variance_profile_exact_on_tie_components(spark, tmp_path):
+    """End-to-end: embeddings whose components sit exactly on the
+    1e-10 quantization tie (5*2^-11 -> x1e10 = 24414062.5, dyadic so
+    both engines compute the identical double). The pre-round-8
+    DECIMAL(24,10) bridge left that .5 to divergent cast rounding;
+    the floor(v*1e10 + 0.5) form is pinned here to full-column
+    equality against the oracle."""
+    from tests.oracle_util import oracle_df
+
+    tie = 5 * 2.0**-11
+    rows = [
+        (1, [tie, -tie, 0.125], 0),
+        (2, [tie, 3 * tie, -0.25], 0),
+        (3, [-tie, tie, 0.5], 1),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    registry.load_all()
+    name = "embedding_variance_profile"
+    got = (
+        registry.QUERIES[name](spark, sf)
+        .toPandas()
+        .sort_values(["dim"], ignore_index=True)
+    )
+    want = oracle_df(sf, registry.ORACLE[name]).sort_values(
+        ["dim"], ignore_index=True
+    )
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want) == 3
+    for c in got.columns:
+        assert list(got[c].map(str)) == list(want[c].map(str)), c
+    # dim 0's mean really crossed the quantization tie: terms
+    # (tie, tie, -tie) quantize to (24414063, 24414063, -24414062)
+    # exactly under floor(+0.5) on BOTH engines
+    assert got["mean_x"][0] == round((24414063 + 24414063 - 24414062) / 3e10, 9)
