@@ -184,6 +184,38 @@ def main() -> None:
     vectors._pq_books(spark, sf_dir)
     vectors._pq_books_portable(spark, sf_dir)
     timings["cache_warm_pre_pass"] = round(time.perf_counter() - t0, 3)
+
+    # Machine-speed canary (round 8): a FIXED pure-CPU job — no I/O,
+    # no data dependence — whose time moves only with host conditions
+    # (this guest is a VM; five back-to-back idle-guest bench runs
+    # measured totals 160-193 s with UNIFORM per-query drift, geomean
+    # pair ratios 0.92-1.12 — host co-tenancy, not plan changes).
+    # Min-of-3 to shed scheduler blips; wrapped so a canary failure
+    # can never turn the round's bench record into an rc=1 crash.
+    # prev_ratio consumers divide by the canary ratio before calling
+    # a drift a regression.
+    from pyspark.sql import functions as _F
+
+    try:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 200_000_000, 1, 32)
+                # pmod-bounded terms: a raw sum of full-range xxhash64
+                # values overflows BIGINT under ANSI mode
+                .select(
+                    _F.pmod(_F.xxhash64("id"), _F.lit(1_000_000)).alias("h")
+                )
+                .agg(_F.sum("h"))
+                .write.format("noop").mode("overwrite").save()
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings["machine_canary"] = round(best, 3)
+    except Exception as ex:  # diagnostic only — never fail the bench
+        print(f"[bench] machine_canary failed: {ex}", file=sys.stderr)
+
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
@@ -217,11 +249,23 @@ def main() -> None:
     # so regressions are visible in the next round's own record
     prev_name, prev = _prev_bench(os.path.dirname(os.path.abspath(__file__)))
     prev_ratio: dict[str, float] = {}
+    canary_ratio = None
     if prev and isinstance(prev.get("queries"), dict):
         for qname, t in timings.items():
             p = prev["queries"].get(qname)
             if p:
                 prev_ratio[qname] = round(t / p, 3)
+        # host-speed normalizer: if the previous record carries the
+        # canary, its ratio isolates machine drift from plan drift
+        p_canary = prev["queries"].get("machine_canary")
+        if p_canary and timings.get("machine_canary"):
+            canary_ratio = round(timings["machine_canary"] / p_canary, 3)
+            print(
+                f"[bench] machine_canary ratio vs {prev_name}: "
+                f"{canary_ratio}x (divide prev_ratio by this before "
+                f"calling a drift a regression)",
+                file=sys.stderr,
+            )
         comparable = [q for q in prev_ratio]
         now_sub = round(sum(timings[q] for q in comparable), 3)
         prev_sub = round(sum(prev["queries"][q] for q in comparable), 3)
@@ -249,6 +293,8 @@ def main() -> None:
     if prev_ratio:
         full["prev"] = prev_name
         full["prev_ratio"] = prev_ratio
+        if canary_ratio:
+            full["canary_ratio"] = canary_ratio
     # in-repo copy first: even if the driver's stdout capture garbles
     # the console, the structured record survives. Per-round archives
     # (BENCH_FULL_r{N}.json, copied from this file at round start)
@@ -273,6 +319,7 @@ def main() -> None:
         "sf": sf,
         "detail": "BENCH_LOCAL.json",
     }
+    compact["canary_sec"] = timings.get("machine_canary")
     if prev_ratio:
         import math
 
@@ -281,6 +328,8 @@ def main() -> None:
             math.exp(sum(math.log(r) for r in prev_ratio.values()) / len(prev_ratio)),
             3,
         )
+        if canary_ratio:
+            compact["canary_ratio"] = canary_ratio
     line = json.dumps(compact)
     # Degrade, never abort: an oversized line must not turn the round's
     # bench record into the rc=1 crash class this summary exists to
