@@ -364,3 +364,78 @@ def test_variance_profile_exact_on_tie_components(spark, tmp_path):
     # (tie, tie, -tie) quantize to (24414063, 24414063, -24414062)
     # exactly under floor(+0.5) on BOTH engines
     assert got["mean_x"][0] == round((24414063 + 24414063 - 24414062) / 3e10, 9)
+
+
+# Unrounded float64 oracle columns that are ALLOWED: each is a SINGLE
+# IEEE double operation (almost always one division) applied to
+# operands both engines derive exactly (DECIMAL sums, integer counts,
+# integer set sizes), so the result is bit-identical by IEEE-754
+# determinism without a ROUND grain. Anything NOT in this list must
+# either ROUND(...,9) on both sides or earn an entry here with the
+# same argument. (query, column) -> why.
+_UNROUNDED_FLOAT_ALLOW = {
+    # exact-BIGINT quantized sum / 1e9 / count — the r7 centroid form
+    ("vector_label_centroids", "mean_val"): "bigint_sum/1e9/count",
+    # integer intersection / integer union (set sizes)
+    ("neardup_ngram_jaccard", "jaccard"): "int/int",
+    ("neardup_ngram_jaccard_uncapped_audit", "jaccard"): "int/int",
+    ("neardup_containment", "contain_a"): "int/int",
+    ("neardup_containment", "contain_b"): "int/int",
+    # DECIMAL-exact sum cast to double / integer count (TPC-H avgs)
+    ("q1_pricing_summary", "avg_qty"): "decimal_sum/count",
+    ("q1_pricing_summary", "avg_price"): "decimal_sum/count",
+    ("q1_pricing_summary", "avg_disc"): "decimal_sum/count",
+    ("q17_small_quantity_revenue", "avg_yearly"): "decimal_sum/const",
+    ("q2_min_cost_supplier", "unit_cost"): "decimal/decimal",
+    ("q8_market_share", "mkt_share"): "decimal/decimal",
+    ("agg_multi_measure", "avg_price"): "decimal_sum/count",
+    ("agg_weighted_avg", "wavg_price"): "decimal_sum/decimal_sum",
+    # integer character counts / integer length
+    ("text_quality_scores", "space_ratio"): "int/int",
+    # greatest/least of literal-derived doubles (no accumulation)
+    ("f_greatest_least_bits", "g"): "pure_literal_expr",
+    ("f_greatest_least_bits", "l"): "pure_literal_expr",
+}
+
+
+def test_unrounded_float_oracle_columns_are_allowlisted():
+    """Sweeping audit (round 8): every float64 column an oracle emits
+    must be ROUND(...,9)-quantized — the CLAUDE.md float-output
+    discipline — unless it is allowlisted above as a single IEEE
+    operation on engine-identical exact operands. Catches a future
+    oracle leaking an unguarded float accumulation into the value
+    hash. Runs all 282 oracles on DuckDB at sf0.001."""
+    import os
+
+    import duckdb
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+        " documents embeddings"
+    ).split():
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    offenders = []
+    for name, sql in registry.ORACLE.items():
+        df = con.execute(sql).df()
+        for c in df.columns:
+            if df[c].dtype != "float64":
+                continue
+            vals = df[c].dropna()
+            if len(vals) and not all(x == round(x, 9) for x in vals):
+                if (name, c) not in _UNROUNDED_FLOAT_ALLOW:
+                    offenders.append((name, c, [x for x in vals][:2]))
+    assert offenders == [], offenders
+    # and the allowlist carries no stale entries for renamed queries
+    stale = [
+        (q, c)
+        for q, c in _UNROUNDED_FLOAT_ALLOW
+        if q not in registry.ORACLE
+    ]
+    assert stale == [], stale
