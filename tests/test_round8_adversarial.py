@@ -439,3 +439,35 @@ def test_unrounded_float_oracle_columns_are_allowlisted():
         if q not in registry.ORACLE
     ]
     assert stale == [], stale
+
+
+def test_money_and_value_columns_are_two_decimal_grid():
+    """Data canary (round 8): the quantization-tie analysis rests on
+    every raw money/value double sitting EXACTLY on the 2-decimal
+    grid — scaled by 10^s (s >= 2) such values land on integers,
+    never near a .5 cast tie, which is why the wide money-tier
+    DECIMAL(18,2/4/6) bridges are tie-free BY DATA (computed ratios /
+    embedding components, which are NOT grid-aligned, use ROUND(9) or
+    the exact floor form instead). If the driver ever regenerates
+    testdata with full-mantissa doubles, this fails and points at the
+    analysis to redo — the test_ntz_timestamps pattern for a
+    different regen hazard."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01"):
+        n_off = duckdb.sql(
+            f"""
+            SELECT
+              (SELECT COUNT(*) FILTER (value != ROUND(value, 2))
+               FROM read_parquet('/root/testdata/{sf}/events.parquet'))
+            + (SELECT COUNT(*) FILTER (l_extendedprice != ROUND(l_extendedprice, 2))
+               FROM read_parquet('/root/testdata/{sf}/lineitem.parquet'))
+            + (SELECT COUNT(*) FILTER (o_totalprice != ROUND(o_totalprice, 2))
+               FROM read_parquet('/root/testdata/{sf}/orders.parquet'))
+            + (SELECT COUNT(*) FILTER (s_acctbal != ROUND(s_acctbal, 2))
+               FROM read_parquet('/root/testdata/{sf}/supplier.parquet'))
+            + (SELECT COUNT(*) FILTER (c_acctbal != ROUND(c_acctbal, 2))
+               FROM read_parquet('/root/testdata/{sf}/customer.parquet'))
+            """
+        ).fetchone()[0]
+        assert n_off == 0, (sf, n_off)
