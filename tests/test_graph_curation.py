@@ -255,6 +255,18 @@ def test_graph_kcore_peel_matches_python_recompute(spark):
     assert all(
         a[1] >= b[1] and a[2] >= b[2] for a, b in zip(want, want[1:])
     )
+    # and KCORE_ROUNDS isn't truncating on this corpus: one MORE
+    # python peel round changes nothing, so the certified
+    # bounded-round trajectory ends AT the k-core fixpoint (the
+    # docstring's "production loops to the fixpoint" claim costs zero
+    # extra rounds here)
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    surv = {x for x, d in deg.items() if d >= KCORE_K}
+    extra = {(u, v) for u, v in edges if u in surv and v in surv}
+    assert (len(surv), len(extra)) == (want[-1][1], want[-1][2])
 
 
 def test_graph_assortativity_matches_numpy_pearson(spark):
