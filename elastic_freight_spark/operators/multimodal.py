@@ -166,7 +166,11 @@ def _real_or_fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int
     if media_type == "image" and payload.startswith(PNG_MAGIC):
         try:
             w, h, _, _ = decode_png(payload)
-        except ValueError:
+        except Exception:
+            # ValueError for out-of-profile PNGs, but also zlib.error /
+            # struct.error / IndexError for corrupt bytes that carry the
+            # magic — a bad payload must degrade to the fake, never kill
+            # the whole Arrow batch
             return _fake_decode(payload, media_type)
         import zlib
 

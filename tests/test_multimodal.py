@@ -278,3 +278,28 @@ def test_real_png_through_decode_stage(spark):
     assert means[0] == sum(x * 50 for x in range(5)) * 3 / 15  # R: col ramp
     assert means[1] == sum(y * 80 for y in range(3)) * 5 / 15  # G: row ramp
     assert means[2] == 7.0  # B: constant
+
+
+def test_corrupt_png_magic_degrades_to_fake(spark):
+    """A payload carrying the PNG magic but corrupt bytes (truncated
+    IDAT, garbage chunks) must degrade to the deterministic fake
+    decoder — never propagate zlib/struct errors out of the Arrow
+    batch."""
+    import zlib
+
+    from elastic_freight_spark.operators.multimodal import (
+        PNG_MAGIC,
+        decode_media,
+    )
+
+    corrupt = PNG_MAGIC + b"\x00\x00\x00\x0dIHDRgarbage!!"
+    truncated = _encode_png(PNG_ROWS, 3)[:-20]  # chop IEND + IDAT tail
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(corrupt)), (2, "image", bytearray(truncated))],
+        "doc_id long, media_type string, content binary",
+    )
+    feats = {r["doc_id"]: r for r in decode_media(media).collect()}
+    for did, payload in ((1, corrupt), (2, truncated)):
+        h = zlib.crc32(payload)
+        assert feats[did]["width"] == 16 + (h % 2048)  # fake path
+        assert feats[did]["feature_hash"] == h
