@@ -90,7 +90,10 @@ def decode_png(payload: bytes):
     pixels)`` with pixels as a list of per-row bytearrays of
     unfiltered samples. Raises ValueError on anything outside the
     profile — the caller falls back to the deterministic fake, which
-    keeps the scale tests codec-free."""
+    keeps the scale tests codec-free. Chunk CRCs are NOT verified
+    (payload integrity is already covered by meta.sha256; corrupt
+    bytes surface as zlib/struct errors, which the dispatch degrades
+    to the fake path)."""
     import struct
     import zlib
 

@@ -89,6 +89,53 @@ def test_double_to_decimal_quantize_ties_cross_engine(spark):
         assert got[v] == want, (v, got[v], want)
 
 
+def test_double_to_decimal_ties_agree_at_every_coarse_scale(spark):
+    """Family 2 completion: the half-away tie agreement holds at every
+    int64-backed scale the money tier uses (2, 4, 6) and at scale 9 —
+    the divergence starts exactly at scale 10 (int128 path, pinned
+    below). Ties constructed per scale s as odd multiples of
+    2^-(s_bits) where v*10^s is an exact .5."""
+    from pyspark.sql import functions as F
+
+    per_scale = {
+        2: [5 * 2.0**-3, -5 * 2.0**-3, 3 * 2.0**-3],
+        4: [5 * 2.0**-5, -5 * 2.0**-5, 7 * 2.0**-5],
+        6: [5 * 2.0**-7, -5 * 2.0**-7, 11 * 2.0**-7],
+        9: [2.0**-10, -(2.0**-10), 3 * 2.0**-10],
+    }
+    for s, vals in per_scale.items():
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = {
+            r.v: str(r.d)
+            for r in df.select(
+                "v", F.col("v").cast(f"decimal(18,{s})").alias("d")
+            ).collect()
+        }
+        for v in vals:
+            assert (v * 10**s) % 1 == 0.5, (s, v)  # really a tie
+            want = str(
+                _duck_one(
+                    "CAST(CAST({v} AS DOUBLE) AS DECIMAL(18,%d))" % s, v
+                )
+            )
+            assert got[v] == want, (s, v, got[v], want)
+
+
+def test_round_normalizer_is_idempotent():
+    """Double-normalization must not stack '+ 0' wrappers — a future
+    caller passing already-registered oracle text back through
+    query() would otherwise grow the SQL on every pass."""
+    cases = [
+        "SELECT ROUND(x, 9) AS r FROM t",
+        "SELECT ROUND(ROUND(x,4), 2)",
+        "SELECT LENGTH('ROUND(') + ROUND(x,1)",
+        "SELECT ROUND(a / NULLIF(b,0), 9) FROM t ORDER BY ROUND(a, 2)",
+    ]
+    for src in cases:
+        once = _normalize_round_zero_sign(src)
+        assert _normalize_round_zero_sign(once) == once, src
+
+
 def test_decimal_scale_down_cast_diverges_and_is_banned(spark):
     """Family 3: DECIMAL(18,4) -> DECIMAL(18,2) rounds HALF_UP in
     Spark but TRUNCATES toward zero in DuckDB — divergent at any
