@@ -262,8 +262,9 @@ def main() -> None:
             canary_ratio = round(timings["machine_canary"] / p_canary, 3)
             print(
                 f"[bench] machine_canary ratio vs {prev_name}: "
-                f"{canary_ratio}x (divide prev_ratio by this before "
-                f"calling a drift a regression)",
+                f"{canary_ratio}x (a pure-CPU host-speed probe: when "
+                f"it moves with prev_ratio_geomean the shift is "
+                f"host-wide, not a plan regression)",
                 file=sys.stderr,
             )
         comparable = [q for q in prev_ratio]
