@@ -58,6 +58,10 @@ HEADLINE = [
     "q10_returned_items",
     "quality_filter_chain",
     "q9_product_profit",
+    "q4_order_priority",
+    "q12_shipping_lanes",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",

@@ -1,5 +1,6 @@
 """Deep relational shapes: the remaining classic TPC-H query patterns
-(Q7/Q8/Q9/Q11/Q13/Q16/Q17/Q19/Q21/Q22), adapted to the FIXTURES.md
+(Q4/Q7/Q8/Q9/Q11/Q12/Q13/Q14/Q16/Q17/Q18/Q19/Q21/Q22 — with these all
+22 TPC-H shapes are registered), adapted to the FIXTURES.md
 schema (no partsupp/commitdate/shipmode columns — each query keeps the
 *shape* that stresses the optimizer: multi-way broadcast joins,
 conditional market-share ratios, HAVING against a scalar subquery,
@@ -25,7 +26,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from elastic_freight_spark.functions import davg, dsum, sql_davg, sql_dsum
+from elastic_freight_spark.functions import (
+    DEC,
+    date_str,
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
 from elastic_freight_spark.registry import query
 from elastic_freight_spark.session import load_tables
 
@@ -1086,4 +1094,208 @@ def customer_repeat_purchase_curve(spark, sf_dir):
             ),
         )
         .orderBy("window_days")
+    )
+
+
+# --- round 8: the four remaining TPC-H shapes (Q4/Q12/Q14/Q18) ------------
+#
+# With these, all 22 TPC-H query *shapes* are registered (the fixture
+# has no commitdate/receiptdate/shipmode, so Q4's "late" predicate and
+# Q12's lane dimension are adapted exactly the way Q21 adapted
+# sole-blame to returnflag — the plan shapes are the canonical ones).
+# Gap arithmetic follows the repo timestamp rule: integer microseconds
+# via unix_micros/epoch_us on both sides, never cast-to-long.
+
+_US_PER_DAY = 86_400 * 1_000_000
+
+
+@query(
+    "q4_order_priority",
+    oracle=f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+              > {60 * _US_PER_DAY}
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: order-priority checking — how many orders per
+    priority class in one quarter had at least one line that shipped
+    late (no commitdate/receiptdate in the fixture, so 'late' = any
+    line shipping >60 days after the order date; same correlated-
+    EXISTS plan as the canonical query). The EXISTS is a left-semi
+    join on l_orderkey with the gap predicate as an extra join
+    condition — lineitem is projected to (l_orderkey, l_shipdate)
+    before the shuffle, and the quarter filter prunes the orders scan
+    first, so the semi-join's left side is ~1/28 of orders. One
+    shuffle pair on the join key, then a 5-group aggregate."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    lines = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late_gap = (
+        F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate")
+        > F.lit(60 * _US_PER_DAY)
+    )
+    sel = orders.join(
+        lines,
+        (F.col("o_orderkey") == F.col("l_orderkey")) & late_gap,
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q12_shipping_lanes",
+    oracle=f"""
+    SELECT l_returnflag AS ship_lane,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND epoch_us(l_shipdate) - epoch_us(o_orderdate) > {30 * _US_PER_DAY}
+      AND epoch_us(l_shipdate) - epoch_us(o_orderdate) <= {90 * _US_PER_DAY}
+    GROUP BY l_returnflag
+    """,
+)
+def q12_shipping_lanes(spark, sf_dir):
+    """TPC-H Q12 shape: priority mix per shipping lane — lines shipped
+    in 1997 within a (30, 90]-day order-to-ship window, split into
+    urgent/high vs other order priorities per lane (the fixture has no
+    l_shipmode; l_returnflag is the per-line categorical standing in
+    as the lane, per the module's adaptation rule). The year filter
+    reaches the lineitem scan; the gap window needs o_orderdate so it
+    applies right after the one fact-fact join (both sides projected
+    to 3 columns before the l_orderkey shuffle); the CASE split is a
+    conditional-sum pair in a single 3-group aggregate — no second
+    pass, no pivot."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    orders = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    gap = F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            (gap > F.lit(30 * _US_PER_DAY)) & (gap <= F.lit(90 * _US_PER_DAY))
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_lane"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST({_SQL_REV} AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST({_SQL_REV} AS DECIMAL(18,4))) AS DOUBLE)
+               AS promo_share,
+           {sql_dsum(f"CASE WHEN p_type = 'PROMO' THEN {_SQL_REV} ELSE 0 END",
+                     'promo_revenue')},
+           {sql_dsum(_SQL_REV, 'total_revenue')}
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: PROMO parts' share of one quarter's revenue.
+    part is broadcast; the quarter filter reaches the lineitem scan;
+    both the conditional and total revenue ride ONE aggregate pass as
+    exact DECIMAL(18,4) sums (the q8_market_share discipline), and the
+    share is a single IEEE division of the two exact sums — allowlisted
+    unrounded per tests/test_round8_adversarial._UNROUNDED_FLOAT_ALLOW."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev4 = _rev().cast("decimal(18,4)")
+    zero4 = F.lit(0).cast("decimal(18,4)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev4).otherwise(zero4))
+    total = F.sum(rev4)
+    return (
+        li.join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (promo.cast("double") / total.cast("double")).alias("promo_share"),
+            promo.cast("double").alias("promo_revenue"),
+            total.cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume customers — the top 100 orders by
+    total price whose summed line quantity exceeds 300. The quantity
+    sum is DECIMAL-exact and the HAVING threshold is a decimal-vs-
+    integer compare (never float). The aggregate runs on l_orderkey
+    BEFORE the joins, so the orders join sees only the qualifying
+    (rare: ~0.5%) orderkeys on the same key as the aggregate shuffle
+    — AQE reuses the exchange — and customer is broadcast. Top-100
+    plans as TakeOrderedAndProject with the unique o_orderkey as the
+    deterministic tie-break under the price ordering."""
+    t = load_tables(spark, sf_dir)
+    qty = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 300)
+    )
+    j = (
+        qty.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey")
+        )
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            date_str("o_orderdate", "orderdate"),
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
     )

@@ -435,6 +435,7 @@ _UNROUNDED_FLOAT_ALLOW = {
     ("q17_small_quantity_revenue", "avg_yearly"): "decimal_sum/const",
     ("q2_min_cost_supplier", "unit_cost"): "decimal/decimal",
     ("q8_market_share", "mkt_share"): "decimal/decimal",
+    ("q14_promo_revenue", "promo_share"): "decimal/decimal",
     ("agg_multi_measure", "avg_price"): "decimal_sum/count",
     ("agg_weighted_avg", "wavg_price"): "decimal_sum/decimal_sum",
     # integer character counts / integer length

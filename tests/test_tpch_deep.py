@@ -339,3 +339,114 @@ def test_part_substitution_candidates_semantics(spark):
             if t2 == ptype and s2 == size and b2 != brand and p < price
         )
         assert (round(best[0], 2), best[1]) == (r["alt_price"], r["alt_partkey"])
+
+
+# --- round 8: the final four TPC-H shapes (Q4/Q12/Q14/Q18) ----------------
+
+
+def test_q4_plans_semi_join_with_gap_condition(spark):
+    """The EXISTS must be a physical left-semi join (not an inner join
+    + distinct), with the quarter filter pushed to the orders scan."""
+    from elastic_freight_spark.operators.tpch_deep import q4_order_priority
+
+    df = q4_order_priority(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert_pushed_filters(df, "o_orderdate")
+    assert_no_python_in_plan(df)
+
+
+def test_q4_counts_match_manual_exists(spark, tables):
+    """Each priority bucket equals a manual recompute: distinct
+    quarter orders having any line with ship-order gap > 60 days."""
+    from elastic_freight_spark.operators.tpch_deep import q4_order_priority
+
+    got = {
+        r["o_orderpriority"]: r["order_count"]
+        for r in q4_order_priority(spark, SF_DIR).collect()
+    }
+    o = tables["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    manual = (
+        o.join(tables["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate")
+            > 60 * 86_400 * 1_000_000
+        )
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    assert got == {r["o_orderpriority"]: r["count"] for r in manual}
+    assert sum(got.values()) > 0
+
+
+def test_q12_high_low_partition_the_window(spark, tables):
+    """high + low line counts must exactly partition the lines inside
+    the (30, 90]-day gap window shipped in 1997 — no line dropped or
+    double-counted by the CASE split."""
+    from elastic_freight_spark.operators.tpch_deep import q12_shipping_lanes
+
+    out = q12_shipping_lanes(spark, SF_DIR).collect()
+    gap = F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate")
+    expected = (
+        tables["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(tables["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            (gap > 30 * 86_400 * 1_000_000) & (gap <= 90 * 86_400 * 1_000_000)
+        )
+        .count()
+    )
+    assert sum(r["high_line_count"] + r["low_line_count"] for r in out) == expected
+    assert expected > 0
+
+
+def test_q14_share_is_the_single_division_of_its_own_sums(spark):
+    """promo_share must equal promo_revenue / total_revenue bit-exactly
+    (all three ride ONE aggregate), part is broadcast, and the quarter
+    filter reaches the lineitem scan."""
+    from elastic_freight_spark.operators.tpch_deep import q14_promo_revenue
+
+    df = q14_promo_revenue(spark, SF_DIR)
+    assert_broadcast_join(df)
+    assert_pushed_filters(df, "l_shipdate")
+    row = df.first()
+    assert row["promo_share"] == row["promo_revenue"] / row["total_revenue"]
+    assert 0.0 < row["promo_share"] < 1.0
+    assert row["promo_revenue"] < row["total_revenue"]
+
+
+def test_q18_threshold_ordering_and_plan(spark, tables):
+    """Every emitted order's quantity sum must really exceed 300
+    (recomputed from lineitem), rows arrive price-descending with the
+    unique orderkey tie-break, and the top-100 plans as
+    TakeOrderedAndProject (no global sort materialization)."""
+    from elastic_freight_spark.operators.tpch_deep import (
+        q18_large_volume_customers,
+    )
+
+    df = q18_large_volume_customers(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 100
+    keys = [(-r["o_totalprice"], r["o_orderkey"]) for r in rows]
+    assert keys == sorted(keys)
+    recomputed = {
+        r["l_orderkey"]: r["q"]
+        for r in tables["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .collect()
+    }
+    for r in rows:
+        assert float(recomputed[r["o_orderkey"]]) == r["total_qty"]
+        assert r["total_qty"] > 300

@@ -15,6 +15,7 @@ pins in-suite.
 Usage:
     python tools/invariance_sweep.py            # sf0.001, widths 3/32
     INV_SF_DIR=... INV_WIDTHS=5,32 python tools/invariance_sweep.py
+    INV_ONLY=name1,name2 ...                    # targeted (new queries)
 
 Prints one JSON line {"checked": N, "skipped": [...], "failed": [...]};
 exit 1 on failures. Streaming-shaped and audit-tier queries run too —
@@ -48,6 +49,9 @@ def main() -> None:
     registry.load_all()
     failed, skipped = [], []
     names = list(registry.QUERIES)
+    only = os.environ.get("INV_ONLY")
+    if only:  # targeted re-check for newly added queries
+        names = [n for n in names if n in set(only.split(","))]
     for i, name in enumerate(names):
         keys = []
         try:
