@@ -13,9 +13,12 @@ to text). Design:
   reads a single payload page).
 * **Decode**: PNG payloads decode for REAL through a pure-stdlib
   codec (:func:`decode_png` — zlib inflate + all five scanline
-  filters; the container ships no PIL/ffmpeg); everything else runs
-  a clearly-marked deterministic fake (feature values derived from a
-  stable hash of the payload) unless a real decoder is injected. The
+  filters; the container ships no PIL/ffmpeg), and WAV audio parses
+  for REAL through a pure-stdlib RIFF walker (:func:`decode_wav` —
+  fmt/data chunks → channels/rate/bits/frames/duration); everything
+  else runs a clearly-marked deterministic fake (feature values
+  derived from a stable hash of the payload) unless a real decoder
+  is injected. The
   Spark-side plumbing — binary Arrow batches, ``mapInPandas``
   signature, output schema, partition sizing — is identical on both
   paths; swapping in PIL/ffmpeg later changes only the inner
@@ -159,13 +162,62 @@ def decode_png(payload: bytes):
     return width, height, channels, rows
 
 
+def decode_wav(payload: bytes):
+    """REAL WAV (RIFF/WAVE) metadata parser, pure stdlib (struct) —
+    the audio twin of :func:`decode_png`. Walks the word-aligned RIFF
+    chunk list for ``fmt `` and ``data``; supports uncompressed PCM
+    (format tag 1) and IEEE-float (tag 3). Returns ``(channels,
+    sample_rate, bits_per_sample, n_frames, duration_ms)`` with
+    duration computed from the data-chunk byte length, never trusted
+    from a header field. Raises ValueError outside the profile (or on
+    a duration that would overflow the int32 DECODE_SCHEMA column) —
+    the caller degrades to the deterministic fake, keeping scale
+    tests codec-free."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, n = 12, len(payload)
+    fmt = None
+    data_len = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        start = pos + 8
+        pos = start + length + (length & 1)  # RIFF chunks are word-aligned
+        if cid == b"fmt ":
+            if length < 16 or start + 16 > n:
+                raise ValueError("short fmt chunk")
+            tag, channels, rate, _brate, block_align, bits = struct.unpack(
+                "<HHIIHH", payload[start : start + 16]
+            )
+            if tag not in (1, 3):  # PCM / IEEE float only
+                raise ValueError(f"unsupported format tag {tag}")
+            if channels == 0 or rate == 0 or block_align == 0:
+                raise ValueError("degenerate fmt chunk")
+            fmt = (channels, rate, bits, block_align)
+        elif cid == b"data":
+            # never trust a declared length past EOF (truncated file);
+            # no slice — the data chunk is the fat one
+            data_len = min(length, max(0, n - start))
+    if fmt is None or data_len is None:
+        raise ValueError("truncated WAV")
+    channels, rate, bits, block_align = fmt
+    n_frames = data_len // block_align
+    duration_ms = (n_frames * 1000) // rate
+    if duration_ms > 2**31 - 1:
+        raise ValueError("duration overflows int32")
+    return channels, rate, bits, n_frames, duration_ms
+
+
 def _real_or_fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, int]:
-    """Default decoder: REAL pure-python PNG decode when the payload
-    is one (magic-sniffed), the deterministic fake otherwise. The
-    synthetic corpus (text bytes) always takes the fake path, so scale
-    tests stay codec-free; real PNG bytes exercise the actual codec
+    """Default decoder: REAL pure-python PNG decode for PNG payloads
+    and REAL pure-python WAV metadata parse for WAV payloads (both
+    magic-sniffed), the deterministic fake otherwise. The synthetic
+    corpus (text bytes) always takes the fake path, so scale tests
+    stay codec-free; real PNG/WAV bytes exercise the actual codecs
     through the SAME mapInPandas stage —
-    tests/test_multimodal.py pins both paths."""
+    tests/test_multimodal.py pins all paths."""
     if media_type == "image" and payload.startswith(PNG_MAGIC):
         try:
             w, h, _, _ = decode_png(payload)
@@ -178,6 +230,22 @@ def _real_or_fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int
         import zlib
 
         return w, h, 0, zlib.crc32(payload)
+    if (
+        media_type == "audio"
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        try:
+            _, _, _, _, duration_ms = decode_wav(payload)
+        except Exception:
+            # same degrade contract as the PNG path: struct.error /
+            # ValueError on corrupt-but-magic'd bytes → fake, never a
+            # batch-killing raise
+            return _fake_decode(payload, media_type)
+        import zlib
+
+        return 0, 0, duration_ms, zlib.crc32(payload)
     return _fake_decode(payload, media_type)
 
 

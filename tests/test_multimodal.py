@@ -303,3 +303,127 @@ def test_corrupt_png_magic_degrades_to_fake(spark):
         h = zlib.crc32(payload)
         assert feats[did]["width"] == 16 + (h % 2048)  # fake path
         assert feats[did]["feature_hash"] == h
+
+
+# --- real WAV parser (round-8 cont.: the audio decode pin is honest) --------
+
+
+def _encode_wav(channels=2, rate=16_000, width=2, n_frames=800, extra_chunk=False):
+    """Minimal test-side WAV ENCODER: the stdlib `wave` writer for the
+    canonical file, or a hand-rolled RIFF for the extra/odd-chunk
+    layout decode_wav's chunk walker must skip over."""
+    import io
+    import struct
+    import wave
+
+    if not extra_chunk:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(
+                b"".join(
+                    struct.pack("<h" if width == 2 else "<b", (i * 7) % 120)
+                    * channels
+                    for i in range(n_frames)
+                )
+            )
+        return buf.getvalue()
+    # hand-rolled: fmt, an odd-length LIST chunk (forces the word-align
+    # +1 skip), then data
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * width,
+                      channels * width, width * 8)
+    data = bytes(n_frames * channels * width)
+    odd = b"INFOabc"  # 7 bytes — odd, so a pad byte follows
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(odd)) + odd + b"\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_parser_recovers_format_metadata():
+    """decode_wav recovers channels/rate/bits/frames/duration from
+    real `wave`-module output across layouts, including a chunk list
+    with an odd-length LIST chunk before data (word-alignment)."""
+    from elastic_freight_spark.operators.multimodal import decode_wav
+
+    for kw, want in [
+        (dict(channels=2, rate=16_000, width=2, n_frames=800),
+         (2, 16_000, 16, 800, 50)),
+        (dict(channels=1, rate=8_000, width=1, n_frames=12_000),
+         (1, 8_000, 8, 12_000, 1_500)),
+        (dict(channels=2, rate=44_100, width=2, n_frames=44_100),
+         (2, 44_100, 16, 44_100, 1_000)),
+        (dict(channels=1, rate=16_000, width=2, n_frames=400,
+              extra_chunk=True),
+         (1, 16_000, 16, 400, 25)),
+    ]:
+        assert decode_wav(_encode_wav(**kw)) == want, kw
+
+
+def test_real_wav_through_decode_stage(spark):
+    """End-to-end: REAL WAV bytes through the SAME mapInPandas decode
+    stage the registered mm_decode_features plan runs — duration_ms
+    comes from the actual fmt/data parse, non-WAV audio payloads still
+    take the deterministic fake, and image dispatch is untouched."""
+    import zlib
+
+    from elastic_freight_spark.operators.multimodal import decode_media
+
+    wav = _encode_wav(channels=2, rate=16_000, width=2, n_frames=8_000)
+    not_wav = b"opus-encoded-or-whatever"
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav)), (2, "audio", bytearray(not_wav))],
+        "doc_id long, media_type string, content binary",
+    )
+    feats = {r["doc_id"]: r for r in decode_media(media).collect()}
+    assert feats[1]["duration_ms"] == 500  # 8000 frames @ 16 kHz
+    assert (feats[1]["width"], feats[1]["height"]) == (0, 0)
+    assert feats[1]["feature_hash"] == zlib.crc32(wav)
+    assert feats[1]["n_bytes"] == len(wav)
+    h = zlib.crc32(not_wav)
+    assert feats[2]["duration_ms"] == h % 600_000  # fake path
+    assert feats[2]["feature_hash"] == h
+
+
+def test_corrupt_wav_magic_degrades_to_fake(spark):
+    """RIFF/WAVE magic with corrupt innards (no fmt chunk, zero-rate
+    fmt, compressed format tag) must degrade to the deterministic fake
+    — never propagate struct/Value errors out of the Arrow batch; and
+    a WAV payload typed as video must NOT take the audio path."""
+    import struct
+    import zlib
+
+    from elastic_freight_spark.operators.multimodal import decode_media
+
+    no_fmt = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+    bad_fmt = (
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 0, 0, 0, 8)  # rate/align zero
+        + b"data" + struct.pack("<I", 0)
+    )
+    mp3ish = (
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 85, 2, 44_100, 0, 4, 16)  # tag 85 = MP3
+        + b"data" + struct.pack("<I", 0)
+    )
+    real = _encode_wav()
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(no_fmt)),
+            (2, "audio", bytearray(bad_fmt)),
+            (3, "audio", bytearray(mp3ish)),
+            (4, "video", bytearray(real)),  # wrong media_type → fake
+        ],
+        "doc_id long, media_type string, content binary",
+    )
+    feats = {r["doc_id"]: r for r in decode_media(media).collect()}
+    for did, payload in ((1, no_fmt), (2, bad_fmt), (3, mp3ish), (4, real)):
+        h = zlib.crc32(payload)
+        assert feats[did]["duration_ms"] == h % 600_000, did  # fake path
+        assert feats[did]["feature_hash"] == h, did
