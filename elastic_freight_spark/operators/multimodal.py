@@ -13,9 +13,12 @@ to text). Design:
   reads a single payload page).
 * **Decode**: PNG payloads decode for REAL through a pure-stdlib
   codec (:func:`decode_png` — zlib inflate + all five scanline
-  filters; the container ships no PIL/ffmpeg), and WAV audio parses
+  filters; the container ships no PIL/ffmpeg), WAV audio parses
   for REAL through a pure-stdlib RIFF walker (:func:`decode_wav` —
-  fmt/data chunks → channels/rate/bits/frames/duration); everything
+  fmt/data chunks → channels/rate/bits/frames/duration), and AVI
+  video parses for REAL through the same walker descending into
+  LIST/'hdrl' for the ``avih`` main header (:func:`decode_avi` —
+  width/height/frames/frame-period/duration); everything
   else runs a clearly-marked deterministic fake (feature values
   derived from a stable hash of the payload) unless a real decoder
   is injected. The
@@ -210,10 +213,60 @@ def decode_wav(payload: bytes):
     return channels, rate, bits, n_frames, duration_ms
 
 
+def decode_avi(payload: bytes):
+    """REAL AVI (RIFF/'AVI ') metadata parser, pure stdlib (struct) —
+    the video leg of the decode trio (PNG image / WAV audio / AVI
+    video; all three modalities now parse a real container format).
+    Walks top-level RIFF chunks, descends into the LIST/'hdrl' list
+    for the ``avih`` main header, and returns ``(width, height,
+    n_frames, us_per_frame, duration_ms)`` with duration =
+    frames x us-per-frame (the avih contract; stream-level drift is a
+    codec concern, not a container one). Raises ValueError outside
+    the profile (missing/short avih, zero frame period, int32
+    duration overflow) — the caller degrades to the deterministic
+    fake."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    n = len(payload)
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            cid = payload[pos : pos + 4]
+            (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            start = pos + 8
+            end = min(start + length, hi)
+            pos = start + length + (length & 1)
+            if cid == b"LIST" and end - start >= 4:
+                if payload[start : start + 4] == b"hdrl":
+                    found = walk(start + 4, end)
+                    if found is not None:
+                        return found
+            elif cid == b"avih":
+                if end - start < 40:
+                    raise ValueError("short avih chunk")
+                return struct.unpack("<IIIIIIIIII", payload[start : start + 40])
+        return None
+
+    avih = walk(12, n)
+    if avih is None:
+        raise ValueError("no avih header")
+    us_per_frame, _, _, _, n_frames, _, _, _, width, height = avih
+    if us_per_frame == 0:
+        raise ValueError("zero frame period")
+    duration_ms = (n_frames * us_per_frame) // 1000
+    if duration_ms > 2**31 - 1:
+        raise ValueError("duration overflows int32")
+    return width, height, n_frames, us_per_frame, duration_ms
+
+
 def _real_or_fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, int]:
-    """Default decoder: REAL pure-python PNG decode for PNG payloads
-    and REAL pure-python WAV metadata parse for WAV payloads (both
-    magic-sniffed), the deterministic fake otherwise. The synthetic
+    """Default decoder: REAL pure-python PNG decode for PNG payloads,
+    REAL WAV metadata parse for WAV payloads, REAL AVI metadata parse
+    for AVI payloads (all magic-sniffed), the deterministic fake
+    otherwise. The synthetic
     corpus (text bytes) always takes the fake path, so scale tests
     stay codec-free; real PNG/WAV bytes exercise the actual codecs
     through the SAME mapInPandas stage —
@@ -246,6 +299,19 @@ def _real_or_fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int
         import zlib
 
         return 0, 0, duration_ms, zlib.crc32(payload)
+    if (
+        media_type == "video"
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"AVI "
+    ):
+        try:
+            w, h, _, _, duration_ms = decode_avi(payload)
+        except Exception:
+            return _fake_decode(payload, media_type)
+        import zlib
+
+        return w, h, duration_ms, zlib.crc32(payload)
     return _fake_decode(payload, media_type)
 
 
@@ -327,7 +393,10 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash long"
 
 def sample_frames(media: DataFrame, every_ms: int = 60_000) -> DataFrame:
     """Frame-sampling stage (video only): one output row per sampled
-    frame — a row-exploding mapInPandas (the real version yields
+    frame — a row-exploding mapInPandas. Durations come from the
+    default dispatch, so a real AVI payload samples at its TRUE
+    container duration while the synthetic corpus keeps the
+    deterministic fake (the real-real version would also yield
     decoded frame bytes; the fake yields per-frame hashes)."""
     import zlib
 
@@ -335,7 +404,7 @@ def sample_frames(media: DataFrame, every_ms: int = 60_000) -> DataFrame:
         for pdf in it:
             ids, idxs, hashes = [], [], []
             for d, p, m in zip(pdf["doc_id"], pdf["content"], pdf["media_type"]):
-                _, _, dur, _ = _fake_decode(p, m)
+                _, _, dur, _ = _real_or_fake_decode(p, m)
                 for i in range(max(1, dur // every_ms)):
                     ids.append(d)
                     idxs.append(i)

@@ -427,3 +427,108 @@ def test_corrupt_wav_magic_degrades_to_fake(spark):
         h = zlib.crc32(payload)
         assert feats[did]["duration_ms"] == h % 600_000, did  # fake path
         assert feats[did]["feature_hash"] == h, did
+
+
+# --- real AVI parser (round-8 cont.: the video decode pin is honest) --------
+
+
+def _encode_avi(width=320, height=240, n_frames=900, us_per_frame=33_333,
+                junk_before_hdrl=False, avih_len=56):
+    """Minimal test-side AVI ENCODER (hand-rolled RIFF): LIST/'hdrl'
+    holding an avih main header, then an empty LIST/'movi' — the
+    canonical layout decode_avi's recursive walker must navigate,
+    optionally with a JUNK chunk first (real muxers emit these)."""
+    import struct
+
+    avih = struct.pack(
+        "<IIIIIIIIII",
+        us_per_frame, 4_000_000, 0, 0x10, n_frames, 0, 1, 65536, width, height,
+    ) + bytes(avih_len - 40)
+    hdrl_body = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi_body = b"movi"
+    chunks = b""
+    if junk_before_hdrl:
+        junk = b"filler!"  # odd length — exercises the pad-byte skip
+        chunks += b"JUNK" + struct.pack("<I", len(junk)) + junk + b"\x00"
+    chunks += b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    chunks += b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"AVI " + chunks
+
+
+def test_avi_parser_recovers_main_header():
+    """decode_avi recovers width/height/frames/frame-period/duration
+    from the avih header, through JUNK chunks and nested LISTs."""
+    from elastic_freight_spark.operators.multimodal import decode_avi
+
+    assert decode_avi(_encode_avi()) == (320, 240, 900, 33_333, 29_999)
+    assert decode_avi(
+        _encode_avi(width=1920, height=1080, n_frames=24, us_per_frame=41_708,
+                    junk_before_hdrl=True)
+    ) == (1920, 1080, 24, 41_708, 1_000)
+
+
+def test_real_avi_through_decode_and_frame_sample(spark):
+    """End-to-end: REAL AVI bytes through the decode stage (true
+    dimensions + container duration) AND through sample_frames — the
+    frame fan-out must follow the TRUE duration (max(1, dur // 60 s)),
+    while non-AVI videos keep the fake-duration fan-out."""
+    import zlib
+
+    from elastic_freight_spark.operators.multimodal import (
+        decode_media,
+        sample_frames,
+    )
+
+    avi = _encode_avi(n_frames=9_000, us_per_frame=33_333)  # ~300 s
+    not_avi = b"mp4-or-mkv-bytes"
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi)), (2, "video", bytearray(not_avi))],
+        "doc_id long, media_type string, content binary",
+    )
+    feats = {r["doc_id"]: r for r in decode_media(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (320, 240)
+    assert feats[1]["duration_ms"] == (9_000 * 33_333) // 1000  # 299997
+    assert feats[1]["feature_hash"] == zlib.crc32(avi)
+    h = zlib.crc32(not_avi)
+    assert feats[2]["duration_ms"] == h % 600_000  # fake path
+
+    frames = {}
+    for r in sample_frames(media).collect():
+        frames[r["doc_id"]] = frames.get(r["doc_id"], 0) + 1
+    assert frames[1] == max(1, 299_997 // 60_000)  # 4 — true duration
+    assert frames[2] == max(1, (h % 600_000) // 60_000)  # fake duration
+
+
+def test_corrupt_avi_magic_degrades_to_fake(spark):
+    """RIFF/'AVI ' magic with corrupt innards (no hdrl, short avih,
+    zero frame period) must degrade to the deterministic fake, and a
+    real AVI typed as audio must NOT take the video path."""
+    import struct
+    import zlib
+
+    from elastic_freight_spark.operators.multimodal import decode_media
+
+    no_hdrl = b"RIFF" + struct.pack("<I", 4) + b"AVI "
+    short_avih = (
+        b"RIFF" + struct.pack("<I", 24) + b"AVI "
+        + b"LIST" + struct.pack("<I", 16) + b"hdrl"
+        + b"avih" + struct.pack("<I", 4) + bytes(4)
+    )
+    zero_period = _encode_avi(us_per_frame=0)
+    real = _encode_avi()
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(no_hdrl)),
+            (2, "video", bytearray(short_avih)),
+            (3, "video", bytearray(zero_period)),
+            (4, "audio", bytearray(real)),  # wrong media_type → fake
+        ],
+        "doc_id long, media_type string, content binary",
+    )
+    feats = {r["doc_id"]: r for r in decode_media(media).collect()}
+    for did, payload in (
+        (1, no_hdrl), (2, short_avih), (3, zero_period), (4, real)
+    ):
+        h = zlib.crc32(payload)
+        assert feats[did]["duration_ms"] == h % 600_000, did
+        assert feats[did]["feature_hash"] == h, did
