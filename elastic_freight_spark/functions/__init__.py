@@ -48,6 +48,24 @@ def davg(col: Column | str, alias: str) -> Column:
     return (F.sum(_c(col).cast(DEC)).cast("double") / F.count(F.lit(1))).alias(alias)
 
 
+def dsum_cents(col: Column | str, alias: str) -> Column:
+    """Money sum for totals past the DECIMAL→DOUBLE exact envelope.
+
+    A ``dsum`` total is only engine-exact while |total|·10^scale stays
+    under 2^53 — above that, the final DECIMAL→DOUBLE cast rounds
+    differently per engine (Java BigDecimal.doubleValue is correctly
+    rounded; DuckDB's int128 path composes two roundings), a genuine
+    1-ULP divergence the 10x-replica oracle sweep caught on the
+    scale-6 TPC-H charge/profit sums. Here the per-row COMPUTED double
+    is quantized at cents with the exact ``floor(v·100 + 0.5)`` form
+    (identical IEEE ops per row in both engines), summed as BIGINT
+    (exact, order-free), and divided once. Envelope: per-row
+    |v|·100 < 2^53, cents total < 2^53 (≈ $90T) for the exact final
+    conversion — vs dsum(scale=6)'s ≈ $9B."""
+    cents = F.floor(_c(col) * 100 + F.lit(0.5)).cast("bigint")
+    return (F.sum(cents).cast("double") / F.lit(100.0)).alias(alias)
+
+
 def ts_str(col: Column | str, alias: str) -> Column:
     """Timestamp → 'yyyy-MM-dd HH:mm:ss' string (UTC session TZ)."""
     return F.date_format(_c(col), "yyyy-MM-dd HH:mm:ss").alias(alias)
@@ -66,6 +84,15 @@ def sql_dsum(expr: str, alias: str, scale: int = 4) -> str:
 
 def sql_davg(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) / COUNT(*) AS {alias}"
+
+
+def sql_dsum_cents(expr: str, alias: str) -> str:
+    """DuckDB twin of :func:`dsum_cents` (same expression tree; the
+    outer CAST AS BIGINT collapses DuckDB's HUGEINT sum)."""
+    return (
+        f"CAST(CAST(SUM(CAST(FLOOR(({expr}) * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        f" AS DOUBLE) / 100.0 AS {alias}"
+    )
 
 
 def sql_ts_str(expr: str, alias: str) -> str:

@@ -23,9 +23,11 @@ from elastic_freight_spark.functions import (
     davg,
     date_str,
     dsum,
+    dsum_cents,
     sql_davg,
     sql_date_str,
     sql_dsum,
+    sql_dsum_cents,
 )
 from elastic_freight_spark.registry import query
 from elastic_freight_spark.session import load_tables
@@ -42,7 +44,7 @@ from elastic_freight_spark.session import load_tables
            {sql_dsum('l_quantity', 'sum_qty')},
            {sql_dsum('l_extendedprice', 'sum_base_price')},
            {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
-           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', scale=6)},
+           {sql_dsum_cents('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
            {sql_davg('l_quantity', 'avg_qty')},
            {sql_davg('l_extendedprice', 'avg_price')},
            {sql_davg('l_discount', 'avg_disc')},
@@ -55,7 +57,13 @@ from elastic_freight_spark.session import load_tables
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1: scan-heavy groupBy with 8 aggregates. Catalyst plans
     partial (map-side) + final aggregation; the Parquet scan reads
-    only the 7 referenced columns and pushes the shipdate filter."""
+    only the 7 referenced columns and pushes the shipdate filter.
+    sum_charge (true per-row scale 6) rides dsum_cents: at 10x the
+    driver scale its DECIMAL(18,6) total passes 2^53 scaled units and
+    the final DECIMAL->DOUBLE cast diverged by 1 ULP between engines
+    (caught by the 10x-replica oracle sweep); the cents-quantized
+    BIGINT sum stays exact to ~$90T. sum_disc_price (scale 4) is exact
+    to ~$900B per group — raw-dsum safe at any plausible corpus."""
     t = load_tables(spark, sf_dir)
     l = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -64,7 +72,7 @@ def q1_pricing_summary(spark, sf_dir):
         dsum("l_quantity", "sum_qty"),
         dsum("l_extendedprice", "sum_base_price"),
         dsum(disc_price, "sum_disc_price"),
-        dsum(charge, "sum_charge", scale=6),
+        dsum_cents(charge, "sum_charge"),
         davg("l_quantity", "avg_qty"),
         davg("l_extendedprice", "avg_price"),
         davg("l_discount", "avg_disc"),
@@ -972,8 +980,12 @@ def f_split_part_surgery(spark, sf_dir):
     "agg_max_by_min_by",
     oracle="""
     SELECT o_orderstatus,
-           arg_max(o_orderkey, o_totalprice) AS biggest_order,
-           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           arg_max(o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 137438953472
+                   + (137438953471 - o_orderkey)) AS biggest_order,
+           arg_min(o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 137438953472
+                   + o_orderkey) AS smallest_order,
            CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
            CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
     FROM orders
@@ -983,12 +995,25 @@ def f_split_part_surgery(spark, sf_dir):
 def agg_max_by_min_by(spark, sf_dir):
     """Argmax/argmin aggregates (§2.5 A3 as a first-class function):
     the order id carrying each group's extreme price — one pass, no
-    window or self-join. (o_totalprice values are distinct per status
-    group at this scale, so the argmax is deterministic.)"""
+    window or self-join. max_by/min_by tie-breaking is ARBITRARY in
+    both engines, and exact price ties are certain in replicated /
+    100 TB corpora (the 10x-replica oracle sweep caught Spark and
+    DuckDB picking different orderkeys), so the ordering value is made
+    UNIQUE by packing exact cents with the unique orderkey:
+    cents * 2^37 + (2^37-1 - orderkey) for argmax (smallest key wins a
+    price tie), cents * 2^37 + orderkey for argmin (smallest key wins
+    there too). Envelope: cents < 2^26 (price <= $671k; fixture max
+    ~$500k) and orderkey < 2^37 (~1.4e11) keep the packed key inside
+    BIGINT; cents come from the exact floor(v*100 + 0.5) grid form,
+    never a raw double->int cast (Spark truncates, DuckDB rounds)."""
     t = load_tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    two37 = F.lit(137438953472)  # 2^37
+    key_max = cents * two37 + (F.lit(137438953471) - F.col("o_orderkey"))
+    key_min = cents * two37 + F.col("o_orderkey")
     return t["orders"].groupBy("o_orderstatus").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max_by("o_orderkey", key_max).alias("biggest_order"),
+        F.min_by("o_orderkey", key_min).alias("smallest_order"),
         F.max("o_totalprice").cast("double").alias("max_price"),
         F.min("o_totalprice").cast("double").alias("min_price"),
     )
@@ -2772,23 +2797,31 @@ def stats_mann_whitney_u(spark, sf_dir):
     WITH g AS (
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_g,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s_g,
-             CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS q_g
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS u_g,
+             CAST(SUM(CAST(FLOOR(value * value * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS w_g
       FROM events GROUP BY 1
     ),
     tot AS (
       SELECT CAST(SUM(n_g) AS BIGINT) AS n,
              CAST(COUNT(*) AS BIGINT) AS k,
-             SUM(s_g) AS s,
-             SUM(s_g * s_g / n_g) AS sqn,
-             SUM(q_g) AS q
+             CAST(SUM(u_g) AS BIGINT) AS s100,
+             CAST(SUM(w_g) AS BIGINT) AS q10k,
+             list_reduce(
+               list(CAST(u_g AS DOUBLE) * CAST(u_g AS DOUBLE)
+                    / CAST(n_g AS DOUBLE) ORDER BY event_type),
+               (a, b) -> a + b) AS sqn4
       FROM g
     )
     SELECT n, k,
-           ROUND(sqn - s * s / n, 6) AS ss_between,
-           ROUND(q - sqn, 6) AS ss_within,
-           ROUND(((sqn - s * s / n) / (k - 1))
-                 / NULLIF((q - sqn) / (n - k), 0), 6) AS f_stat
+           ROUND((sqn4 - CAST(s100 AS DOUBLE) * CAST(s100 AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / 10000.0, 6) AS ss_between,
+           ROUND((CAST(q10k AS DOUBLE) - sqn4) / 10000.0, 6) AS ss_within,
+           ROUND(((sqn4 - CAST(s100 AS DOUBLE) * CAST(s100 AS DOUBLE)
+                          / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                 / NULLIF((CAST(q10k AS DOUBLE) - sqn4)
+                          / CAST(n - k AS DOUBLE), 0), 6) AS f_stat
     FROM tot
     """,
 )
@@ -2796,49 +2829,77 @@ def stats_anova_oneway(spark, sf_dir):
     """One-way ANOVA F test (event value across the five event
     types) — completes the classical-inference set (t / KS / U / chi2
     / F) the reference would delegate to an external stats stack.
-    One map-side-combined pass collects per-group (n, Σx, Σx²) with
-    DECIMAL routing (4dp values, 8dp squares — exact), the F
-    statistic is the textbook between/within decomposition as a fixed
-    IEEE tree over those exact inputs; the only cross-engine float
-    sums are over the FIVE group rows, absorbed by ROUND(...,6) (the
-    regr_r2 precedent). Zero within-variance degenerates to NULL, not
-    an ANSI error."""
+
+    Exactness design (reworked after the 10x-replica sweep): the
+    original kept per-group (Σx, Σx²) as DECIMALs and summed the five
+    s_g²/n_g terms with an ORDER-UNSPECIFIED float SUM — at 10x the
+    data that order-dependence, amplified by the between-groups
+    cancellation, drifted past the ROUND(6) grain. Now every moment is
+    an exact BIGINT on the value grid (values are 2-decimal-grid by
+    the data canary, so x·100 and x²·10⁴ floor-recover exactly), the
+    group count and totals reduce order-free in integer arithmetic,
+    and the ONE remaining float reduction — the five u_g²/n_g terms —
+    is an event-type-ORDERED left fold (sort_array+aggregate here,
+    list(ORDER BY)+list_reduce in DuckDB; the engines' fold trees
+    agree because x+0.0 == x for the positive terms). Every double op
+    is then a fixed IEEE tree over int64→double conversions, which are
+    hardware-rounded identically — no decimal/int128 software cast
+    anywhere. Envelopes: Σ(x²·10⁴) per group < 2^63 (≈3.7e9 rows/group
+    at the fixture's value range); u_g² is squared in double (exact
+    operands, identical rounding). Zero within-variance degenerates to
+    NULL, not an ANSI error."""
     t = load_tables(spark, sf_dir)
     g = (
         t["events"]
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_g"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("s_g"),
-            F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)"))
-            .cast("double")
-            .alias("q_g"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("u_g"),
+            F.sum(
+                F.floor(
+                    F.col("value") * F.col("value") * 10000 + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("w_g"),
         )
+    )
+    term = (
+        F.col("u_g").cast("double")
+        * F.col("u_g").cast("double")
+        / F.col("n_g").cast("double")
     )
     tot = g.agg(
         F.sum("n_g").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum("s_g").alias("s"),
-        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("sqn"),
-        F.sum("q_g").alias("q"),
+        F.sum("u_g").cast("bigint").alias("s100"),
+        F.sum("w_g").cast("bigint").alias("q10k"),
+        F.collect_list(
+            F.struct(F.col("event_type").alias("t"), term.alias("v"))
+        ).alias("terms"),
+    ).select(
+        "n",
+        "k",
+        "s100",
+        "q10k",
+        F.aggregate(
+            F.sort_array(F.col("terms")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("sqn4"),
     )
-    n, k, s, sqn, q = (
-        F.col("n"),
-        F.col("k"),
-        F.col("s"),
-        F.col("sqn"),
-        F.col("q"),
-    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s100").cast("double")
+    b4 = F.col("sqn4") - s_d * s_d / n_d
+    w4 = F.col("q10k").cast("double") - F.col("sqn4")
     return tot.select(
         "n",
         "k",
-        F.round(sqn - s * s / n, 6).alias("ss_between"),
-        F.round(q - sqn, 6).alias("ss_within"),
+        F.round(b4 / 10000.0, 6).alias("ss_between"),
+        F.round(w4 / 10000.0, 6).alias("ss_within"),
         F.round(
-            ((sqn - s * s / n) / (k - 1))
-            / F.nullif((q - sqn) / (n - k), F.lit(0.0)),
+            (b4 / (F.col("k") - 1).cast("double"))
+            / F.nullif(w4 / (F.col("n") - F.col("k")).cast("double"), F.lit(0.0)),
             6,
         ).alias("f_stat"),
     )

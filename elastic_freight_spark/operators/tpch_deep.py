@@ -31,8 +31,10 @@ from elastic_freight_spark.functions import (
     date_str,
     davg,
     dsum,
+    dsum_cents,
     sql_davg,
     sql_dsum,
+    sql_dsum_cents,
 )
 from elastic_freight_spark.registry import query
 from elastic_freight_spark.session import load_tables
@@ -172,8 +174,8 @@ def q8_market_share(spark, sf_dir):
     oracle=f"""
     SELECT n_name AS nation,
            CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-           {sql_dsum(f'{_SQL_REV} - p_retailprice * l_quantity * 0.1',
-                     'sum_profit', scale=6)}
+           {sql_dsum_cents(f'{_SQL_REV} - p_retailprice * l_quantity * 0.1',
+                           'sum_profit')}
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -188,7 +190,11 @@ def q9_product_profit(spark, sf_dir):
     fixture has no partsupp, so supply cost is proxied as 10% of
     retail price × quantity — same expression shape (revenue minus a
     part-joined cost term). part/supplier/nation broadcast; lineitem⋈
-    orders is the one fact-fact shuffle."""
+    orders is the one fact-fact shuffle. Profit is a true-scale-6
+    computed value, so the sum rides dsum_cents (the scale-6
+    DECIMAL->DOUBLE final cast leaves the engine-exact envelope past
+    ~$9B per group — the q1 sum_charge finding from the 10x-replica
+    sweep; cents stay exact to ~$90T, negatives included)."""
     t = load_tables(spark, sf_dir)
     profit = _rev() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     joined = (
@@ -207,7 +213,7 @@ def q9_product_profit(spark, sf_dir):
     )
     return joined.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
-    ).agg(dsum(profit, "sum_profit", scale=6))
+    ).agg(dsum_cents(profit, "sum_profit"))
 
 
 @query(

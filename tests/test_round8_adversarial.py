@@ -519,3 +519,166 @@ def test_money_and_value_columns_are_two_decimal_grid():
             """
         ).fetchone()[0]
         assert n_off == 0, (sf, n_off)
+
+
+# --- round-8 continuation: findings from the 10x-replica oracle sweep -------
+#
+# Running the FULL oracle contract against the 10x offset-key replica
+# (tools/replicate_10x.py; EFS_DRIVER_MEM for the bigger heap) caught
+# three divergences invisible at every driver scale:
+#   1. max_by/min_by argmax ties — replicated rows manufacture exact
+#      o_totalprice ties and the two engines picked different keys;
+#   2. dsum(scale=6) totals past 2^53 scaled units — the final
+#      DECIMAL->DOUBLE cast is correctly rounded in Java but composes
+#      two roundings in DuckDB's int128 path (1-ULP splits on
+#      q1 sum_charge);
+#   3. stats_anova_oneway's order-unspecified 5-term float reduction
+#      drifting past ROUND(6) under between-groups cancellation.
+# The fixes: unique packed argmax keys, dsum_cents (BIGINT cents;
+# int64->double conversions are HARDWARE-rounded, hence identical),
+# and the ordered-fold exact-moment ANOVA. These tests pin each class
+# with manufactured ties/magnitudes, so the pins run at suite scale.
+
+
+def test_argmax_packed_key_tie_breaks_agree_across_engines(spark):
+    """Exact price ties (the replica scenario) must resolve to the
+    SAME orderkey in both engines: smallest key among max-price rows,
+    smallest key among min-price rows — via the unique packed key
+    cents*2^37 +/- key that agg_max_by_min_by uses."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        # status, orderkey, totalprice — two max-ties and two min-ties
+        ("F", 101, 499.99), ("F", 7, 499.99), ("F", 55, 1.01),
+        ("F", 3, 1.01), ("F", 40, 250.00),
+        ("O", 9, 10.00), ("O", 2, 10.00),
+    ]
+    sdf = spark.createDataFrame(rows, "o_orderstatus string, o_orderkey long, o_totalprice double")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    got = {
+        r["o_orderstatus"]: (r["big"], r["small"])
+        for r in sdf.groupBy("o_orderstatus")
+        .agg(
+            F.max_by(
+                "o_orderkey",
+                cents * F.lit(137438953472) + (F.lit(137438953471) - F.col("o_orderkey")),
+            ).alias("big"),
+            F.min_by(
+                "o_orderkey", cents * F.lit(137438953472) + F.col("o_orderkey")
+            ).alias("small"),
+        )
+        .collect()
+    }
+    assert got == {"F": (7, 3), "O": (2, 2)}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE o(o_orderstatus VARCHAR, o_orderkey BIGINT, o_totalprice DOUBLE)"
+    )
+    con.executemany("INSERT INTO o VALUES (?, ?, ?)", rows)
+    want = {
+        s: (b, m)
+        for s, b, m in con.execute(
+            """
+            SELECT o_orderstatus,
+                   arg_max(o_orderkey,
+                           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 137438953472
+                           + (137438953471 - o_orderkey)),
+                   arg_min(o_orderkey,
+                           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 137438953472
+                           + o_orderkey)
+            FROM o GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_dsum_cents_exact_past_decimal_double_envelope(spark):
+    """A money total past dsum(scale=6)'s engine-exact envelope
+    (|total|*10^6 > 2^53, i.e. > ~$9B) must still hash-agree through
+    dsum_cents: BIGINT cents sum (exact, order-free), one division.
+    Pins Spark == DuckDB == python exact recompute, including sub-cent
+    residuals (x.yyyyyy values) and a negative row."""
+    import duckdb
+
+    from elastic_freight_spark.functions import dsum_cents, sql_dsum_cents
+
+    # 4000 rows of ~ $9.2M each with 6-decimal residuals -> total
+    # ~ $3.7e10, scaled 3.7e16 > 2^53 (the scale-6 danger zone), while
+    # cents total 3.7e12 stays far inside 2^53.
+    vals = [9_200_000.0 + i / 64.0 + 0.000625 * (i % 7) for i in range(4000)]
+    vals.append(-123_456.789125)
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = sdf.agg(dsum_cents("v", "total")).first()["total"]
+    total_scaled = sum(abs(v) for v in vals) * 1e6
+    assert total_scaled > 2**53  # really outside the old envelope
+    import math
+
+    py = sum(math.floor(v * 100 + 0.5) for v in vals) / 100.0
+    assert got == py
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = con.execute(f"SELECT {sql_dsum_cents('v', 'total')} FROM t").fetchone()[0]
+    assert got == want
+
+
+def test_anova_ordered_fold_matches_oracle_on_skewed_magnitudes(spark):
+    """The ANOVA rewrite's one float reduction (five u_g^2/n_g terms)
+    folds in event-type order on BOTH sides; with group magnitudes
+    spread over 6 decades (worst case for fold-order sensitivity) the
+    engines must agree bit-for-bit after ROUND(6). Runs the same
+    manufactured frame through the Spark plan fragment and the oracle
+    fragment."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    for t_name, scale_v, n in [
+        ("click", 0.01, 400), ("error", 490.02, 400), ("purchase", 12.34, 50),
+        ("signup", 333.33, 3), ("view", 0.05, 1000),
+    ]:
+        rows += [(t_name, scale_v + (i % 3) * 0.01) for i in range(n)]
+    sdf = spark.createDataFrame(rows, "event_type string, value double")
+    g = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("u_g"),
+    )
+    term = (
+        F.col("u_g").cast("double")
+        * F.col("u_g").cast("double")
+        / F.col("n_g").cast("double")
+    )
+    got = (
+        g.agg(
+            F.collect_list(
+                F.struct(F.col("event_type").alias("t"), term.alias("v"))
+            ).alias("terms")
+        )
+        .select(
+            F.aggregate(
+                F.sort_array(F.col("terms")), F.lit(0.0), lambda a, x: a + x["v"]
+            ).alias("sqn4")
+        )
+        .first()["sqn4"]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(event_type VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", rows)
+    want = con.execute(
+        """
+        WITH g AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS u_g
+          FROM e GROUP BY 1
+        )
+        SELECT list_reduce(
+                 list(CAST(u_g AS DOUBLE) * CAST(u_g AS DOUBLE)
+                      / CAST(n_g AS DOUBLE) ORDER BY event_type),
+                 (a, b) -> a + b) FROM g
+        """
+    ).fetchone()[0]
+    assert got == want  # bit-identical, not approximately equal

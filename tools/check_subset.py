@@ -33,7 +33,9 @@ import __spark_entry__ as e
 con = duckdb.connect()
 for t in TABLES:
     p = os.path.join(SF, f"{t}.parquet")
-    if os.path.exists(p):
+    if os.path.isdir(p):  # replica dirs are Spark parquet DIRECTORIES
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 

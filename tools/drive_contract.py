@@ -13,12 +13,18 @@ from pyspark.sql import SparkSession
 SF = os.environ.get("EFS_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-spark = (
+builder = (
     SparkSession.builder.master("local[*]")
     .config("spark.sql.shuffle.partitions", "32")
     .config("spark.ui.showConsoleProgress", "false")
-    .getOrCreate()
 )
+# Replica-scale runs (EFS_SF_DIR=/tmp/sf1x10 etc.) need a bigger heap
+# than pyspark's 1g default — memory SIZING is not part of the
+# bit-exactness contract, so this stays opt-in and the default path
+# stays byte-for-byte the driver's vanilla session.
+if os.environ.get("EFS_DRIVER_MEM"):
+    builder = builder.config("spark.driver.memory", os.environ["EFS_DRIVER_MEM"])
+spark = builder.getOrCreate()
 # harness log hygiene ONLY (session stays vanilla): the allowlisted
 # bounded unpartitioned windows each print a benign WindowExec WARN
 # that buries real warnings; plan_audit.py remains the actual guard
@@ -35,7 +41,12 @@ print("entry() ok:", len(rows), "shards")
 con = duckdb.connect()
 for t in TABLES:
     p = os.path.join(SF, f"{t}.parquet")
-    if os.path.exists(p):
+    if os.path.isdir(p):
+        # replica dirs (tools/replicate_10x.py) are Spark parquet
+        # DIRECTORIES, not single files — glob the part files so the
+        # oracle contract can also run at 10x/100x scale
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 def norm(df):
