@@ -2815,13 +2815,13 @@ def stats_mann_whitney_u(spark, sf_dir):
       FROM g
     )
     SELECT n, k,
-           ROUND((sqn4 - CAST(s100 AS DOUBLE) * CAST(s100 AS DOUBLE)
-                         / CAST(n AS DOUBLE)) / 10000.0, 6) AS ss_between,
-           ROUND((CAST(q10k AS DOUBLE) - sqn4) / 10000.0, 6) AS ss_within,
-           ROUND(((sqn4 - CAST(s100 AS DOUBLE) * CAST(s100 AS DOUBLE)
-                          / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
-                 / NULLIF((CAST(q10k AS DOUBLE) - sqn4)
-                          / CAST(n - k AS DOUBLE), 0), 6) AS f_stat
+           (sqn4 - CAST(s100 AS DOUBLE) * CAST(s100 AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / 10000.0 AS ss_between,
+           (CAST(q10k AS DOUBLE) - sqn4) / 10000.0 AS ss_within,
+           ((sqn4 - CAST(s100 AS DOUBLE) * CAST(s100 AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+           / NULLIF((CAST(q10k AS DOUBLE) - sqn4)
+                    / CAST(n - k AS DOUBLE), 0) AS f_stat
     FROM tot
     """,
 )
@@ -2844,10 +2844,14 @@ def stats_anova_oneway(spark, sf_dir):
     agree because x+0.0 == x for the positive terms). Every double op
     is then a fixed IEEE tree over int64→double conversions, which are
     hardware-rounded identically — no decimal/int128 software cast
-    anywhere. Envelopes: Σ(x²·10⁴) per group < 2^63 (≈3.7e9 rows/group
-    at the fixture's value range); u_g² is squared in double (exact
-    operands, identical rounding). Zero within-variance degenerates to
-    NULL, not an ANSI error."""
+    anywhere. The outputs are deliberately UNROUNDED (allowlisted in
+    _UNROUNDED_FLOAT_ALLOW): the 100x replica showed ROUND(x, 6)
+    itself diverges once |x|·10^6 passes 2^53 (Spark's BigDecimal is
+    correctly rounded; DuckDB scales in double) — the fixed tree is
+    bit-identical without it. Envelopes: Σ(x²·10⁴) per group < 2^63
+    (≈3.7e9 rows/group at the fixture's value range); u_g² is squared
+    in double (exact operands, identical rounding). Zero
+    within-variance degenerates to NULL, not an ANSI error."""
     t = load_tables(spark, sf_dir)
     g = (
         t["events"]
@@ -2895,12 +2899,11 @@ def stats_anova_oneway(spark, sf_dir):
     return tot.select(
         "n",
         "k",
-        F.round(b4 / 10000.0, 6).alias("ss_between"),
-        F.round(w4 / 10000.0, 6).alias("ss_within"),
-        F.round(
+        (b4 / 10000.0).alias("ss_between"),
+        (w4 / 10000.0).alias("ss_within"),
+        (
             (b4 / (F.col("k") - 1).cast("double"))
-            / F.nullif(w4 / (F.col("n") - F.col("k")).cast("double"), F.lit(0.0)),
-            6,
+            / F.nullif(w4 / (F.col("n") - F.col("k")).cast("double"), F.lit(0.0))
         ).alias("f_stat"),
     )
 

@@ -436,6 +436,12 @@ _UNROUNDED_FLOAT_ALLOW = {
     ("q2_min_cost_supplier", "unit_cost"): "decimal/decimal",
     ("q8_market_share", "mkt_share"): "decimal/decimal",
     ("q14_promo_revenue", "promo_share"): "decimal/decimal",
+    # fixed-order IEEE tree over int64-derived operands (the 100x
+    # finding: ROUND(x,6) itself diverges past |x|*1e6 > 2^53, while
+    # the unrounded fixed tree is bit-identical — see stats_anova)
+    ("stats_anova_oneway", "ss_between"): "fixed_tree_int64_operands",
+    ("stats_anova_oneway", "ss_within"): "fixed_tree_int64_operands",
+    ("stats_anova_oneway", "f_stat"): "fixed_tree_int64_operands",
     ("agg_multi_measure", "avg_price"): "decimal_sum/count",
     ("agg_weighted_avg", "wavg_price"): "decimal_sum/decimal_sum",
     # integer character counts / integer length

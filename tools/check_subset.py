@@ -22,12 +22,17 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 names = sys.argv[1:]
 assert names, "pass query names"
 
-spark = (
+_builder = (
     SparkSession.builder.master("local[*]")
     .config("spark.sql.shuffle.partitions", "32")
     .config("spark.ui.showConsoleProgress", "false")
-    .getOrCreate()
 )
+# replica-scale checks need a bigger heap than pyspark's 1g default
+# (memory sizing is outside the bit-exactness contract; default path
+# stays vanilla) — same knob as drive_contract.py
+if os.environ.get("EFS_DRIVER_MEM"):
+    _builder = _builder.config("spark.driver.memory", os.environ["EFS_DRIVER_MEM"])
+spark = _builder.getOrCreate()
 import __spark_entry__ as e
 
 con = duckdb.connect()
