@@ -13,7 +13,9 @@ to text). Design:
   reads a single payload page).
 * **Decode**: PNG payloads decode for REAL through a pure-stdlib
   codec (:func:`decode_png` — zlib inflate + all five scanline
-  filters; the container ships no PIL/ffmpeg), WAV audio parses
+  filters; the container ships no PIL/ffmpeg), JPEG images parse
+  for REAL through a marker-segment walker (:func:`decode_jpeg` —
+  SOFn frame header → width/height/components), WAV audio parses
   for REAL through a pure-stdlib RIFF walker (:func:`decode_wav` —
   fmt/data chunks → channels/rate/bits/frames/duration), and AVI
   video parses for REAL through the same walker descending into
@@ -223,8 +225,8 @@ def decode_avi(payload: bytes):
     frames x us-per-frame (the avih contract; stream-level drift is a
     codec concern, not a container one). Raises ValueError outside
     the profile (missing/short avih, zero frame period, int32
-    duration overflow) — the caller degrades to the deterministic
-    fake."""
+    duration or width/height overflow) — the caller degrades to the
+    deterministic fake."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -256,16 +258,80 @@ def decode_avi(payload: bytes):
     us_per_frame, _, _, _, n_frames, _, _, _, width, height = avih
     if us_per_frame == 0:
         raise ValueError("zero frame period")
+    if width > 2**31 - 1 or height > 2**31 - 1:
+        # dwWidth/dwHeight are uint32 in the container but DECODE_SCHEMA
+        # stores int32 — a parseable header past int32 must degrade to
+        # the fake (same contract as the duration guard below), never
+        # reach Arrow conversion and kill the whole mapInPandas batch.
+        raise ValueError("width/height overflows int32")
     duration_ms = (n_frames * us_per_frame) // 1000
     if duration_ms > 2**31 - 1:
         raise ValueError("duration overflows int32")
     return width, height, n_frames, us_per_frame, duration_ms
 
 
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def decode_jpeg(payload: bytes):
+    """REAL JPEG metadata parser, pure stdlib (struct) — the most
+    common real-world image format, closing the last common format on
+    the fake path (round-8 verdict #3). Walks the marker-segment
+    stream (SOI, APPn/COM/DQT/... length-prefixed segments, standalone
+    TEM/RSTn, 0xFF fill bytes) to the first SOFn frame header — any of
+    SOF0-SOF15 except the non-frame DHT(0xC4)/JPG(0xC8)/DAC(0xCC) —
+    and returns ``(width, height, components, precision)`` from it.
+    Only headers are read; entropy-coded data is never touched (this
+    is a metadata decoder, like :func:`decode_avi` — full pixel
+    decode needs a DCT stack the container doesn't ship). Dimensions
+    are uint16 in the frame header so the int32 DECODE_SCHEMA columns
+    cannot overflow. Raises ValueError outside the profile (marker
+    desync, truncated segment, SOS before any SOF, zero dimension,
+    missing SOF) — the caller degrades to the deterministic fake."""
+    import struct
+
+    if len(payload) < 4 or not payload.startswith(JPEG_MAGIC):
+        raise ValueError("not a JPEG")
+    pos, n = 2, len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI with no frame header seen
+            break
+        if pos + 4 > n:
+            raise ValueError("truncated segment header")
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            raise ValueError("truncated segment")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len < 8:
+                raise ValueError("short SOF segment")
+            precision = payload[pos + 4]
+            height, width = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            components = payload[pos + 9]
+            if width == 0 or height == 0:
+                # height 0 is legal mid-stream (set later by DNL) but
+                # outside this metadata profile — degrade to the fake.
+                raise ValueError("zero dimension")
+            return width, height, components, precision
+        if marker == 0xDA:
+            raise ValueError("SOS before SOF")
+        pos += 2 + seg_len
+    raise ValueError("no SOF marker")
+
+
 def _real_or_fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, int]:
     """Default decoder: REAL pure-python PNG decode for PNG payloads,
-    REAL WAV metadata parse for WAV payloads, REAL AVI metadata parse
-    for AVI payloads (all magic-sniffed), the deterministic fake
+    REAL JPEG frame-header parse for JPEG payloads, REAL WAV metadata
+    parse for WAV payloads, REAL AVI metadata parse for AVI payloads
+    (all magic-sniffed), the deterministic fake
     otherwise. The synthetic
     corpus (text bytes) always takes the fake path, so scale tests
     stay codec-free; real PNG/WAV bytes exercise the actual codecs
@@ -279,6 +345,16 @@ def _real_or_fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int
             # struct.error / IndexError for corrupt bytes that carry the
             # magic — a bad payload must degrade to the fake, never kill
             # the whole Arrow batch
+            return _fake_decode(payload, media_type)
+        import zlib
+
+        return w, h, 0, zlib.crc32(payload)
+    if media_type == "image" and payload.startswith(JPEG_MAGIC):
+        try:
+            w, h, _, _ = decode_jpeg(payload)
+        except Exception:
+            # same degrade contract as PNG: corrupt-but-magic'd bytes
+            # → fake, never a batch-killing raise
             return _fake_decode(payload, media_type)
         import zlib
 

@@ -2810,7 +2810,8 @@ def stats_mann_whitney_u(spark, sf_dir):
              CAST(SUM(w_g) AS BIGINT) AS q10k,
              list_reduce(
                list(CAST(u_g AS DOUBLE) * CAST(u_g AS DOUBLE)
-                    / CAST(n_g AS DOUBLE) ORDER BY event_type),
+                    / CAST(n_g AS DOUBLE)
+                    ORDER BY event_type NULLS FIRST),
                (a, b) -> a + b) AS sqn4
       FROM g
     )
@@ -2840,7 +2841,11 @@ def stats_anova_oneway(spark, sf_dir):
     group count and totals reduce order-free in integer arithmetic,
     and the ONE remaining float reduction — the five u_g²/n_g terms —
     is an event-type-ORDERED left fold (sort_array+aggregate here,
-    list(ORDER BY)+list_reduce in DuckDB; the engines' fold trees
+    list(ORDER BY ... NULLS FIRST)+list_reduce in DuckDB; sort_array
+    is NULLS FIRST by definition while DuckDB's ORDER BY defaults to
+    NULLS LAST, so the oracle pins NULLS FIRST explicitly — a future
+    NULL event_type group keeps the fold order identical,
+    tests/test_round9_adversarial.py pins it; the engines' fold trees
     agree because x+0.0 == x for the positive terms). Every double op
     is then a fixed IEEE tree over int64→double conversions, which are
     hardware-rounded identically — no decimal/int128 software cast

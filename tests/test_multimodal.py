@@ -305,6 +305,119 @@ def test_corrupt_png_magic_degrades_to_fake(spark):
         assert feats[did]["feature_hash"] == h
 
 
+# --- real JPEG parser (round 9: last common format off the fake path) -------
+
+
+def _encode_jpeg(width=640, height=480, components=3, precision=8,
+                 sof_marker=0xC0, fill_byte=False, app1=False,
+                 skip_sof=False):
+    """Minimal test-side JPEG ENCODER (hand-rolled marker stream):
+    SOI, APP0/JFIF, optional APP1/Exif, DQT, optional 0xFF fill byte,
+    SOFn, DHT, SOS + entropy bytes with a restart marker, EOI — the
+    canonical segment layout decode_jpeg's walker must navigate.
+    Entropy data is fake (the decoder must never read past SOF)."""
+    import struct
+
+    def seg(m, body):
+        return bytes([0xFF, m]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"  # SOI
+    jfif = (b"JFIF\x00" + bytes([1, 1, 0])
+            + struct.pack(">HH", 72, 72) + bytes([0, 0]))
+    out += seg(0xE0, jfif)
+    if app1:
+        out += seg(0xE1, b"Exif\x00\x00" + bytes(10))
+    out += seg(0xDB, bytes([0]) + bytes(64))  # DQT
+    if fill_byte:
+        out += b"\xff"  # legal padding before the next marker's 0xFF
+    if not skip_sof:
+        sof = (bytes([precision]) + struct.pack(">HH", height, width)
+               + bytes([components]))
+        for i in range(components):
+            sof += bytes([i + 1, 0x11, 0])
+        out += seg(sof_marker, sof)
+    out += seg(0xC4, bytes([0]) + bytes(16) + bytes(1))  # DHT (non-frame)
+    sos = (bytes([components])
+           + b"".join(bytes([i + 1, 0]) for i in range(components))
+           + bytes([0, 63, 0]))
+    out += seg(0xDA, sos)
+    out += b"\x01\x02\x03"  # fake entropy-coded data
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def test_jpeg_parser_recovers_frame_header():
+    """decode_jpeg recovers width/height/components/precision from the
+    first SOFn — baseline (C0), progressive (C2), greyscale, uint16
+    extremes — through APPn segments and fill bytes, and never reads
+    the entropy-coded data."""
+    from elastic_freight_spark.operators.multimodal import decode_jpeg
+
+    assert decode_jpeg(_encode_jpeg()) == (640, 480, 3, 8)
+    assert decode_jpeg(
+        _encode_jpeg(width=1920, height=1080, sof_marker=0xC2,
+                     fill_byte=True, app1=True)
+    ) == (1920, 1080, 3, 8)
+    assert decode_jpeg(
+        _encode_jpeg(width=65_535, height=65_535, components=1,
+                     precision=12, sof_marker=0xC1)
+    ) == (65_535, 65_535, 1, 12)
+
+
+def test_jpeg_parser_rejects_out_of_profile():
+    """Out-of-profile JPEG byte streams raise ValueError (the degrade
+    trigger): wrong magic, no SOF before SOS, truncated segments,
+    zero dimensions, DHT/JPG/DAC never mistaken for frame headers."""
+    import pytest as _pytest
+
+    from elastic_freight_spark.operators.multimodal import decode_jpeg
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    with _pytest.raises(ValueError):  # SOS arrives with no frame header
+        decode_jpeg(_encode_jpeg(skip_sof=True))
+    with _pytest.raises(ValueError):  # segment length past the buffer
+        decode_jpeg(_encode_jpeg()[:20])
+    with _pytest.raises(ValueError):  # DNL-style deferred height
+        decode_jpeg(_encode_jpeg(height=0))
+    with _pytest.raises(ValueError):  # garbage where a marker must be
+        decode_jpeg(b"\xff\xd8\xff\xe0\x00\x04\x00\x00garbage")
+
+
+def test_real_jpeg_through_decode_stage(spark):
+    """End-to-end: REAL JPEG bytes through the SAME mapInPandas decode
+    stage the registered mm_decode_features plan runs (default
+    decoder, magic-sniffed dispatch) — width/height come from the
+    actual SOF parse, corrupt-but-magic'd payloads degrade to the
+    fake, and PNG dispatch is unaffected."""
+    import zlib
+
+    from elastic_freight_spark.operators.multimodal import decode_media
+
+    jpeg = _encode_jpeg(width=1024, height=768)
+    corrupt = b"\xff\xd8\xff" + b"garbage-after-magic"
+    png = _encode_png(PNG_ROWS, 3, filter_type=0)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(jpeg)),
+            (2, "image", bytearray(corrupt)),
+            (3, "image", bytearray(png)),
+            (4, "audio", bytearray(jpeg)),  # wrong media_type → fake
+        ],
+        "doc_id long, media_type string, content binary",
+    )
+    feats = {r["doc_id"]: r for r in decode_media(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (1024, 768)
+    assert feats[1]["duration_ms"] == 0
+    assert feats[1]["feature_hash"] == zlib.crc32(jpeg)
+    h = zlib.crc32(corrupt)
+    assert feats[2]["width"] == 16 + (h % 2048)  # fake path
+    assert feats[2]["feature_hash"] == h
+    assert (feats[3]["width"], feats[3]["height"]) == (PNG_W, PNG_H)
+    h4 = zlib.crc32(jpeg)
+    assert feats[4]["duration_ms"] == h4 % 600_000  # audio fake path
+
+
 # --- real WAV parser (round-8 cont.: the audio decode pin is honest) --------
 
 
@@ -515,6 +628,12 @@ def test_corrupt_avi_magic_degrades_to_fake(spark):
         + b"avih" + struct.pack("<I", 4) + bytes(4)
     )
     zero_period = _encode_avi(us_per_frame=0)
+    # dwWidth/dwHeight are uint32 in the container; a PARSEABLE header
+    # past int32 must also degrade (DECODE_SCHEMA stores int32 — an
+    # overflowing value would otherwise fail Arrow conversion and kill
+    # the whole mapInPandas batch, r8 ADVICE item).
+    wide = _encode_avi(width=2**31, height=1)
+    tall = _encode_avi(width=1, height=2**32 - 1)
     real = _encode_avi()
     media = spark.createDataFrame(
         [
@@ -522,12 +641,15 @@ def test_corrupt_avi_magic_degrades_to_fake(spark):
             (2, "video", bytearray(short_avih)),
             (3, "video", bytearray(zero_period)),
             (4, "audio", bytearray(real)),  # wrong media_type → fake
+            (5, "video", bytearray(wide)),
+            (6, "video", bytearray(tall)),
         ],
         "doc_id long, media_type string, content binary",
     )
     feats = {r["doc_id"]: r for r in decode_media(media).collect()}
     for did, payload in (
-        (1, no_hdrl), (2, short_avih), (3, zero_period), (4, real)
+        (1, no_hdrl), (2, short_avih), (3, zero_period), (4, real),
+        (5, wide), (6, tall),
     ):
         h = zlib.crc32(payload)
         assert feats[did]["duration_ms"] == h % 600_000, did

@@ -39,6 +39,12 @@ assert len(rows) == 8 and sum(r["n_docs"] for r in rows) > 0, "entry() contract"
 print("entry() ok:", len(rows), "shards")
 
 con = duckdb.connect()
+# Replica-scale runs: cap DuckDB's memory (default is 80% of RAM —
+# a runaway oracle at 100x would otherwise eat the whole box before
+# erroring). Like EFS_DRIVER_MEM this is opt-in sizing, not part of
+# the bit-exactness contract.
+if os.environ.get("EFS_DUCK_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['EFS_DUCK_MEM']}'")
 for t in TABLES:
     p = os.path.join(SF, f"{t}.parquet")
     if os.path.isdir(p):
@@ -68,11 +74,18 @@ q, o = e.queries(), e.oracle_sql()
 # audit twins when driving at sf0.1 (EFS_SF_DIR), mirroring
 # sweep_registry.py's AUDIT_TIER fence
 skip = {s for s in os.environ.get("EFS_SKIP", "").split(",") if s}
+# EFS_ONLY: comma-separated subset to run (resume a long replica-scale
+# battery after a fence, or spot-check one family) — empty means all.
+only = {s for s in os.environ.get("EFS_ONLY", "").split(",") if s}
 fails = []
+import time as _time
+
 for i, name in enumerate(q):
-    if name in skip:
-        print(f"[{i+1}/{len(q)}] {name}: SKIPPED (EFS_SKIP)")
+    if name in skip or (only and name not in only):
+        if name in skip:
+            print(f"[{i+1}/{len(q)}] {name}: SKIPPED (EFS_SKIP)", flush=True)
         continue
+    _t0 = _time.perf_counter()
     try:
         spdf = norm(q[name](spark, SF).toPandas())
         if name in o:
@@ -85,8 +98,11 @@ for i, name in enumerate(q):
             status = "rows-ok" if ok else "EMPTY"
     except Exception as ex:
         ok, status = False, f"ERROR {type(ex).__name__}: {ex}"[:200]
+    dt = _time.perf_counter() - _t0
     if not ok:
         fails.append((name, status))
-        print(f"[{i+1}/{len(q)}] {name}: {status}")
+    # per-query line (flushed) so long replica-scale batteries are
+    # monitorable mid-run; failures stay grep-able by MISMATCH/ERROR
+    print(f"[{i+1}/{len(q)}] {name}: {status} ({dt:.1f}s)", flush=True)
 print(json.dumps({"total": len(q), "oracled": len(o), "failed": fails}))
 spark.stop()
