@@ -789,7 +789,7 @@ _CAPPED_PAIRS_FRAGMENT = f"""
       SELECT shingle FROM shingles GROUP BY shingle
       HAVING COUNT(*) <= {NGRAM_DF_CAP}
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM shingles a
       JOIN rare USING (shingle)
@@ -799,14 +799,26 @@ _CAPPED_PAIRS_FRAGMENT = f"""
       GROUP BY 1, 2
       HAVING COUNT(*) >= LEAST({CAND_MIN_SUPPORT}, MIN(za.n), MIN(zb.n))
     ),
+    doclists AS MATERIALIZED (
+      SELECT doc_id, list(shingle) AS sh FROM shingles GROUP BY doc_id
+    ),
     pairs AS (
       SELECT c.doc_a, c.doc_b,
-             (SELECT COUNT(*) FROM shingles x JOIN shingles y
-               ON x.shingle = y.shingle
-              WHERE x.doc_id = c.doc_a AND y.doc_id = c.doc_b) AS inter
+             len(list_intersect(la.sh, lb.sh)) AS inter
       FROM cand c
+      JOIN doclists la ON la.doc_id = c.doc_a
+      JOIN doclists lb ON lb.doc_id = c.doc_b
     )
 """
+# ^ round 9: `inter` was a correlated COUNT(*) subquery over
+# shingles x shingles — DuckDB decorrelates that into cand x shingles
+# x shingles, a ~10^9-row intermediate at the 100x salted replica
+# (20M candidates x ~52 shingles each) that exhausted 76 GB of temp
+# disk. list_intersect over per-doc DISTINCT-shingle lists computes
+# the IDENTICAL intersection count per candidate row with no
+# intermediate blowup (build side: one 500k-row doc->list table);
+# cand/doclists are MATERIALIZED so multi-reference consumers (the
+# CC recursion, the calibration join) evaluate them once.
 
 # Shared tail of the per-source kept/dropped oracles: the greedy trim
 # over whatever `pairs` CTE the caller supplies.
@@ -993,16 +1005,23 @@ def connected_components(edges, max_iter: int = 20):
     # minimum), so DuckDB's recursive CTE reachability reproduces it
     # exactly — UNION-distinct recursion terminates, and
     # MIN(reachable id) IS the component label.
+    # MATERIALIZED (round 9): `edges` is referenced from the recursive
+    # term, and without materialization DuckDB re-executes the whole
+    # shingle→capped-pair→Jaccard prelude on EVERY fixpoint iteration
+    # — at the 100x replica each re-execution spills tens of GB and
+    # the accumulated temp exhausts the disk (the kcore/khop CTE
+    # re-inlining mechanism, round 8). One forced evaluation bounds it.
     oracle=f"""
-    WITH RECURSIVE shingles AS ({_SHINGLE_SQL}),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-    {_CAPPED_PAIRS_FRAGMENT}, jac AS (
+    WITH RECURSIVE shingles AS MATERIALIZED ({_SHINGLE_SQL}),
+    sizes AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    {_CAPPED_PAIRS_FRAGMENT}, jac AS MATERIALIZED (
       SELECT doc_a, doc_b
       FROM pairs
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.35
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM jac
       UNION ALL
       SELECT doc_b AS a, doc_a AS b FROM jac
@@ -2711,18 +2730,26 @@ def dedup_cluster_size_distribution(spark, sf_dir):
     )
 
 
+# MATERIALIZED (round 9): `shingles` is referenced six times here
+# (sizes, rare, cand twice, the pairs intersection subquery, sigs) —
+# un-materialized, DuckDB re-evaluates the full shingle explosion per
+# reference, which exhausted temp disk at the 100x replica. Forcing
+# one evaluation of shingles/sizes (and of truth/sigs, each the input
+# to the final calibration join) bounds the spill to one copy each.
 _MINHASH_CALIBRATION_ORACLE = f"""
-    WITH shingles AS ({_SHINGLE_SQL}),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    WITH shingles AS MATERIALIZED ({_SHINGLE_SQL}),
+    sizes AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     {_CAPPED_PAIRS_FRAGMENT},
-    truth AS (
+    truth AS MATERIALIZED (
       SELECT p.doc_a, p.doc_b,
              ROUND(p.inter / CAST(sa.n + sb.n - p.inter AS DOUBLE), 9) AS jac
       FROM pairs p
       JOIN sizes sa ON sa.doc_id = p.doc_a
       JOIN sizes sb ON sb.doc_id = p.doc_b
     ),
-    sigs AS (SELECT doc_id, {_pm_sig_sql()} FROM shingles GROUP BY doc_id)
+    sigs AS MATERIALIZED (
+      SELECT doc_id, {_pm_sig_sql()} FROM shingles GROUP BY doc_id)
     SELECT ({_PM_MATCH_SUM}) AS matches,
            CAST(({_PM_MATCH_SUM}) AS DOUBLE) / {PORTABLE_PERMS} AS est_jaccard,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,

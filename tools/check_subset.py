@@ -16,7 +16,8 @@ import duckdb
 import pandas as pd
 from pyspark.sql import SparkSession
 
-SF = os.environ.get("CHECK_SF", "/root/testdata/sf0.01")
+SF = (os.environ.get("CHECK_SF") or os.environ.get("EFS_SF_DIR")
+      or "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 names = sys.argv[1:]
