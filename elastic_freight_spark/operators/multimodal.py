@@ -303,6 +303,15 @@ def decode_jpeg(payload: bytes):
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
             pos += 2
             continue
+        if marker == 0x00 or marker == 0xD8:
+            # 0xFF 0x00 is a STUFFED byte — it exists only inside
+            # entropy-coded data, which this walker never enters; at
+            # segment level it means the stream is desynced.  Likewise
+            # a second SOI (0xD8) mid-stream.  Without this check the
+            # generic branch below would read two arbitrary payload
+            # bytes as a segment length and silently skip over the
+            # desync instead of raising (round-9 advice).
+            raise ValueError("marker desync")
         if marker == 0xD9:  # EOI with no frame header seen
             break
         if pos + 4 > n:

@@ -382,6 +382,20 @@ def test_jpeg_parser_rejects_out_of_profile():
         decode_jpeg(_encode_jpeg(height=0))
     with _pytest.raises(ValueError):  # garbage where a marker must be
         decode_jpeg(b"\xff\xd8\xff\xe0\x00\x04\x00\x00garbage")
+    # 0xFF 0x00 is a STUFFED byte (entropy-layer only) — at segment
+    # level it is a desync, NOT a length-prefixed segment.  Before the
+    # round-10 fix the walker read the next two bytes (0x00 0x08 here)
+    # as a segment length and silently skipped to the trailing valid
+    # SOF, returning success from a desynced stream.
+    desynced = (b"\xff\xd8" + b"\xff\x00" + b"\x00\x08" + bytes(6)
+                + _encode_jpeg()[2:])
+    with _pytest.raises(ValueError, match="desync"):
+        decode_jpeg(desynced)
+    # a second SOI mid-stream is equally desynced (old code: skipped)
+    midstream_soi = (b"\xff\xd8" + b"\xff\xd8" + b"\x00\x08" + bytes(6)
+                     + _encode_jpeg()[2:])
+    with _pytest.raises(ValueError, match="desync"):
+        decode_jpeg(midstream_soi)
 
 
 def test_real_jpeg_through_decode_stage(spark):

@@ -78,10 +78,12 @@ skip = {s for s in os.environ.get("EFS_SKIP", "").split(",") if s}
 # battery after a fence, or spot-check one family) — empty means all.
 only = {s for s in os.environ.get("EFS_ONLY", "").split(",") if s}
 fails = []
+skipped = []  # every query NOT executed (EFS_SKIP or EFS_ONLY filter)
 import time as _time
 
 for i, name in enumerate(q):
     if name in skip or (only and name not in only):
+        skipped.append(name)
         if name in skip:
             print(f"[{i+1}/{len(q)}] {name}: SKIPPED (EFS_SKIP)", flush=True)
         continue
@@ -104,5 +106,14 @@ for i, name in enumerate(q):
     # per-query line (flushed) so long replica-scale batteries are
     # monitorable mid-run; failures stay grep-able by MISMATCH/ERROR
     print(f"[{i+1}/{len(q)}] {name}: {status} ({dt:.1f}s)", flush=True)
-print(json.dumps({"total": len(q), "oracled": len(o), "failed": fails}))
+# ran/skipped make a subset run (EFS_ONLY / EFS_SKIP) distinguishable
+# from a full-contract pass in the tail capture (round-9 advice): a
+# green run with skipped > 0 is NOT a full pass. EFS_SKIP names are
+# listed (small, documented fences); an EFS_ONLY subset is summarized
+# by count to keep the line compact.
+print(json.dumps({
+    "total": len(q), "ran": len(q) - len(skipped), "skipped": len(skipped),
+    "efs_skip": sorted(skip & set(q)), "efs_only": len(only),
+    "oracled": len(o), "failed": fails,
+}))
 spark.stop()

@@ -17,7 +17,6 @@ the identity map, so the original corpus survives verbatim."""
 import os, sys, shutil
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
-from elastic_freight_spark.session import get_spark, load_tables
 
 COPIES = int(os.environ.get("REPLICATE_COPIES", "10"))
 SALT = os.environ.get("REPLICATE_SALT") == "1"
@@ -25,23 +24,28 @@ OUT = os.environ.get(
     "REPLICATE_OUT", f"/tmp/sf1x{COPIES}" + ("s" if SALT else "")
 )
 SRC = "/root/testdata/sf0.1"
-shutil.rmtree(OUT, ignore_errors=True)
-os.makedirs(OUT)
-spark = get_spark(app_name=f"make{COPIES}x", extra_conf={"spark.ui.showConsoleProgress": "false"})
-t = load_tables(spark, SRC)
-
-for d in ["region", "nation", "customer", "supplier", "part"]:
-    t[d].write.parquet(os.path.join(OUT, f"{d}.parquet"))
 
 LETTERS = "abcdefghijklmnopqrstuvwxyz"
+UPPERS = LETTERS.upper()
 DIGITS = "0123456789"
 
 
 def salt_text(e, i):
+    # Rotate UPPERCASE with the same shift as lowercase: the shingler
+    # (_SHINGLE_SQL) lowercases raw text BEFORE shingling, so an
+    # un-rotated 'Q' in copy i would lower to the same 'q' in every
+    # copy and leak shared shingles across copies — under-delivering
+    # the "essentially disjoint shingle sets" the salted replica
+    # promises (round-9 advice).
     rl = LETTERS[i % 26 :] + LETTERS[: i % 26]
+    ru = UPPERS[i % 26 :] + UPPERS[: i % 26]
     rd = DIGITS[i % 10 :] + DIGITS[: i % 10]
     return e.withColumn(
-        "text", F.translate(F.translate("text", LETTERS, rl), DIGITS, rd)
+        "text",
+        F.translate(
+            F.translate(F.translate("text", LETTERS, rl), UPPERS, ru),
+            DIGITS, rd,
+        ),
     )
 
 
@@ -59,12 +63,31 @@ def rep(df, offsets, transform=None):  # offsets: {col: stride}
         out = out.unionAll(p)
     return out
 
-rep(t["orders"], {"o_orderkey": 100_000_000}).write.parquet(OUT + "/orders.parquet")
-rep(t["lineitem"], {"l_orderkey": 100_000_000}).write.parquet(OUT + "/lineitem.parquet")
-rep(t["events"], {"event_id": 100_000_000, "user_id": 1_000_000}).write.parquet(OUT + "/events.parquet")
-rep(t["documents"], {"doc_id": 10_000_000},
-    transform=salt_text if SALT else None).write.parquet(OUT + "/documents.parquet")
-rep(t["embeddings"], {"vec_id": 10_000_000}).write.parquet(OUT + "/embeddings.parquet")
-for f in sorted(os.listdir(OUT)):
-    print(f)
-spark.stop()
+
+def main():
+    # import-time side effects moved here (round 10) so tests can
+    # import salt_text without triggering a replica build
+    from elastic_freight_spark.session import get_spark, load_tables
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT)
+    spark = get_spark(app_name=f"make{COPIES}x",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    t = load_tables(spark, SRC)
+
+    for d in ["region", "nation", "customer", "supplier", "part"]:
+        t[d].write.parquet(os.path.join(OUT, f"{d}.parquet"))
+
+    rep(t["orders"], {"o_orderkey": 100_000_000}).write.parquet(OUT + "/orders.parquet")
+    rep(t["lineitem"], {"l_orderkey": 100_000_000}).write.parquet(OUT + "/lineitem.parquet")
+    rep(t["events"], {"event_id": 100_000_000, "user_id": 1_000_000}).write.parquet(OUT + "/events.parquet")
+    rep(t["documents"], {"doc_id": 10_000_000},
+        transform=salt_text if SALT else None).write.parquet(OUT + "/documents.parquet")
+    rep(t["embeddings"], {"vec_id": 10_000_000}).write.parquet(OUT + "/embeddings.parquet")
+    for f in sorted(os.listdir(OUT)):
+        print(f)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
