@@ -17,6 +17,33 @@ from elastic_freight_spark.registry import query
 from elastic_freight_spark.session import load_tables
 
 
+def sorted_fold(terms_col):
+    """Order-pinned float summation: left-fold an array of
+    ``struct(<sort keys...>, v: double)`` after ``sort_array`` (which
+    orders by the struct fields in declaration order — put the
+    group-unique key fields FIRST and the double term LAST).
+
+    This is the stats_anova_oneway pattern (relational.py) made
+    reusable after the salted-100x battery caught
+    ``text_unigram_lm_score`` flipping a ROUND(..., 9) boundary
+    RUN-TO-RUN: a plain ``F.sum`` over float terms is
+    order-unspecified (task scheduling changes the reduction order),
+    which is banned in hash-compared paths. The DuckDB twin is
+    ``list_reduce(list(v ORDER BY <same keys>), (a, b) -> a + b)``:
+    both engines then evaluate the IDENTICAL left-fold tree — the
+    0.0 seed here matches DuckDB's seedless first element because
+    0.0 + x == x bit-exactly for every x that is not -0.0, and no
+    term in the five converted queries can be -0.0 (ln(1.0) is +0.0
+    and c·(+0.0) stays +0.0).
+
+    Scale: each array is ONE GROUP's terms — bounded by doc length
+    for the per-doc queries, and pre-bucketed (md5-prefix) for the
+    corpus-sized groups in text_source_drift_kl."""
+    return F.aggregate(
+        F.sort_array(terms_col), F.lit(0.0), lambda acc, x: acc + x["v"]
+    )
+
+
 @query(
     "pivot_priority_by_status",
     oracle="""
@@ -760,17 +787,24 @@ def sample_stratified_det(spark, sf_dir):
     tot AS (
       SELECT (SELECT SUM(nt) FROM tgt) AS st,
              (SELECT SUM(nr) FROM raw) AS sr
+    ),
+    db AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM toks2 GROUP BY 1, 2
     )
-    SELECT t.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(SUM(ln(((COALESCE(g.nt, 0) + 1) / CAST(st + 256 AS DOUBLE))
-                        / ((r.nr + 1) / CAST(sr + 256 AS DOUBLE))))
-                 / COUNT(*), 9) AS log_importance
-    FROM toks2 t
+    SELECT d.doc_id,
+           CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+           ROUND(list_reduce(
+               list(CAST(d.c AS DOUBLE)
+                    * ln(((COALESCE(g.nt, 0) + 1) / CAST(st + 256 AS DOUBLE))
+                         / ((r.nr + 1) / CAST(sr + 256 AS DOUBLE)))
+                    ORDER BY d.bucket),
+               (a, b) -> a + b)
+                 / SUM(d.c), 9) AS log_importance
+    FROM db d
     JOIN raw r USING (bucket)
     LEFT JOIN tgt g USING (bucket)
     CROSS JOIN tot
-    GROUP BY t.doc_id
+    GROUP BY d.doc_id
     """,
 )
 def dsir_importance_weights(spark, sf_dir):
@@ -813,23 +847,33 @@ def dsir_importance_weights(spark, sf_dir):
     tot = tgt.agg(F.sum("nt").alias("st")).crossJoin(
         raw.agg(F.sum("nr").alias("sr"))
     )
+    # round 10: fold c·ln(ratio) over the doc's DISTINCT buckets in
+    # bucket order (≤256 terms by construction) — the plain F.sum was
+    # an order-unspecified float reduction, the class the salted-100x
+    # battery caught flipping ROUND(9) boundaries run-to-run in
+    # text_unigram_lm_score.
+    db = toks.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    term = F.col("c").cast("double") * F.log(
+        ((F.coalesce(F.col("nt"), F.lit(0)) + 1)
+         / (F.col("st") + 256).cast("double"))
+        / ((F.col("nr") + 1) / (F.col("sr") + 256).cast("double"))
+    )
     return (
-        toks.join(F.broadcast(raw), "bucket")
+        db.join(F.broadcast(raw), "bucket")
         .join(F.broadcast(tgt), "bucket", "left")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.collect_list(
+                F.struct(F.col("bucket").alias("k"), term.alias("v"))
+            ).alias("terms"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
             F.round(
-                F.sum(
-                    F.log(
-                        ((F.coalesce(F.col("nt"), F.lit(0)) + 1)
-                         / (F.col("st") + 256).cast("double"))
-                        / ((F.col("nr") + 1) / (F.col("sr") + 256).cast("double"))
-                    )
-                )
-                / F.count(F.lit(1)),
-                9,
+                sorted_fold(F.col("terms")) / F.col("n_tokens"), 9
             ).alias("log_importance"),
         )
     )

@@ -1816,19 +1816,24 @@ def dedup_incremental_gate(spark, sf_dir):
     WITH toks AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
       FROM documents
+    ), dt AS (
+      SELECT doc_id, token, COUNT(*) AS c
+      FROM toks WHERE token <> '' GROUP BY 1, 2
     ), tf AS (
-      SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY 1
+      SELECT token, CAST(SUM(c) AS BIGINT) AS n FROM dt GROUP BY 1
     ), tot AS (SELECT SUM(n) AS total FROM tf),
     doc_scores AS (
-      SELECT t.doc_id,
-             COUNT(*) AS n_tokens,
-             SUM(ln(tf.n / CAST(tot.total AS DOUBLE))) AS log_prob
-      FROM toks t JOIN tf ON t.token = tf.token CROSS JOIN tot
-      WHERE t.token <> ''
-      GROUP BY t.doc_id
+      SELECT dt.doc_id,
+             CAST(SUM(dt.c) AS BIGINT) AS n_tokens,
+             list_reduce(
+               list(CAST(dt.c AS DOUBLE)
+                    * ln(tf.n / CAST(tot.total AS DOUBLE))
+                    ORDER BY dt.token),
+               (a, b) -> a + b) AS log_prob
+      FROM dt JOIN tf ON dt.token = tf.token CROSS JOIN tot
+      GROUP BY dt.doc_id
     )
-    SELECT doc_id,
-           CAST(n_tokens AS BIGINT) AS n_tokens,
+    SELECT doc_id, n_tokens,
            ROUND(-log_prob / n_tokens, 9) AS mean_nll
     FROM doc_scores
     """,
@@ -1846,25 +1851,39 @@ def text_unigram_lm_score(spark, sf_dir):
     rides as a broadcast 1-row aggregate, and scoring is one
     postings-sized join — no second pass over text. At 100 TB the tf
     table is the artifact you persist beside the span/postings
-    indexes."""
+    indexes.
+
+    Exactness (round 10): per-doc scoring folds c·ln(tf/total) over
+    the doc's DISTINCT tokens in token order (``sorted_fold`` here,
+    ``list(... ORDER BY token)`` + ``list_reduce`` in DuckDB) — the
+    salted-100x battery caught the original order-unspecified
+    ``SUM(ln(...))`` flipping mean_nll's ROUND(9) boundary
+    run-to-run. The distinct-token regroup also shrinks the fold to
+    doc-vocabulary size (bounded by doc length)."""
     docs = load_tables(spark, sf_dir)["documents"]
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    dt = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    tf = dt.groupBy("token").agg(F.sum("c").cast("bigint").alias("n"))
     tot = tf.agg(F.sum("n").cast("double").alias("total"))
+    term = F.col("c").cast("double") * F.log(F.col("n") / F.col("total"))
     return (
-        toks.join(tf, "token")
+        dt.join(tf, "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.log(F.col("n") / F.col("total"))).alias("log_prob"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.collect_list(
+                F.struct(F.col("token").alias("k"), term.alias("v"))
+            ).alias("terms"),
         )
         .select(
             "doc_id",
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.round(-F.col("log_prob") / F.col("n_tokens"), 9).alias("mean_nll"),
+            "n_tokens",
+            F.round(
+                -sorted_fold(F.col("terms")) / F.col("n_tokens"), 9
+            ).alias("mean_nll"),
         )
     )
 
@@ -1883,8 +1902,11 @@ def text_unigram_lm_score(spark, sf_dir):
     )
     SELECT tf.doc_id,
            CAST(dl.total AS BIGINT) AS n_tokens,
-           ROUND(-SUM((tf.n / CAST(dl.total AS DOUBLE))
-                      * ln(tf.n / CAST(dl.total AS DOUBLE))), 9) AS entropy
+           ROUND(-list_reduce(
+               list((tf.n / CAST(dl.total AS DOUBLE))
+                    * ln(tf.n / CAST(dl.total AS DOUBLE))
+                    ORDER BY tf.token),
+               (a, b) -> a + b), 9) AS entropy
     FROM tf JOIN dl ON tf.doc_id = dl.doc_id
     GROUP BY tf.doc_id, dl.total
     """,
@@ -1900,7 +1922,12 @@ def text_entropy_score(spark, sf_dir):
     Plan: per-doc term frequencies (the within-doc postings), doc
     length by one more aggregate on the same frame, entropy as a
     p·ln p sum — two shuffles on doc-sized keys, no corpus-global
-    state at all (embarrassingly parallel at 100 TB)."""
+    state at all (embarrassingly parallel at 100 TB).
+
+    Exactness (round 10): the p·ln p reduction is a token-ORDERED
+    fold on both sides (same family as text_unigram_lm_score — the
+    plain float SUM is order-unspecified and can flip the ROUND(9)
+    boundary run-to-run; caught by the salted-100x battery)."""
     docs = load_tables(spark, sf_dir)["documents"]
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
@@ -1911,11 +1938,15 @@ def text_entropy_score(spark, sf_dir):
     return (
         tf.join(dl, "doc_id")
         .groupBy("doc_id", "total")
-        .agg(F.round(-F.sum(p * F.log(p)), 9).alias("entropy"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col("token").alias("k"), (p * F.log(p)).alias("v"))
+            ).alias("terms")
+        )
         .select(
             "doc_id",
             F.col("total").cast("bigint").alias("n_tokens"),
-            "entropy",
+            F.round(-sorted_fold(F.col("terms")), 9).alias("entropy"),
         )
     )
 
@@ -1933,19 +1964,29 @@ def text_entropy_score(spark, sf_dir):
       SELECT source, SUM(n) AS total FROM src_tf GROUP BY 1
     ), glob_tf AS (
       SELECT token, SUM(n) AS gn FROM src_tf GROUP BY 1
-    ), glob_tot AS (SELECT SUM(gn) AS gtotal FROM glob_tf)
-    SELECT s.source,
-           CAST(st.total AS BIGINT) AS n_tokens,
-           ROUND(SUM((s.n / CAST(st.total AS DOUBLE))
-                     * ln((s.n / CAST(st.total AS DOUBLE))
-                          / (g.gn / CAST(gt.gtotal AS DOUBLE)))), 9)
+    ), glob_tot AS (SELECT SUM(gn) AS gtotal FROM glob_tf),
+    bucketed AS (
+      SELECT s.source, substr(md5(s.token), 1, 2) AS bucket,
+             CAST(SUM(s.n) AS BIGINT) AS bn,
+             list_reduce(
+               list((s.n / CAST(st.total AS DOUBLE))
+                    * ln((s.n / CAST(st.total AS DOUBLE))
+                         / (g.gn / CAST(gt.gtotal AS DOUBLE)))
+                    ORDER BY s.token),
+               (a, b) -> a + b) AS sub
+      FROM src_tf s
+      JOIN src_tot st USING (source)
+      JOIN glob_tf g USING (token)
+      CROSS JOIN glob_tot gt
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(bn) AS BIGINT) AS n_tokens,
+           ROUND(list_reduce(list(sub ORDER BY bucket), (a, b) -> a + b), 9)
              AS kl_vs_corpus
-    FROM src_tf s
-    JOIN src_tot st USING (source)
-    JOIN glob_tf g USING (token)
-    CROSS JOIN glob_tot gt
-    GROUP BY s.source, st.total
-    ORDER BY s.source
+    FROM bucketed
+    GROUP BY source
+    ORDER BY source
     """,
 )
 def text_source_drift_kl(spark, sf_dir):
@@ -1962,7 +2003,16 @@ def text_source_drift_kl(spark, sf_dir):
     total rides as a broadcast 1-row crossJoin. At 100 TB the same
     query runs with the new batch as the foreground and the span/
     postings index as the background — the shape is identical to
-    ``search_significant_terms``."""
+    ``search_significant_terms``.
+
+    Exactness (round 10): the KL reduction is ordered on both sides,
+    but a per-SOURCE group is corpus-vocabulary-sized (Heaps-growing,
+    unlike the per-doc queries in this family), so a single
+    collect_list would be an unbounded fan-in. Two-level fold
+    instead: fold token-ordered WITHIN each of 256 md5-prefix buckets
+    (the dsir_importance_weights hashing trick), then fold the 256
+    bucket subtotals bucket-ordered — both levels deterministic,
+    every array bounded by vocab/256 (level 1) or 256 (level 2)."""
     docs = load_tables(spark, sf_dir)["documents"]
     toks = docs.select(
         "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
@@ -1973,16 +2023,33 @@ def text_source_drift_kl(spark, sf_dir):
     glob_tot = glob_tf.agg(F.sum("gn").cast("double").alias("gtotal"))
     p = F.col("n") / F.col("total").cast("double")
     q = F.col("gn") / F.col("gtotal")
-    return (
+    bucketed = (
         src_tf.join(src_tot, "source")
         .join(glob_tf, "token")
         .crossJoin(F.broadcast(glob_tot))
-        .groupBy("source", "total")
-        .agg(F.round(F.sum(p * F.log(p / q)), 9).alias("kl_vs_corpus"))
+        .groupBy("source", F.substring(F.md5("token"), 1, 2).alias("bucket"))
+        .agg(
+            F.sum("n").cast("bigint").alias("bn"),
+            F.collect_list(
+                F.struct(
+                    F.col("token").alias("k"), (p * F.log(p / q)).alias("v")
+                )
+            ).alias("terms"),
+        )
+        .select("source", "bucket", "bn", sorted_fold(F.col("terms")).alias("sub"))
+    )
+    return (
+        bucketed.groupBy("source")
+        .agg(
+            F.sum("bn").cast("bigint").alias("n_tokens"),
+            F.collect_list(
+                F.struct(F.col("bucket").alias("k"), F.col("sub").alias("v"))
+            ).alias("subs"),
+        )
         .select(
             "source",
-            F.col("total").cast("bigint").alias("n_tokens"),
-            "kl_vs_corpus",
+            "n_tokens",
+            F.round(sorted_fold(F.col("subs")), 9).alias("kl_vs_corpus"),
         )
         .orderBy("source")
     )
@@ -2576,22 +2643,33 @@ def neardup_containment(spark, sf_dir):
            LATERAL (SELECT unnest(range(1, LENGTH(tok))) AS i)
       WHERE tok[i] <> '' AND tok[i+1] <> ''
     ),
-    big AS (SELECT w1, w2, COUNT(*) AS n12 FROM pairs GROUP BY 1, 2),
-    ctx AS (SELECT w1, COUNT(*) AS n1 FROM pairs GROUP BY 1),
+    dp AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS c FROM pairs GROUP BY 1, 2, 3
+    ),
+    big AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS n12 FROM dp GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS n1 FROM dp GROUP BY 1),
     vocab AS (
       SELECT COUNT(DISTINCT token) AS v FROM (
         SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
       ) WHERE token <> ''
+    ),
+    doc_scores AS (
+      SELECT dp.doc_id,
+             CAST(SUM(dp.c) AS BIGINT) AS n_bigrams,
+             list_reduce(
+               list(CAST(dp.c AS DOUBLE)
+                    * ln((big.n12 + 1) / CAST(ctx.n1 + vocab.v AS DOUBLE))
+                    ORDER BY dp.w1, dp.w2),
+               (a, b) -> a + b) AS log_prob
+      FROM dp
+      JOIN big ON big.w1 = dp.w1 AND big.w2 = dp.w2
+      JOIN ctx ON ctx.w1 = dp.w1
+      CROSS JOIN vocab
+      GROUP BY dp.doc_id
     )
-    SELECT p.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(-SUM(ln((big.n12 + 1) / CAST(ctx.n1 + vocab.v AS DOUBLE)))
-                 / COUNT(*), 9) AS mean_nll
-    FROM pairs p
-    JOIN big ON big.w1 = p.w1 AND big.w2 = p.w2
-    JOIN ctx ON ctx.w1 = p.w1
-    CROSS JOIN vocab
-    GROUP BY p.doc_id
+    SELECT doc_id, n_bigrams,
+           ROUND(-log_prob / n_bigrams, 9) AS mean_nll
+    FROM doc_scores
     """,
 )
 def text_bigram_lm_score(spark, sf_dir):
@@ -2606,7 +2684,13 @@ def text_bigram_lm_score(spark, sf_dir):
     and context tables are corpus-vocabulary-sized aggregates; the
     vocab size rides as a broadcast 1-row crossJoin; scoring is one
     pairs-sized join per table then a doc-keyed aggregate. One text
-    scan end-to-end."""
+    scan end-to-end.
+
+    Exactness (round 10): per-doc scoring folds c·ln(P(w2|w1)) over
+    the doc's DISTINCT bigrams in (w1, w2) order — same
+    order-unspecified-float-SUM fix as text_unigram_lm_score (the
+    salted-100x battery class); the regroup also bounds the fold at
+    doc-distinct-bigram size."""
     docs = load_tables(spark, sf_dir)["documents"]
     pairs = (
         docs.select("doc_id", F.split(F.lower("text"), " ").alias("tok"))
@@ -2624,29 +2708,37 @@ def text_bigram_lm_score(spark, sf_dir):
         )
         .select("doc_id", "p.w1", "p.w2")
     )
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    dp = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    big = dp.groupBy("w1", "w2").agg(F.sum("c").cast("bigint").alias("n12"))
+    ctx = dp.groupBy("w1").agg(F.sum("c").cast("bigint").alias("n1"))
     vocab = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .filter(F.col("token") != "")
         .agg(F.countDistinct("token").alias("v"))
     )
+    term = F.col("c").cast("double") * F.log(
+        (F.col("n12") + 1) / (F.col("n1") + F.col("v")).cast("double")
+    )
     return (
-        pairs.join(big, ["w1", "w2"])
+        dp.join(big, ["w1", "w2"])
         .join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.round(
-                -F.sum(
-                    F.log(
-                        (F.col("n12") + 1)
-                        / (F.col("n1") + F.col("v")).cast("double")
-                    )
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.collect_list(
+                F.struct(
+                    F.col("w1").alias("k1"),
+                    F.col("w2").alias("k2"),
+                    term.alias("v"),
                 )
-                / F.count(F.lit(1)),
-                9,
+            ).alias("terms"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -sorted_fold(F.col("terms")) / F.col("n_bigrams"), 9
             ).alias("mean_nll"),
         )
     )
@@ -3000,6 +3092,7 @@ def text_oov_rate(spark, sf_dir):
 
 from elastic_freight_spark.operators.sampling import (
     _SPLIT_SQL as _LEAK_SPLIT_SQL,
+    sorted_fold,
 )
 
 

@@ -59,6 +59,127 @@ def test_salt_text_copy0_is_identity(spark):
     assert salt_text(df, 0).collect() == df.collect()
 
 
+# --- order-unspecified float log-sum ban (the salted-100x finding) --------
+#
+# The salted-100x battery caught text_unigram_lm_score MISMATCHING and a
+# re-run producing ZERO diff rows: a plain SUM over float ln-terms is
+# order-unspecified (Spark's reduction order varies with task
+# scheduling), and at 500k docs some doc's mean_nll lands close enough
+# to a ROUND(..., 9) boundary to flip run-to-run. The five affected
+# queries now fold key-ORDERED term lists on both engines
+# (sampling.sorted_fold ↔ list(... ORDER BY key) + list_reduce).
+
+# SUM(ln(...)) inside an ordered window frame is a deterministic
+# prefix fold, not an unordered reduction — the one allowed form.
+_ORDERED_WINDOW_LOGSUM_ALLOW = {"events_survival_km"}
+
+_FOLD_CONVERTED = (
+    "text_unigram_lm_score",
+    "text_bigram_lm_score",
+    "text_entropy_score",
+    "text_source_drift_kl",
+    "dsir_importance_weights",
+)
+
+
+def test_no_unordered_float_logsum_in_oracles():
+    """Registry-wide lint: no oracle may reduce ln() terms with a plain
+    aggregate SUM — every float log-reduction must be an explicit-order
+    list fold (list(... ORDER BY ...) + list_reduce) or an ordered
+    window frame (allowlisted)."""
+    import re
+
+    from elastic_freight_spark import registry
+
+    registry.load_all()
+    offenders = []
+    for name, sql in registry.ORACLE.items():
+        if name in _ORDERED_WINDOW_LOGSUM_ALLOW:
+            # must actually be the windowed form it is allowed for
+            assert re.search(r"SUM\(ln\(", sql) is None or "OVER" in sql
+            continue
+        for m in re.finditer(r"SUM\s*\(", sql):
+            # unordered if an ln( appears inside the SUM's argument
+            # (cheap approximation: within the next 200 chars before
+            # the aggregate is closed by a newline-level boundary)
+            tail = sql[m.end() : m.end() + 200]
+            if re.match(r"\s*ln\(", tail) or re.match(
+                r"\s*\([^)]*\)\s*\*\s*ln\(", tail
+            ):
+                offenders.append(name)
+                break
+    assert not offenders, offenders
+
+
+def test_no_unordered_float_logsum_in_spark_operators():
+    """Source lint for the Spark side of the same ban: F.sum over an
+    F.log-bearing expression in operators/ is the order-unspecified
+    reduction the oracle lint bans. streaming/ is exempt (rows-only
+    surfaces, property-tested, never hash-compared)."""
+    import glob
+    import re
+
+    offenders = []
+    for path in glob.glob("/root/repo/elastic_freight_spark/operators/*.py"):
+        src = open(path).read()
+        for m in re.finditer(r"F\.sum\(", src):
+            depth, i = 1, m.end()
+            while depth and i < len(src):
+                depth += {"(": 1, ")": -1}.get(src[i], 0)
+                i += 1
+            if "F.log" not in src[m.end() : i]:
+                continue
+            # a running sum over an ORDERED window frame is a
+            # deterministic prefix fold — the allowed form
+            # (events_survival_km's KM product)
+            if re.match(r"\s*\.over\(", src[i:]):
+                continue
+            offenders.append(f"{path}:{src[:m.start()].count(chr(10)) + 1}")
+    assert not offenders, offenders
+
+
+def test_fold_converted_oracles_use_ordered_list_reduce():
+    """The five salted-100x-class queries must keep the ordered-fold
+    oracle form (list(... ORDER BY ...) + list_reduce) — a regression
+    to plain SUM would re-open run-to-run ROUND(9) flips that only
+    manifest at replica scale."""
+    from elastic_freight_spark import registry
+
+    registry.load_all()
+    for name in _FOLD_CONVERTED:
+        sql = registry.ORACLE[name]
+        assert "list_reduce(" in sql, name
+        assert "ORDER BY" in sql, name
+
+
+def test_unigram_lm_partition_order_invariance(spark):
+    """The rewritten text_unigram_lm_score must be bit-identical under
+    different input partitionings (the failure mode was run-to-run
+    sum-order drift). Distinct repartitions change Spark's reduction
+    schedule; the token-ordered fold must erase that."""
+    import os
+    import tempfile
+
+    from elastic_freight_spark.operators.text import text_unigram_lm_score
+
+    vocab = [f"w{i}" for i in range(37)]
+    docs = [
+        (i, " ".join(vocab[(i * 7 + j) % 37] for j in range(5 + i % 60)),
+         "en", f"src{i % 4}", 0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.repartition(1).write.parquet(os.path.join(d, "documents.parquet"))
+        a = sorted(map(tuple, text_unigram_lm_score(spark, d).collect()))
+    with tempfile.TemporaryDirectory() as d:
+        df.repartition(13).write.parquet(os.path.join(d, "documents.parquet"))
+        b = sorted(map(tuple, text_unigram_lm_score(spark, d).collect()))
+    assert a == b
+
+
 def test_drive_contract_summary_reports_subset_visibility():
     """Source-level pin (same style as the cast-ban lints): the summary
     JSON printed by tools/drive_contract.py must carry ran/skipped/
