@@ -29,8 +29,15 @@ def sorted_fold(terms_col):
     RUN-TO-RUN: a plain ``F.sum`` over float terms is
     order-unspecified (task scheduling changes the reduction order),
     which is banned in hash-compared paths. The DuckDB twin is
-    ``list_reduce(list(v ORDER BY <same keys>), (a, b) -> a + b)``:
-    both engines then evaluate the IDENTICAL left-fold tree — the
+    ``list_reduce(list_transform(list_sort(list(struct_pack(k := ...,
+    v := ...))), x -> x.v), (a, b) -> a + b)`` — an UNORDERED list
+    aggregate sorted by the scalar ``list_sort`` (struct comparison is
+    field-order lexicographic, matching Spark's sort_array), NOT the
+    ``list(... ORDER BY ...)`` ordered-aggregate form: DuckDB's
+    ordered aggregate buffers pathologically (it blew a 92 GB limit
+    in 27 s on the salted-100x corpus where the list_sort form runs
+    the identical reduction in 1 s). Both engines then evaluate the
+    IDENTICAL left-fold tree — the
     0.0 seed here matches DuckDB's seedless first element because
     0.0 + x == x bit-exactly for every x that is not -0.0, and no
     term in the five converted queries can be -0.0 (ln(1.0) is +0.0
@@ -794,10 +801,15 @@ def sample_stratified_det(spark, sf_dir):
     SELECT d.doc_id,
            CAST(SUM(d.c) AS BIGINT) AS n_tokens,
            ROUND(list_reduce(
-               list(CAST(d.c AS DOUBLE)
-                    * ln(((COALESCE(g.nt, 0) + 1) / CAST(st + 256 AS DOUBLE))
-                         / ((r.nr + 1) / CAST(sr + 256 AS DOUBLE)))
-                    ORDER BY d.bucket),
+               list_transform(
+                 list_sort(list(struct_pack(
+                   k := d.bucket,
+                   v := CAST(d.c AS DOUBLE)
+                        * ln(((COALESCE(g.nt, 0) + 1)
+                              / CAST(st + 256 AS DOUBLE))
+                             / ((r.nr + 1)
+                                / CAST(sr + 256 AS DOUBLE)))))),
+                 x -> x.v),
                (a, b) -> a + b)
                  / SUM(d.c), 9) AS log_importance
     FROM db d

@@ -1826,9 +1826,12 @@ def dedup_incremental_gate(spark, sf_dir):
       SELECT dt.doc_id,
              CAST(SUM(dt.c) AS BIGINT) AS n_tokens,
              list_reduce(
-               list(CAST(dt.c AS DOUBLE)
-                    * ln(tf.n / CAST(tot.total AS DOUBLE))
-                    ORDER BY dt.token),
+               list_transform(
+                 list_sort(list(struct_pack(
+                   k := dt.token,
+                   v := CAST(dt.c AS DOUBLE)
+                        * ln(tf.n / CAST(tot.total AS DOUBLE))))),
+                 x -> x.v),
                (a, b) -> a + b) AS log_prob
       FROM dt JOIN tf ON dt.token = tf.token CROSS JOIN tot
       GROUP BY dt.doc_id
@@ -1903,9 +1906,12 @@ def text_unigram_lm_score(spark, sf_dir):
     SELECT tf.doc_id,
            CAST(dl.total AS BIGINT) AS n_tokens,
            ROUND(-list_reduce(
-               list((tf.n / CAST(dl.total AS DOUBLE))
-                    * ln(tf.n / CAST(dl.total AS DOUBLE))
-                    ORDER BY tf.token),
+               list_transform(
+                 list_sort(list(struct_pack(
+                   k := tf.token,
+                   v := (tf.n / CAST(dl.total AS DOUBLE))
+                        * ln(tf.n / CAST(dl.total AS DOUBLE))))),
+                 x -> x.v),
                (a, b) -> a + b), 9) AS entropy
     FROM tf JOIN dl ON tf.doc_id = dl.doc_id
     GROUP BY tf.doc_id, dl.total
@@ -1969,10 +1975,13 @@ def text_entropy_score(spark, sf_dir):
       SELECT s.source, substr(md5(s.token), 1, 2) AS bucket,
              CAST(SUM(s.n) AS BIGINT) AS bn,
              list_reduce(
-               list((s.n / CAST(st.total AS DOUBLE))
-                    * ln((s.n / CAST(st.total AS DOUBLE))
-                         / (g.gn / CAST(gt.gtotal AS DOUBLE)))
-                    ORDER BY s.token),
+               list_transform(
+                 list_sort(list(struct_pack(
+                   k := s.token,
+                   v := (s.n / CAST(st.total AS DOUBLE))
+                        * ln((s.n / CAST(st.total AS DOUBLE))
+                             / (g.gn / CAST(gt.gtotal AS DOUBLE)))))),
+                 x -> x.v),
                (a, b) -> a + b) AS sub
       FROM src_tf s
       JOIN src_tot st USING (source)
@@ -1982,7 +1991,11 @@ def text_entropy_score(spark, sf_dir):
     )
     SELECT source,
            CAST(SUM(bn) AS BIGINT) AS n_tokens,
-           ROUND(list_reduce(list(sub ORDER BY bucket), (a, b) -> a + b), 9)
+           ROUND(list_reduce(
+               list_transform(
+                 list_sort(list(struct_pack(k := bucket, v := sub))),
+                 x -> x.v),
+               (a, b) -> a + b), 9)
              AS kl_vs_corpus
     FROM bucketed
     GROUP BY source
@@ -2657,9 +2670,13 @@ def neardup_containment(spark, sf_dir):
       SELECT dp.doc_id,
              CAST(SUM(dp.c) AS BIGINT) AS n_bigrams,
              list_reduce(
-               list(CAST(dp.c AS DOUBLE)
-                    * ln((big.n12 + 1) / CAST(ctx.n1 + vocab.v AS DOUBLE))
-                    ORDER BY dp.w1, dp.w2),
+               list_transform(
+                 list_sort(list(struct_pack(
+                   k1 := dp.w1, k2 := dp.w2,
+                   v := CAST(dp.c AS DOUBLE)
+                        * ln((big.n12 + 1)
+                             / CAST(ctx.n1 + vocab.v AS DOUBLE))))),
+                 x -> x.v),
                (a, b) -> a + b) AS log_prob
       FROM dp
       JOIN big ON big.w1 = dp.w1 AND big.w2 = dp.w2

@@ -138,18 +138,25 @@ def test_no_unordered_float_logsum_in_spark_operators():
     assert not offenders, offenders
 
 
-def test_fold_converted_oracles_use_ordered_list_reduce():
-    """The five salted-100x-class queries must keep the ordered-fold
-    oracle form (list(... ORDER BY ...) + list_reduce) — a regression
-    to plain SUM would re-open run-to-run ROUND(9) flips that only
-    manifest at replica scale."""
+def test_fold_converted_oracles_use_sorted_fold_form():
+    """The five salted-100x-class queries must keep the sorted-fold
+    oracle form — list_sort over an UNORDERED list aggregate of
+    (key, v) structs, then list_transform + list_reduce. Two
+    regressions are banned: plain SUM (re-opens the run-to-run
+    ROUND(9) flips) and list(... ORDER BY ...) (DuckDB's ordered
+    aggregate buffers pathologically — 92 GB OOM in 27 s at the
+    salted 100x where list_sort runs the identical fold in 1 s)."""
+    import re
+
     from elastic_freight_spark import registry
 
     registry.load_all()
     for name in _FOLD_CONVERTED:
         sql = registry.ORACLE[name]
         assert "list_reduce(" in sql, name
-        assert "ORDER BY" in sql, name
+        assert "list_sort(list(struct_pack(" in sql, name
+        # no ordered list aggregate anywhere in these oracles
+        assert not re.search(r"list\([^)]*ORDER BY", sql), name
 
 
 def test_unigram_lm_partition_order_invariance(spark):
