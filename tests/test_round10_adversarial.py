@@ -67,7 +67,9 @@ def test_salt_text_copy0_is_identity(spark):
 # scheduling), and at 500k docs some doc's mean_nll lands close enough
 # to a ROUND(..., 9) boundary to flip run-to-run. The five affected
 # queries now fold key-ORDERED term lists on both engines
-# (sampling.sorted_fold ↔ list(... ORDER BY key) + list_reduce).
+# (sampling.sorted_fold ↔ list_sort(list(struct_pack(...))) +
+# list_transform + list_reduce — NOT list(... ORDER BY key), whose
+# DuckDB ordered-aggregate buffering OOMed at the salted 100x).
 
 # SUM(ln(...)) inside an ordered window frame is a deterministic
 # prefix fold, not an unordered reduction — the one allowed form.
@@ -99,13 +101,16 @@ def test_no_unordered_float_logsum_in_oracles():
             assert re.search(r"SUM\(ln\(", sql) is None or "OVER" in sql
             continue
         for m in re.finditer(r"SUM\s*\(", sql):
-            # unordered if an ln( appears inside the SUM's argument
-            # (cheap approximation: within the next 200 chars before
-            # the aggregate is closed by a newline-level boundary)
-            tail = sql[m.end() : m.end() + 200]
-            if re.match(r"\s*ln\(", tail) or re.match(
-                r"\s*\([^)]*\)\s*\*\s*ln\(", tail
-            ):
+            # unordered if an ln( appears ANYWHERE inside the SUM's
+            # balanced-paren argument (depth-walk, mirroring the
+            # Spark-side lint below — the old two-prefix-regex form
+            # missed `SUM(c * ln(...))` with a bare-identifier
+            # multiplier, the exact pre-fix oracle shape)
+            depth, i = 1, m.end()
+            while depth and i < len(sql):
+                depth += {"(": 1, ")": -1}.get(sql[i], 0)
+                i += 1
+            if re.search(r"\bln\s*\(", sql[m.end() : i]):
                 offenders.append(name)
                 break
     assert not offenders, offenders

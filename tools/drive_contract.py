@@ -109,11 +109,17 @@ for i, name in enumerate(q):
 # ran/skipped make a subset run (EFS_ONLY / EFS_SKIP) distinguishable
 # from a full-contract pass in the tail capture (round-9 advice): a
 # green run with skipped > 0 is NOT a full pass. EFS_SKIP names are
-# listed (small, documented fences); an EFS_ONLY subset is summarized
-# by count to keep the line compact.
+# listed while small (the documented fences); a large ad-hoc skip set
+# (e.g. fencing a whole family while bisecting) is capped at 10 names
+# + a remainder count so the summary stays inside the ~1.5 KB compact
+# budget the ~2 KB driver tail capture relies on (round-10 advice).
+# An EFS_ONLY subset is summarized by count for the same reason.
+_skip_names = sorted(skip & set(q))
+if len(_skip_names) > 10:
+    _skip_names = _skip_names[:10] + [f"+{len(_skip_names) - 10} more"]
 print(json.dumps({
     "total": len(q), "ran": len(q) - len(skipped), "skipped": len(skipped),
-    "efs_skip": sorted(skip & set(q)), "efs_only": len(only),
+    "efs_skip": _skip_names, "efs_only": len(only),
     "oracled": len(o), "failed": fails,
 }))
 spark.stop()
