@@ -141,6 +141,8 @@ HEADLINE = [
     "events_survival_km",
     "events_ab_test_report",
     "graph_modularity",
+    # round-11 addition: the bucketed-bounded embedding near-dup twin
+    "neardup_embedding_lsh_portable",
 ]
 
 

@@ -404,6 +404,187 @@ def ann_lsh_cosine(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Portable certification twin: LSH-BUCKETED embedding near-dup
+# ---------------------------------------------------------------------------
+#
+# neardup_embedding_cosine blocks by label as a stand-in for the LSH
+# bucket its docstring promises at 100 TB — but the label block is a
+# replica artifact at the salted-100x tier (the fixture's 10 labels
+# make blocks grow linearly with copies, so within-block pairs grow
+# quadratically; it is fenced there). This twin IS the promised scale
+# path, hash-oracle-checked: deterministic sign-LSH buckets from the
+# SAME splitmix64 plane family ann_lsh_cosine serves from (tables 0-3
+# of its 8), a per-(table, bucket) occupancy cap, exact cosine only
+# within capped buckets. Work is bounded BY CONSTRUCTION at any corpus
+# size: <= tables * 2^planes * C(cap, 2) scored pairs.
+
+_NDL_TABLES = 4  # certifies tables 0-3 of ann_lsh_cosine's 8
+_NDL_PLANES = 8  # = LSH_PLANES: the identical plane family
+_NDL_CAP = 32  # per-(table, bucket) occupancy cap — the scale bound
+_NDL_DIM = 64  # embeddings are 64-wide (TESTDATA.md); the plane sign
+# vectors are baked as 64-element literals into BOTH engines' plans,
+# so the dimension is a build-time constant of the twin (the learned
+# path stays dimension-agnostic via its pmod bitmask form)
+_NDL_THRESH = "0.35"  # same literal as neardup_embedding_cosine
+
+
+def _ndl_signs(table: int, plane: int) -> str:
+    """±1.0 sign literals of plane (table, plane) — generated by the
+    SAME `_plane_sign` splitmix64 mix the serving path bakes into its
+    bitmask literals, so the twin certifies the production buckets."""
+    return ", ".join(
+        "1.0" if _plane_sign(table, plane, j) > 0 else "-1.0"
+        for j in range(_NDL_DIM)
+    )
+
+
+def _ndl_bucket_spark(table: int) -> str:
+    """Spark SQL expression for one table's bucket id: 8 sign bits,
+    each the >= 0 test of a sequential-left-fold dot product against
+    a baked ±1 plane (bit-identical to the oracle's list_sum fold)."""
+    bits = []
+    for p in range(_NDL_PLANES):
+        dot = (
+            f"aggregate(zip_with(vec, array({_ndl_signs(table, p)}), "
+            "(x, y) -> x * cast(y as double)), cast(0.0 as double), "
+            "(acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _ndl_bucket_sql(table: int) -> str:
+    """DuckDB twin of `_ndl_bucket_spark` — same literals, same fold."""
+    bits = []
+    for p in range(_NDL_PLANES):
+        dot = (
+            f"list_sum(list_transform(list_zip(vec, [{_ndl_signs(table, p)}]), "
+            "x -> x[1] * CAST(x[2] AS DOUBLE)))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@query(
+    "neardup_embedding_lsh_portable",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, 0 AS tbl, {_ndl_bucket_sql(0)} AS bucket FROM e
+      UNION ALL SELECT vec_id, 1, {_ndl_bucket_sql(1)} FROM e
+      UNION ALL SELECT vec_id, 2, {_ndl_bucket_sql(2)} FROM e
+      UNION ALL SELECT vec_id, 3, {_ndl_bucket_sql(3)} FROM e
+    ),
+    capped AS MATERIALIZED (
+      SELECT vec_id, tbl, bucket FROM (
+        SELECT vec_id, tbl, bucket, ROW_NUMBER() OVER (
+                 PARTITION BY tbl, bucket
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        FROM m
+      ) WHERE rk <= {_NDL_CAP}
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM capped a JOIN capped b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    n AS MATERIALIZED (
+      SELECT vec_id, vec,
+             sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+      FROM e
+    ),
+    scored AS (
+      SELECT vec_a, vec_b,
+             list_sum(list_transform(list_zip(na.vec, nb.vec),
+                                     x -> x[1] * x[2]))
+               / NULLIF(na.nrm * nb.nrm, 0) AS cosine_raw
+      FROM cand
+      JOIN n na ON na.vec_id = cand.vec_a
+      JOIN n nb ON nb.vec_id = cand.vec_b
+    )
+    SELECT vec_a, vec_b, ROUND(cosine_raw, 9) AS cosine
+    FROM scored WHERE cosine_raw > {_NDL_THRESH}
+    """,
+)
+def neardup_embedding_lsh_portable(spark, sf_dir):
+    """Bucketed-bounded embedding near-dup, hash-checked end to end:
+    every vector gets `_NDL_TABLES` sign-LSH bucket ids (the same
+    splitmix64 plane family `ann_lsh_cosine` serves from), each
+    (table, bucket) keeps its first `_NDL_CAP` members by
+    (md5(vec_id), vec_id), candidate pairs are same-bucket-any-table
+    (deduped BEFORE the vectors come back), and only candidates get
+    the exact-cosine rerank and the > 0.35 near-dup filter —
+    `neardup_embedding_cosine`'s semantics with its label block
+    replaced by the bounded LSH block. Scored pairs are capped by
+    construction at tables * 2^planes * C(cap, 2) regardless of
+    corpus size (the envelope the 100x fence rationale points at;
+    measured: 2.4k candidates/26 pairs at sf0.01, 467k/67k at the
+    salted-100x replica where the label-blocked sibling is fenced).
+    Bucket bits and cosines are sequential left folds on both
+    engines, so every hash compare is bit-exact."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    e = with_unit_vectors(t["embeddings"])
+    memb = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.expr(_ndl_bucket_spark(tb)) for tb in range(_NDL_TABLES)])
+        ).alias("tbl", "bucket"),
+    )
+    w = W.partitionBy("tbl", "bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    capped = (
+        memb.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NDL_CAP)
+        .select("vec_id", "tbl", "bucket")
+    )
+    a = capped.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = capped.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("tbl").alias("tbl_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("tbl") == F.col("tbl_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    # rerank joins shuffle on vec_id — candidates grow with the corpus
+    # (bounded, but not broadcast-small by contract), so no broadcast
+    # hint: AQE may still pick one when the bound is tiny
+    va = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("vec").alias("avec"),
+        F.col("norm").alias("anorm"),
+    )
+    vb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("vec").alias("bvec"),
+        F.col("norm").alias("bnorm"),
+    )
+    cos = F.expr(_DOT.format(a="avec", b="bvec")) / F.expr(
+        "nullif(anorm * bnorm, cast(0.0 as double))"
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") > F.lit(float(_NDL_THRESH)))
+        .select("vec_a", "vec_b", F.round("cosine_raw", 9).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN scale path #2: IVF (inverted-file) — learned coarse quantizer
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,170 @@
+"""Round-11 adversarial pins.
+
+1. The new `neardup_embedding_lsh_portable` twin (the round-10 verdict's
+   one sanctioned registry addition): fixture-exact vs its DuckDB
+   oracle including the zero-vector NULLIF edge, the occupancy cap as
+   the bounded-by-construction envelope, and the plane family's
+   identity with the serving path's bitmask literals.
+2. Evidence-pointer linter (round-10 verdict item 7): a ledger/PERF
+   note saying "recorded below" / "see ledger" must resolve to a real
+   line-anchored record — round 10 shipped a dangling
+   minhash_estimate_calibration retry pointer that three review passes
+   missed because nothing machine-checked it.
+"""
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+REPO = "/root/repo"
+
+
+# --- the LSH-bucketed embedding near-dup twin ------------------------------
+
+
+def _write_embeddings(spark, d, rows):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.parquet(os.path.join(d, "embeddings.parquet"))
+
+
+def test_neardup_embedding_lsh_portable_fixture_exact(spark):
+    """Fixture-exact vs the DuckDB oracle: duplicate groups (must pair
+    inside a bucket), a near-orthogonal outlier (must not pass the
+    threshold), and an all-zero vector whose NULL cosine must be
+    filtered identically by both engines (the NULLIF guard — Spark
+    ANSI mode would otherwise throw on the bare division)."""
+    from elastic_freight_spark import registry
+    from tests.oracle_util import oracle_df
+
+    registry.load_all()
+    base = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+    near = list(base)
+    near[0] += 0.05
+    alt = [float((i * 11 % 23) - 11) / 10.0 for i in range(64)]
+    rows = (
+        [(i, [float(x) for x in base], 0) for i in range(10)]
+        + [(10, [float(x) for x in near], 0)]
+        + [(i, [float(x) for x in alt], 1) for i in range(11, 16)]
+        + [(16, [0.0] * 64, 2)]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write_embeddings(spark, d, rows)
+        sp = (
+            registry.QUERIES["neardup_embedding_lsh_portable"](spark, d)
+            .toPandas()
+            .sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
+        )
+        od = (
+            oracle_df(d, registry.ORACLE["neardup_embedding_lsh_portable"])
+            .sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
+        )
+    assert list(sp.columns) == ["vec_a", "vec_b", "cosine"]
+    assert sp[sorted(sp.columns)].to_csv(index=False) == od[
+        sorted(od.columns)
+    ].to_csv(index=False)
+    # the duplicate group must be found, the zero vector never paired
+    assert len(sp) >= 45  # C(10,2) exact-dup pairs at minimum
+    assert not ((sp.vec_a == 16) | (sp.vec_b == 16)).any()
+    assert (sp.cosine > 0.35).all()
+
+
+def test_neardup_embedding_lsh_portable_cap_bounds_identical_flood(spark):
+    """100 byte-identical vectors (the salted-replica worst case that
+    fenced neardup_embedding_cosine) must yield EXACTLY C(cap, 2)
+    pairs: every table buckets the copies together, the md5 rank picks
+    the same `_NDL_CAP` members in each table, and the cross-table
+    DISTINCT collapses the four capped blocks into one — bounded by
+    construction, not by data."""
+    from elastic_freight_spark import registry
+    from elastic_freight_spark.operators.vectors import _NDL_CAP
+
+    registry.load_all()
+    v = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+    rows = [(i, [float(x) for x in v], 0) for i in range(100)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_embeddings(spark, d, rows)
+        out = registry.QUERIES["neardup_embedding_lsh_portable"](
+            spark, d
+        ).toPandas()
+    assert len(out) == _NDL_CAP * (_NDL_CAP - 1) // 2
+    assert (out.cosine == 1.0).all()
+
+
+def test_ndl_planes_match_serving_path_bitmasks():
+    """The twin's baked ±1 sign literals must be the SAME plane family
+    the serving path (`ann_lsh_cosine` / `lsh_bucket_table`) extracts
+    from its packed bitmask literals — otherwise the twin certifies
+    buckets nobody serves from."""
+    from elastic_freight_spark.operators.vectors import (
+        _NDL_DIM,
+        _NDL_PLANES,
+        _NDL_TABLES,
+        _ndl_signs,
+        _plane_masks,
+    )
+
+    for t in range(_NDL_TABLES):
+        for p in range(_NDL_PLANES):
+            masks = _plane_masks(t, p)
+            lits = _ndl_signs(t, p).split(", ")
+            assert len(lits) == _NDL_DIM
+            for j, lit in enumerate(lits):
+                word = masks[j // 64] & (2**64 - 1)
+                mask_neg = bool((word >> (j % 64)) & 1)
+                assert (lit == "-1.0") == mask_neg, (t, p, j)
+
+
+# --- evidence-pointer linter ------------------------------------------------
+
+
+def _registered_names():
+    from elastic_freight_spark import registry
+
+    registry.load_all()
+    return list(registry.QUERIES)
+
+
+def _nearest_name_before(text, pos, names):
+    hits = [(text.rfind(n, 0, pos), n) for n in names]
+    hits = [h for h in hits if h[0] >= 0]
+    assert hits, "no registered query name precedes the pointer"
+    return max(hits)[1]
+
+
+def test_ledger_recorded_below_pointers_resolve():
+    """Every 'recorded below' in CORRECTNESS_LEDGER.md must resolve to
+    a later LINE-ANCHORED record: a line starting with the query name
+    the pointer is about (the convention the neardup_embedding_cosine
+    'final status' paragraph set). Round 10's dangling
+    minhash_estimate_calibration retry pointer is the motivating bug:
+    prose promised a record that was never pasted."""
+    led = open(os.path.join(REPO, "CORRECTNESS_LEDGER.md")).read()
+    names = _registered_names()
+    for m in re.finditer(r"recorded below", led):
+        name = _nearest_name_before(led, m.start(), names)
+        tail_lines = led[m.end():].splitlines()
+        anchored = [ln for ln in tail_lines if ln.startswith(name)]
+        assert anchored, f"dangling 'recorded below' for {name}"
+
+
+def test_perf_see_ledger_pointers_resolve():
+    """Every PERF.md table row whose timing cell says 'see ledger'
+    must have a line-anchored record in CORRECTNESS_LEDGER.md for the
+    query named in that row."""
+    perf = open(os.path.join(REPO, "PERF.md")).read()
+    led = open(os.path.join(REPO, "CORRECTNESS_LEDGER.md")).read()
+    led_lines = led.splitlines()
+    for ln in perf.splitlines():
+        if "see ledger" not in ln:
+            continue
+        m = re.match(r"\|\s*(\w+)\s*\|", ln)
+        assert m, f"'see ledger' outside a table row: {ln!r}"
+        name = m.group(1)
+        anchored = [l for l in led_lines if l.startswith(name)]
+        assert anchored, f"PERF.md 'see ledger' dangling for {name}"
