@@ -418,13 +418,21 @@ def ann_lsh_cosine(spark, sf_dir):
 # within capped buckets. Work is bounded BY CONSTRUCTION at any corpus
 # size: <= tables * 2^planes * C(cap, 2) scored pairs.
 
-_NDL_TABLES = 4  # certifies tables 0-3 of ann_lsh_cosine's 8
-_NDL_PLANES = 8  # = LSH_PLANES: the identical plane family
+_NDL_TABLES = 4  # certifies tables 0-3 of ann_lsh_cosine's LSH_TABLES
+_NDL_PLANES = LSH_PLANES  # the identical plane family BY REFERENCE —
+# a verbatim numeric copy would desynchronize silently if the serving
+# width were ever tuned (CLAUDE.md shared-fragment rule)
+assert _NDL_TABLES <= LSH_TABLES, "twin certifies a subset of served tables"
 _NDL_CAP = 32  # per-(table, bucket) occupancy cap — the scale bound
 _NDL_DIM = 64  # embeddings are 64-wide (TESTDATA.md); the plane sign
 # vectors are baked as 64-element literals into BOTH engines' plans,
 # so the dimension is a build-time constant of the twin (the learned
-# path stays dimension-agnostic via its pmod bitmask form)
+# path stays dimension-agnostic via its pmod bitmask form). Vectors of
+# any OTHER length are excluded up front on BOTH engines: a
+# length-mismatched zip is where the engines' NULL semantics diverge
+# (Spark zip_with pads with NULL and the fold NULL-poisons the dot;
+# DuckDB list_sum silently skips the NULL products) — the one place a
+# data array meets a fixed-length literal array in an oracle path.
 _NDL_THRESH = "0.35"  # same literal as neardup_embedding_cosine
 
 
@@ -471,6 +479,7 @@ def _ndl_bucket_sql(table: int) -> str:
     WITH e AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       FROM embeddings
+      WHERE len(embedding) = {_NDL_DIM}
     ),
     m AS (
       SELECT vec_id, 0 AS tbl, {_ndl_bucket_sql(0)} AS bucket FROM e
@@ -528,7 +537,12 @@ def neardup_embedding_lsh_portable(spark, sf_dir):
     from pyspark.sql import Window as W
 
     t = load_tables(spark, sf_dir)
-    e = with_unit_vectors(t["embeddings"])
+    # the dim guard mirrors the oracle's len(embedding) = 64: a
+    # length-mismatched zip against the baked literals is where the
+    # engines' NULL semantics diverge (see the _NDL_DIM note)
+    e = with_unit_vectors(
+        t["embeddings"].filter(F.size("embedding") == _NDL_DIM)
+    )
     memb = e.select(
         "vec_id",
         F.posexplode(

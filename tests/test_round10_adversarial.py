@@ -75,6 +75,28 @@ def test_salt_text_copy0_is_identity(spark):
 # prefix fold, not an unordered reduction — the one allowed form.
 _ORDERED_WINDOW_LOGSUM_ALLOW = {"events_survival_km"}
 
+def _balanced_end(src: str, start: int, quotes: str) -> int:
+    """Index just past the paren that closes depth 1 at `start`,
+    ignoring parens inside quoted literals (`quotes` lists the quote
+    chars for the dialect: `'` for SQL text, `'\"` for Python source).
+    registry's ROUND-rewrite walker is quote-guarded the same way — a
+    bare counter desyncs on a literal like '%(%' (review finding)."""
+    depth, i, in_q = 1, start, None
+    while depth and i < len(src):
+        ch = src[i]
+        if in_q:
+            if ch == in_q:
+                in_q = None
+        elif ch in quotes:
+            in_q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    return i
+
+
 _FOLD_CONVERTED = (
     "text_unigram_lm_score",
     "text_bigram_lm_score",
@@ -106,11 +128,8 @@ def test_no_unordered_float_logsum_in_oracles():
             # Spark-side lint below — the old two-prefix-regex form
             # missed `SUM(c * ln(...))` with a bare-identifier
             # multiplier, the exact pre-fix oracle shape)
-            depth, i = 1, m.end()
-            while depth and i < len(sql):
-                depth += {"(": 1, ")": -1}.get(sql[i], 0)
-                i += 1
-            if re.search(r"\bln\s*\(", sql[m.end() : i]):
+            end = _balanced_end(sql, m.end(), quotes="'")
+            if re.search(r"\bln\s*\(", sql[m.end() : end]):
                 offenders.append(name)
                 break
     assert not offenders, offenders
@@ -128,10 +147,7 @@ def test_no_unordered_float_logsum_in_spark_operators():
     for path in glob.glob("/root/repo/elastic_freight_spark/operators/*.py"):
         src = open(path).read()
         for m in re.finditer(r"F\.sum\(", src):
-            depth, i = 1, m.end()
-            while depth and i < len(src):
-                depth += {"(": 1, ")": -1}.get(src[i], 0)
-                i += 1
+            i = _balanced_end(src, m.end(), quotes="'\"")
             if "F.log" not in src[m.end() : i]:
                 continue
             # a running sum over an ORDERED window frame is a
