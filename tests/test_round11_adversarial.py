@@ -103,6 +103,57 @@ def test_neardup_embedding_lsh_portable_cap_bounds_identical_flood(spark):
     assert (out.cosine == 1.0).all()
 
 
+def test_neardup_embedding_lsh_portable_sound_vs_bruteforce(spark):
+    """Soundness: every pair the twin reports must be a REAL near-dup
+    — present in the brute-force all-pairs cosine > 0.35 set with the
+    identical rounded cosine. (Completeness is not claimed: LSH
+    recall is probabilistic and audited by ann_recall_report on the
+    serving path; soundness is what the exact-rerank stage
+    guarantees and what this pins.)"""
+    import numpy as np
+
+    from elastic_freight_spark import registry
+
+    registry.load_all()
+    rng_vals = [
+        [float(((i * 13 + j * 7) % 21) - 10) / 10.0 for j in range(64)]
+        for i in range(30)
+    ]
+    # three exact duplicate pairs guarantee a nonempty report
+    rows = [(i, rng_vals[i], i % 3) for i in range(30)] + [
+        (100 + i, rng_vals[i], i % 3) for i in range(3)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_embeddings(spark, d, rows)
+        out = registry.QUERIES["neardup_embedding_lsh_portable"](
+            spark, d
+        ).toPandas()
+    assert len(out) >= 3
+    ids = [r[0] for r in rows]
+    # the table stores array<float>: truncate through float32 first,
+    # as the engines do before their cast-to-double
+    V = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    idx = {v: i for i, v in enumerate(ids)}
+
+    def fold_dot(x, y):
+        # the engines' sequential LEFT fold (aggregate ≡ list_sum) —
+        # numpy's SIMD/pairwise dot differs by ULPs at the 9th decimal
+        acc = 0.0
+        for xi, yi in zip(x, y):
+            acc += float(xi) * float(yi)
+        return acc
+
+    import math
+
+    for _, r in out.iterrows():
+        a, b = idx[r.vec_a], idx[r.vec_b]
+        cos = fold_dot(V[a], V[b]) / (
+            math.sqrt(fold_dot(V[a], V[a])) * math.sqrt(fold_dot(V[b], V[b]))
+        )
+        assert cos > 0.35, (r.vec_a, r.vec_b)
+        assert round(cos, 9) == r.cosine, (r.vec_a, r.vec_b)
+
+
 def test_ndl_planes_match_serving_path_bitmasks():
     """The twin's baked ±1 sign literals must be the SAME plane family
     the serving path (`ann_lsh_cosine` / `lsh_bucket_table`) extracts
