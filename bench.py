@@ -222,6 +222,33 @@ def main() -> None:
     except Exception as ex:  # diagnostic only — never fail the bench
         print(f"[bench] machine_canary failed: {ex}", file=sys.stderr)
 
+    # Second canary, round 11: machine_canary is pure codegen (range →
+    # hash → agg, no I/O, no exchange), and r11 measured a broad
+    # ~1.14x query-mix drift at a FLAT machine_canary — the drift
+    # lived in the scan/shuffle path the canary never touches. This
+    # one is plan-frozen scan + exchange + hash agg on the real
+    # lineitem parquet, so the pair (cpu canary, shuffle canary)
+    # brackets both drift classes.
+    try:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                load_tables(spark, sf_dir)["lineitem"]
+                .groupBy(_F.pmod(_F.xxhash64("l_orderkey"), _F.lit(997)))
+                .agg(
+                    _F.sum("l_quantity"),
+                    _F.sum("l_extendedprice"),
+                    _F.count(_F.lit(1)),
+                )
+                .write.format("noop").mode("overwrite").save()
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings["shuffle_canary"] = round(best, 3)
+    except Exception as ex:  # diagnostic only — never fail the bench
+        print(f"[bench] shuffle_canary failed: {ex}", file=sys.stderr)
+
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
@@ -271,6 +298,15 @@ def main() -> None:
                 f"{canary_ratio}x (a pure-CPU host-speed probe: when "
                 f"it moves with prev_ratio_geomean the shift is "
                 f"host-wide, not a plan regression)",
+                file=sys.stderr,
+            )
+        p_c2 = prev["queries"].get("shuffle_canary")
+        if p_c2 and timings.get("shuffle_canary"):
+            print(
+                f"[bench] shuffle_canary ratio vs {prev_name}: "
+                f"{round(timings['shuffle_canary'] / p_c2, 3)}x "
+                f"(scan+exchange probe — the drift class the CPU "
+                f"canary missed in r11)",
                 file=sys.stderr,
             )
         comparable = [q for q in prev_ratio]
@@ -327,6 +363,7 @@ def main() -> None:
         "detail": "BENCH_LOCAL.json",
     }
     compact["canary_sec"] = timings.get("machine_canary")
+    compact["canary2_sec"] = timings.get("shuffle_canary")
     if prev_ratio:
         import math
 
