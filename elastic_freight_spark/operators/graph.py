@@ -364,33 +364,43 @@ def pagerank_portable(spark, sf_dir):
     dir_e = und.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    verts = dir_e.select(F.col("src").alias("v")).distinct()
-    nv = verts.agg(F.count(F.lit(1)).alias("n"))
+    # One-time frames, shared by all PR_ITERS iterations. The round-3
+    # loop re-derived verts/deg/nv and re-joined broadcast(deg) INSIDE
+    # every iteration; expression-id drift between the copies defeated
+    # ReuseExchange, so the final plan re-executed the whole
+    # vertex/degree derivation per reference (measured: 32 jobs /
+    # 185 stages, ~5.5 s warm at sf0.1 — pure scheduling overhead on
+    # a k-bounded graph). Now: degree is attached to the edge frame
+    # ONCE and the (src, dst, d) frame is materialized executor-local
+    # (edge-sized, |E| <= 2·k·|V| by construction — node-linear at
+    # 100 TB, the same bound the kcore peel materializes per round);
+    # deg doubles as the vertex frame (one row per src by
+    # construction) so no separate distinct pass.
     deg = dir_e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nv = deg.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    ew = dir_e.join(F.broadcast(deg), "src").localCheckpoint(eager=True)
     base = F.expr(f"(15 * ({PR_SCALE} div n)) div 100")
-    ranks = verts.crossJoin(F.broadcast(nv)).select(
-        "v", "n", F.expr(f"{PR_SCALE} div n").alias("r")
-    )
+    ranks = deg.select(F.col("src").alias("v")).crossJoin(
+        F.broadcast(nv)
+    ).select("v", "n", F.expr(f"{PR_SCALE} div n").alias("r"))
     for _ in range(PR_ITERS):
+        # dir_e is symmetric (both directions of every undirected
+        # edge), so every vertex receives >= 1 contribution — the
+        # oracle's LEFT JOIN verts never actually fires its NULL arm
+        # (COALESCE(c,0) is dead), and the inner groupBy(dst) alone
+        # reaches exactly the vertex set. Dropping the per-iteration
+        # verts outer join + COALESCE is therefore value-identical
+        # (integer arithmetic, associative sums) and removes two
+        # joins per iteration.
         contrib = (
-            dir_e.join(
-                ranks.select(F.col("v").alias("src"), "r"), "src"
-            )
-            .join(F.broadcast(deg), "src")
+            ew.join(ranks.select(F.col("v").alias("src"), "r"), "src")
             .groupBy("dst")
             .agg(F.sum(F.expr("r div d")).alias("c"))
         )
-        ranks = (
-            verts.crossJoin(F.broadcast(nv))
-            .join(contrib.select(F.col("dst").alias("v"), "c"), "v", "left")
-            .select(
-                "v",
-                "n",
-                (
-                    base
-                    + F.expr("(85 * COALESCE(c, CAST(0 AS BIGINT))) div 100")
-                ).alias("r"),
-            )
+        ranks = contrib.crossJoin(F.broadcast(nv)).select(
+            F.col("dst").alias("v"),
+            "n",
+            (base + F.expr("(85 * c) div 100")).alias("r"),
         )
     # distributed top-25: orderBy+limit plans as TakeOrderedAndProject
     # (per-partition partial top-k, no vertex-sized single-partition
