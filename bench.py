@@ -186,6 +186,12 @@ def main() -> None:
     graph.cosupply_edges(spark, sf_dir).count()
     search.indexed_postings(spark, sf_dir)[0].count()
     text.shingle_sets(spark, sf_dir).count()
+    # round 11: the scored candidate-pair frame joined the serve-many
+    # caches (three registered dedup policies consume it verbatim);
+    # its build is charged here like every other per-corpus index
+    text.capped_pair_intersections(spark, sf_dir).count()
+    text.minhash_signatures(spark, sf_dir).count()
+    text.portable_minhash_signatures(spark, sf_dir).count()
     vectors.ivf_index(spark, sf_dir)[1].count()
     vectors._pq_books(spark, sf_dir)
     vectors._pq_books_portable(spark, sf_dir)
