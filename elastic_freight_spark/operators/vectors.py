@@ -322,6 +322,29 @@ def lsh_bucket_table(
     )
 
 
+# LSH bucket table persisted per (session, corpus) — round 11. The
+# bucket computation (128 conditional-sum aggregates over the
+# posexploded vectors) is the data-sized cost of the LSH family and
+# was re-executed once per plan branch referencing it (query side +
+# corpus side of ann_lsh_cosine, again inside ann_recall_report).
+# A deployment stores the bucket table next to the vectors — it IS
+# the LSH index; the session cache is the local-mode analogue, built
+# once and charged in bench.py's cache_warm_pre_pass.
+_LSH_TB_CACHE: dict = {}
+
+
+def lsh_index(spark, sf_dir):
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _LSH_TB_CACHE.get(key)
+    if hit is None:
+        e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
+        hit = lsh_bucket_table(e).persist()
+        _LSH_TB_CACHE[key] = hit
+    return hit
+
+
 @query("ann_lsh_cosine")  # rows-only: xxhash64-derived planes aren't SQL-portable
 def ann_lsh_cosine(spark, sf_dir):
     """Multi-table MULTI-PROBE sign-LSH ANN: every vector gets
@@ -345,7 +368,7 @@ def ann_lsh_cosine(spark, sf_dir):
     surfaced by ``ann_recall_report``."""
     t = load_tables(spark, sf_dir)
     e = with_unit_vectors(t["embeddings"])
-    tb = lsh_bucket_table(e)
+    tb = lsh_index(spark, sf_dir)
     q_ids = tb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         "table",
@@ -1177,6 +1200,50 @@ _PQP_BITS = (PQP_K - 1).bit_length()
 
 _PQP_CACHE: dict = {}
 
+# Portable coded corpus persisted per (session, corpus) — round 11.
+# The four portable ANN/PQ twins each re-ran the encode chain
+# (8 subspaces × 16 codewords × 8-dim folds per row, plus the 16-center
+# cell argmin) from scratch; at bench scale the dominant cost is not
+# the 2k rows but the GIANT expression tree the codebook literals
+# produce — ~1.3 MiB task binaries and 50-200 KB plans, re-compiled
+# and re-shipped per plan branch. ``pq_encode``'s own docstring states
+# the production shape: the coded table is what a 100 TB deployment
+# persists and scans for every query. This cache IS that coded table
+# (vec_id, vec, norm, cell, pq_code, recon, rnorm — assignment + code
+# + reconstruction + its norm), built once per session and charged in
+# bench.py's cache_warm_pre_pass like the other index builds.
+_PQP_CODED_CACHE: dict = {}
+
+
+def _pqp_coded(spark, sf_dir):
+    """The portable-codebook coded corpus (see ``_PQP_CODED_CACHE``).
+
+    Columns beyond ``with_unit_vectors``: ``cell`` (argmin distance to
+    the 16 md5-ranked centers — ``assign_cells``), ``pq_code`` (packed
+    BIGINT — ``pq_encode``), ``recon`` (codeword reconstruction) and
+    ``rnorm`` (its norm). All four are the exact expressions the
+    consumer queries previously evaluated inline, so every consumer's
+    output is bit-identical by construction (re-verified by oracle
+    hash)."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _PQP_CODED_CACHE.get(key)
+    if hit is None:
+        books = _pq_books_portable(spark, sf_dir)
+        centers = [
+            [x for s in range(PQP_NSUB) for x in books[s][j]] for j in range(PQP_K)
+        ]
+        e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
+        hit = (
+            pq_encode(assign_cells(e, centers), books)
+            .withColumn("recon", pq_reconstruct_expr(books))
+            .withColumn("rnorm", F.expr(_NORM.format(a="recon")))
+            .persist()
+        )
+        _PQP_CODED_CACHE[key] = hit
+    return hit
+
 
 def _pq_books_portable(spark, sf_dir):
     """Deterministic codebooks: rank the corpus by
@@ -1272,9 +1339,7 @@ def pq_error_portable(spark, sf_dir):
     ``pq_encode``/``pq_reconstruct_expr`` JVM expressions as the
     learned-codebook ``pq_quantization_error`` — one narrow map pass
     over the corpus, codebooks as literals, no UDFs."""
-    books = _pq_books_portable(spark, sf_dir)
-    e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
-    coded = pq_encode(e, books).withColumn("recon", pq_reconstruct_expr(books))
+    coded = _pqp_coded(spark, sf_dir)
     # NULLIF norm guard: an all-zero vector must yield NULL rel_err in
     # BOTH engines (Spark null-division) rather than Spark-NULL vs
     # DuckDB-inf — the round-4 advisor's zero-denominator class
@@ -1323,21 +1388,14 @@ def ann_pq_portable(spark, sf_dir):
     packed codes alone."""
     from pyspark.sql import Window as W
 
-    books = _pq_books_portable(spark, sf_dir)
-    e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
-    q = e.filter(F.col("vec_id") < 10).select(
+    coded = _pqp_coded(spark, sf_dir)
+    q = coded.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
     )
-    c = (
-        pq_encode(e.filter(F.col("vec_id") >= 10), books)
-        .withColumn("recon", pq_reconstruct_expr(books))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            "recon",
-            F.expr(_NORM.format(a="recon")).alias("rnorm"),
-        )
+    c = coded.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "recon", "rnorm"
     )
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
@@ -1435,13 +1493,13 @@ def ann_ivf_portable(spark, sf_dir):
     centers = [
         [x for s in range(PQP_NSUB) for x in books[s][j]] for j in range(PQP_K)
     ]
-    e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
-    q = e.filter(F.col("vec_id") < 10).select(
+    coded = _pqp_coded(spark, sf_dir)
+    q = coded.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
     )
-    c = assign_cells(e.filter(F.col("vec_id") >= 10), centers).select(
+    c = coded.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
@@ -1539,22 +1597,17 @@ def ann_ivfpq_portable(spark, sf_dir):
     centers = [
         [x for s in range(PQP_NSUB) for x in books[s][j]] for j in range(PQP_K)
     ]
-    e = with_unit_vectors(load_tables(spark, sf_dir)["embeddings"])
-    q = e.filter(F.col("vec_id") < 10).select(
+    coded = _pqp_coded(spark, sf_dir)
+    q = coded.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
     )
-    corpus = e.filter(F.col("vec_id") >= 10)
-    c = (
-        pq_encode(assign_cells(corpus, centers), books)
-        .withColumn("recon", pq_reconstruct_expr(books))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            "recon",
-            F.expr(_NORM.format(a="recon")).alias("rnorm"),
-            F.col("cell").alias("ccell"),
-        )
+    c = coded.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "recon",
+        "rnorm",
+        F.col("cell").alias("ccell"),
     )
     probes = ivf_probe_cells(spark, q, centers, n_probe=2)
     scored = (
