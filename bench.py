@@ -182,19 +182,45 @@ def main() -> None:
     # compares like against like run-over-run.
     from elastic_freight_spark.operators import graph, search, text, vectors
 
+    # Round 11: the pre-pass builds are INDEPENDENT jobs, so they run
+    # from a small thread pool (optimization guide §2.6 — Spark's
+    # scheduler happily overlaps jobs; the tail of one build back-fills
+    # cores the next build's early stages leave idle). Two phases keep
+    # the dependency structure: everything in phase 2 reads a phase-1
+    # cache (shingle sets / portable codebooks) and would race to
+    # double-build it if launched concurrently with phase 1. The line
+    # item still measures the same thing — wall-clock to build every
+    # serve-many cache — it just no longer serializes builds that a
+    # deployment would run as one overlapped warm-up.
+    from concurrent.futures import ThreadPoolExecutor
+
+    phase1 = [
+        lambda: graph.cosupply_edges(spark, sf_dir).count(),
+        lambda: search.indexed_postings(spark, sf_dir)[0].count(),
+        lambda: text.shingle_sets(spark, sf_dir).count(),
+        lambda: vectors.ivf_index(spark, sf_dir)[1].count(),
+        lambda: vectors._pq_books(spark, sf_dir),
+        lambda: vectors._pq_books_portable(spark, sf_dir),
+        lambda: vectors.lsh_index(spark, sf_dir).count(),
+    ]
+    # round 11 additions: the scored candidate-pair frame (three
+    # registered dedup policies consume it verbatim), both minhash
+    # signature families, and the portable coded corpus + LSH bucket
+    # table the ANN tier serves from (pq_encode's docstring: the coded
+    # table is what a 100 TB deployment persists) — all charged here
+    # like every other per-corpus index build.
+    phase2 = [
+        lambda: text.capped_pair_intersections(spark, sf_dir).count(),
+        lambda: text.minhash_signatures(spark, sf_dir).count(),
+        lambda: text.portable_minhash_signatures(spark, sf_dir).count(),
+        lambda: vectors._pqp_coded(spark, sf_dir).count(),
+    ]
     t0 = time.perf_counter()
-    graph.cosupply_edges(spark, sf_dir).count()
-    search.indexed_postings(spark, sf_dir)[0].count()
-    text.shingle_sets(spark, sf_dir).count()
-    # round 11: the scored candidate-pair frame joined the serve-many
-    # caches (three registered dedup policies consume it verbatim);
-    # its build is charged here like every other per-corpus index
-    text.capped_pair_intersections(spark, sf_dir).count()
-    text.minhash_signatures(spark, sf_dir).count()
-    text.portable_minhash_signatures(spark, sf_dir).count()
-    vectors.ivf_index(spark, sf_dir)[1].count()
-    vectors._pq_books(spark, sf_dir)
-    vectors._pq_books_portable(spark, sf_dir)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for f in pool.map(lambda fn: fn(), phase1):
+            pass
+        for f in pool.map(lambda fn: fn(), phase2):
+            pass
     timings["cache_warm_pre_pass"] = round(time.perf_counter() - t0, 3)
 
     # Machine-speed canary (round 8): a FIXED pure-CPU job — no I/O,
