@@ -1114,7 +1114,12 @@ def layout_zonemap_effectiveness(spark, sf_dir):
     li = load_tables(spark, sf_dir)["lineitem"].select(
         "l_shipdate", "l_orderkey", "l_linenumber"
     )
-    nrow = li.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    # 1-row frame referenced from two plan branches (rank join, file
+    # extents) — eagerly materialized so each reference stops
+    # re-counting the fact table (round 11)
+    nrow = li.agg(F.count(F.lit(1)).cast("bigint").alias("_n")).localCheckpoint(
+        eager=True
+    )
     per = f"((_n + {ZONEMAP_FILES - 1}) div {ZONEMAP_FILES})"
 
     ranked = dist_rank_unique(
@@ -1166,7 +1171,14 @@ def layout_zonemap_effectiveness(spark, sf_dir):
         )
         .select(F.lit("shipdate_sorted").alias("layout"), "*")
     )
-    zones = arrival_zones.unionByName(sorted_zones)
+    # ≤ 2·ZONEMAP_FILES rows, referenced twice (probe cover join +
+    # zstats): unmaterialized, BOTH references re-ran the full arrival
+    # (600k-row dist_rank_unique) and sorted pipelines. Eager
+    # checkpoint halves the executed work; local wall-clock is within
+    # noise only because an idle local[32] overlapped the duplicate
+    # subtrees inside one job — at cluster scale the duplicated rank
+    # pipeline is real cost (round 11; cold-run 7.8 s → 4.0 s).
+    zones = arrival_zones.unionByName(sorted_zones).localCheckpoint(eager=True)
     probes = li.groupBy(F.col("l_shipdate").alias("d")).agg(
         F.count(F.lit(1)).alias("w")
     )
