@@ -196,7 +196,9 @@ def main() -> None:
 
     phase1 = [
         lambda: graph.cosupply_edges(spark, sf_dir).count(),
-        lambda: search.indexed_postings(spark, sf_dir)[0].count(),
+        # one lambda builds postings AND doc_len (both persisted since
+        # round 11): two concurrent lambdas would race to double-build
+        lambda: [d.count() for d in search.indexed_postings(spark, sf_dir)],
         lambda: text.shingle_sets(spark, sf_dir).count(),
         lambda: vectors.ivf_index(spark, sf_dir)[1].count(),
         lambda: vectors._pq_books(spark, sf_dir),
@@ -214,6 +216,7 @@ def main() -> None:
         lambda: text.minhash_signatures(spark, sf_dir).count(),
         lambda: text.portable_minhash_signatures(spark, sf_dir).count(),
         lambda: vectors._pqp_coded(spark, sf_dir).count(),
+        lambda: search.token_df(spark, sf_dir).count(),
     ]
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=4) as pool:

@@ -64,19 +64,47 @@ _POSTINGS_CACHE: dict = {}
 
 
 def indexed_postings(spark, sf_dir):
-    """(postings, doc_len) with postings persisted per (session,
-    corpus) — the serve-many-queries entry point. All downstream
-    scoring plans read the cache via InMemoryTableScan; the documents
-    parquet's ``text`` column is scanned exactly once per session."""
+    """(postings, doc_len) BOTH persisted per (session, corpus) — the
+    serve-many-queries entry point. All downstream scoring plans read
+    the cache via InMemoryTableScan; the documents parquet's ``text``
+    column is scanned exactly once per session. Round 11: doc_len used
+    to be re-derived per call — a full groupBy shuffle over the
+    persisted postings for EVERY plan branch referencing it (the BM25
+    family references it twice per query: the avgdl scalar + the
+    per-doc join). A Lucene index stores per-doc lengths in its norms
+    file; persisting the doc-sized frame is the same move."""
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    postings = _POSTINGS_CACHE.get(key)
-    if postings is None:
+    hit = _POSTINGS_CACHE.get(key)
+    if hit is None:
         docs = load_tables(spark, sf_dir)["documents"]
         postings, _ = build_postings(docs)
         postings = postings.persist()
-        _POSTINGS_CACHE[key] = postings
-    doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    return postings, doc_len
+        doc_len = (
+            postings.groupBy("doc_id").agg(F.sum("tf").alias("dl")).persist()
+        )
+        hit = (postings, doc_len)
+        _POSTINGS_CACHE[key] = hit
+    return hit
+
+
+def token_df(spark, sf_dir):
+    """Vocab-sized (token, df) document-frequency dictionary,
+    persisted per (session, corpus) — the term-dictionary face of the
+    same index (round 11). ``search_more_like_this`` referenced the
+    full-vocab df aggregate from two plan branches per run and
+    ``search_fuzzy_suggest`` from another; each re-shuffled the whole
+    postings frame."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "df")
+    df = _POSTINGS_CACHE.get(key)
+    if df is None:
+        postings, _ = indexed_postings(spark, sf_dir)
+        df = (
+            postings.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .persist()
+        )
+        _POSTINGS_CACHE[key] = df
+    return df
 
 
 @query(
@@ -709,10 +737,7 @@ def search_fuzzy_suggest(spark, sf_dir):
     integers."""
     from pyspark.sql import Window as W
 
-    postings, _ = indexed_postings(spark, sf_dir)
-    vocab = postings.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    vocab = token_df(spark, sf_dir)
     q = spark.createDataFrame(
         [(t,) for t in SUGGEST_QUERIES], "query_term string"
     )
@@ -801,7 +826,7 @@ def search_more_like_this(spark, sf_dir):
     postings, doc_len = indexed_postings(spark, sf_dir)
     n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
     avgdl_df = doc_len.agg(F.avg("dl").alias("avgdl"))
-    df = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    df = token_df(spark, sf_dir)
     seed = (
         postings.filter(F.col("doc_id") == MLT_SEED_DOC)
         .join(df, "token")
