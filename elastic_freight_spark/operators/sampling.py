@@ -849,6 +849,10 @@ def dsir_importance_weights(spark, sf_dir):
         .select(
             "doc_id", "lang", F.substring(F.md5("token"), 1, 2).alias("bucket")
         )
+        # referenced by three aggregations (target dist, raw dist,
+        # per-doc buckets): unmaterialized, each re-ran the text
+        # explode + per-token md5 (round 11) — one checkpointed pass
+        .localCheckpoint(eager=True)
     )
     tgt = (
         toks.filter(F.col("lang") == "en")

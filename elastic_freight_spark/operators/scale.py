@@ -1007,6 +1007,12 @@ def sketch_countmin_merge(spark, sf_dir):
         "r",
         cms_bucket(F.col("o_custkey"), F.col("r")).alias("bucket"),
     )
+    # referenced twice (per-segment sketch path + the direct one-pass
+    # sketch it must equal): unmaterialized, both paths re-ran the
+    # orders aggregate + 4-row explode + md5 bucketing (round 11).
+    # Checkpointing keeps the receipt honest — both sketches still
+    # aggregate the same hashed frame independently.
+    hashed = hashed.localCheckpoint(eager=True)
     per_seg = hashed.groupBy("seg", "r", "bucket").agg(
         F.sum("n").alias("cell_n")
     )

@@ -2788,7 +2788,18 @@ def text_bigram_lm_score(spark, sf_dir):
         )
         .select("doc_id", "p.w1", "p.w2")
     )
-    dp = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # dp is referenced three times (bigram table, context table, the
+    # scoring join); unmaterialized, each reference re-ran the text
+    # scan + pair explode + groupBy. Eager checkpoint pins it to one
+    # corpus pass (round 11: cold 6.8→3.0 s sf0.1, 10.3→7.0 s at the
+    # 10× replica; warm flat locally only because idle cores overlap
+    # the duplicate subtrees — at lower core counts, and at cluster
+    # scale, the 3×-pass redundancy is real).
+    dp = (
+        pairs.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     big = dp.groupBy("w1", "w2").agg(F.sum("c").cast("bigint").alias("n12"))
     ctx = dp.groupBy("w1").agg(F.sum("c").cast("bigint").alias("n1"))
     vocab = (

@@ -839,7 +839,15 @@ def part_market_basket(spark, sf_dir):
     the plan as a 1-row crossJoin. Top-20 lands in
     TakeOrderedAndProject."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # referenced three times (pair expansion, per-part totals, order
+    # count): unmaterialized, each reference re-ran the fact scan +
+    # distinct shuffle (round 11) — checkpoint the deduped
+    # (order, part) frame once
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     pairs = (
         items.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("parts"))
