@@ -182,47 +182,55 @@ def main() -> None:
     # compares like against like run-over-run.
     from elastic_freight_spark.operators import graph, search, text, vectors
 
-    # Round 11: the pre-pass builds are INDEPENDENT jobs, so they run
-    # from a small thread pool (optimization guide §2.6 — Spark's
-    # scheduler happily overlaps jobs; the tail of one build back-fills
-    # cores the next build's early stages leave idle). Two phases keep
-    # the dependency structure: everything in phase 2 reads a phase-1
-    # cache (shingle sets / portable codebooks) and would race to
-    # double-build it if launched concurrently with phase 1. The line
-    # item still measures the same thing — wall-clock to build every
-    # serve-many cache — it just no longer serializes builds that a
-    # deployment would run as one overlapped warm-up.
+    # Round 11: the pre-pass builds run overlapped from a small thread
+    # pool (optimization guide §2.6 — Spark's scheduler happily runs
+    # several jobs at once; the tail of one build back-fills cores the
+    # next build's early stages leave idle). Dependent builds are
+    # expressed as CHAINS (one thread runs a parent cache build, then
+    # its dependents) rather than a global barrier, so e.g. the
+    # shingle-dependent dedup builds start the moment shingles are
+    # cached instead of waiting for the slowest independent build.
+    # Within a chain nothing double-builds; across chains every build
+    # touches a distinct cache. The line item still measures the same
+    # thing — wall-clock to build every serve-many cache — it just no
+    # longer serializes builds a deployment would overlap. Round-11
+    # cache additions charged here like every other per-corpus index
+    # build: the scored candidate-pair frame (three dedup policies
+    # consume it verbatim), both minhash signature families, doc_len +
+    # the term-df dictionary, and the portable coded corpus + LSH
+    # bucket table the ANN tier serves from (pq_encode's docstring:
+    # the coded table is what a 100 TB deployment persists).
     from concurrent.futures import ThreadPoolExecutor
 
-    phase1 = [
-        lambda: graph.cosupply_edges(spark, sf_dir).count(),
-        # one lambda builds postings AND doc_len (both persisted since
-        # round 11): two concurrent lambdas would race to double-build
-        lambda: [d.count() for d in search.indexed_postings(spark, sf_dir)],
-        lambda: text.shingle_sets(spark, sf_dir).count(),
-        lambda: vectors.ivf_index(spark, sf_dir)[1].count(),
-        lambda: vectors._pq_books(spark, sf_dir),
-        lambda: vectors._pq_books_portable(spark, sf_dir),
-        lambda: vectors.lsh_index(spark, sf_dir).count(),
-    ]
-    # round 11 additions: the scored candidate-pair frame (three
-    # registered dedup policies consume it verbatim), both minhash
-    # signature families, and the portable coded corpus + LSH bucket
-    # table the ANN tier serves from (pq_encode's docstring: the coded
-    # table is what a 100 TB deployment persists) — all charged here
-    # like every other per-corpus index build.
-    phase2 = [
-        lambda: text.capped_pair_intersections(spark, sf_dir).count(),
-        lambda: text.minhash_signatures(spark, sf_dir).count(),
-        lambda: text.portable_minhash_signatures(spark, sf_dir).count(),
-        lambda: vectors._pqp_coded(spark, sf_dir).count(),
-        lambda: search.token_df(spark, sf_dir).count(),
+    def _chain(*fns):
+        def run():
+            for fn in fns:
+                fn()
+        return run
+
+    warm_chains = [
+        _chain(lambda: graph.cosupply_edges(spark, sf_dir).count()),
+        _chain(
+            lambda: text.shingle_sets(spark, sf_dir).count(),
+            lambda: text.capped_pair_intersections(spark, sf_dir).count(),
+            lambda: text.minhash_signatures(spark, sf_dir).count(),
+            lambda: text.portable_minhash_signatures(spark, sf_dir).count(),
+        ),
+        _chain(
+            lambda: [d.count() for d in search.indexed_postings(spark, sf_dir)],
+            lambda: search.token_df(spark, sf_dir).count(),
+        ),
+        _chain(
+            lambda: vectors._pq_books_portable(spark, sf_dir),
+            lambda: vectors._pqp_coded(spark, sf_dir).count(),
+        ),
+        _chain(lambda: vectors.ivf_index(spark, sf_dir)[1].count()),
+        _chain(lambda: vectors._pq_books(spark, sf_dir)),
+        _chain(lambda: vectors.lsh_index(spark, sf_dir).count()),
     ]
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=4) as pool:
-        for f in pool.map(lambda fn: fn(), phase1):
-            pass
-        for f in pool.map(lambda fn: fn(), phase2):
+        for _ in pool.map(lambda fn: fn(), warm_chains):
             pass
     timings["cache_warm_pre_pass"] = round(time.perf_counter() - t0, 3)
 
