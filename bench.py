@@ -208,14 +208,25 @@ def main() -> None:
                 fn()
         return run
 
-    warm_chains = [
-        _chain(lambda: graph.cosupply_edges(spark, sf_dir).count()),
-        _chain(
-            lambda: text.shingle_sets(spark, sf_dir).count(),
+    def _text_chain():
+        # the three dedup builds depend ONLY on the shingle cache and
+        # not on each other: build shingles first, then fan the
+        # dependents out on their own small pool (they were the
+        # longest serial chain — the pre-pass critical path once the
+        # co-supply build was fixed).
+        text.shingle_sets(spark, sf_dir).count()
+        deps = [
             lambda: text.capped_pair_intersections(spark, sf_dir).count(),
             lambda: text.minhash_signatures(spark, sf_dir).count(),
             lambda: text.portable_minhash_signatures(spark, sf_dir).count(),
-        ),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as p2:
+            for _ in p2.map(lambda fn: fn(), deps):
+                pass
+
+    warm_chains = [
+        _chain(lambda: graph.cosupply_edges(spark, sf_dir).count()),
+        _text_chain,
         _chain(
             lambda: [d.count() for d in search.indexed_postings(spark, sf_dir)],
             lambda: search.token_df(spark, sf_dir).count(),

@@ -95,6 +95,11 @@ def cosupply_edges(spark, sf_dir, top_k: int = TOPK_PARTNERS):
         load_tables(spark, sf_dir)["lineitem"]
         .select("l_partkey", "l_suppkey")
         .distinct()
+        # both self-join sides read this frame; unmaterialized, the
+        # fact scan + distinct shuffle runs once per side (AQE plans
+        # zero ReusedExchange for aliased identical subtrees — the
+        # round-7 measurement). |ps| ≤ parts·suppliers-per-part.
+        .localCheckpoint(eager=True)
     )
     a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u"))
     b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
@@ -103,6 +108,11 @@ def cosupply_edges(spark, sf_dir, top_k: int = TOPK_PARTNERS):
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
+        # the symmetrizing unionAll below references this twice — the
+        # dominant part-keyed self-join must not run once per branch.
+        # |weights| ≤ C(|V|, 2) pair rows, vertex-bounded not
+        # corpus-bounded.
+        .localCheckpoint(eager=True)
     )
     directed = weights.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), "w"

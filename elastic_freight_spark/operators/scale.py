@@ -1364,6 +1364,10 @@ def sketch_kmv_distinct(spark, sf_dir):
     pairs = (
         orders.select(F.col("o_orderpriority").alias("seg"), "o_custkey")
         .distinct()
+        # three branches (per-segment sketch, per-segment truth, the
+        # global hash set) each re-ran the fact scan + distinct
+        # shuffle unmaterialized; |pairs| ≤ segments·customers.
+        .localCheckpoint(eager=True)
     )
     hashed = pairs.select(
         "seg",
@@ -1371,7 +1375,12 @@ def sketch_kmv_distinct(spark, sf_dir):
             F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string"))
         ).alias("h"),
     )
-    seg_sk = kmv_topk(hashed, ["seg"]).select("seg", "h")
+    # seg_sk feeds both the per-segment report rows and the __merged
+    # union sketch; k·segments rows — materialize instead of running
+    # the salted two-phase ranking once per branch.
+    seg_sk = (
+        kmv_topk(hashed, ["seg"]).select("seg", "h").localCheckpoint(eager=True)
+    )
     seg_true = pairs.groupBy("seg").agg(
         F.count(F.lit(1)).cast("bigint").alias("true_distinct")
     )
@@ -1384,7 +1393,9 @@ def sketch_kmv_distinct(spark, sf_dir):
         .join(F.broadcast(seg_true), "seg")
         .select("seg", "kth_min", "n_hashes", "true_distinct")
     )
-    glob = hashed.select("h").distinct()
+    # the global hash set feeds the true count AND the __onepass
+    # sketch ranking; ≤ |customers| rows of 32-char hex.
+    glob = hashed.select("h").distinct().localCheckpoint(eager=True)
     gtrue = glob.agg(
         F.count(F.lit(1)).cast("bigint").alias("true_distinct")
     )
@@ -1730,6 +1741,11 @@ def sketch_kmv_intersection(spark, sf_dir):
         load_tables(spark, sf_dir)["events"]
         .select("event_type", "user_id")
         .distinct()
+        # the sketch build reads it once and the exact-intersection
+        # calibration self-join reads it twice more; unmaterialized
+        # that is three fact scans + distinct shuffles. |seg| ≤
+        # types·users.
+        .localCheckpoint(eager=True)
     )
     hashed = seg.select(
         F.col("event_type").alias("sg"),
@@ -1737,7 +1753,11 @@ def sketch_kmv_intersection(spark, sf_dir):
             "h"
         ),
     )
-    sk = kmv_topk(hashed, ["sg"]).select("sg", "h")
+    # the per-segment sketch feeds FOUR branches (segment list, the
+    # pairwise union, and both rho semi-join sides) — k·types rows.
+    sk = (
+        kmv_topk(hashed, ["sg"]).select("sg", "h").localCheckpoint(eager=True)
+    )
     segs = sk.select("sg").distinct()
     prs = (
         segs.select(F.col("sg").alias("type_a"))
@@ -1754,10 +1774,13 @@ def sketch_kmv_intersection(spark, sf_dir):
         .distinct()
     )
     wL = W.partitionBy("type_a", "type_b").orderBy("h")
+    # the union sketch feeds both the theta stats and the rho count;
+    # k·C(types, 2) rows.
     L = (
         uni.withColumn("rn", F.row_number().over(wL))
         .filter(F.col("rn") <= KMV_K)
         .drop("rn")
+        .localCheckpoint(eager=True)
     )
     lstats = L.groupBy("type_a", "type_b").agg(
         F.max("h").alias("kth"),

@@ -1437,6 +1437,11 @@ def events_audience_overlap(spark, sf_dir):
         load_tables(spark, sf_dir)["events"]
         .select("event_type", "user_id")
         .distinct()
+        # the per-type sizes and BOTH self-join sides read this frame;
+        # unmaterialized, the fact scan + distinct shuffle runs three
+        # times (AQE reuses none of the aliased branches). |seg| ≤
+        # types·users.
+        .localCheckpoint(eager=True)
     )
     sizes = seg.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_users")

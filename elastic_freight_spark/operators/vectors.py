@@ -579,6 +579,12 @@ def neardup_embedding_lsh_portable(spark, sf_dir):
         memb.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _NDL_CAP)
         .select("vec_id", "tbl", "bucket")
+        # both self-join sides read this frame; unmaterialized, each
+        # side re-runs the posexplode with the four 8-plane x 64-lane
+        # fold bucket expressions plus the occupancy-cap window.
+        # Bounded BY CONSTRUCTION: <= tables * 2^planes * cap rows of
+        # three ints (32k at the shipped parameters).
+        .localCheckpoint(eager=True)
     )
     a = capped.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
     b = capped.select(
