@@ -215,9 +215,18 @@ def main() -> None:
         # longest serial chain — the pre-pass critical path once the
         # co-supply build was fixed).
         text.shingle_sets(spark, sf_dir).count()
+
+        def _lsh_chain():
+            # sigs → banded candidates → exact-verified pairs: the
+            # round-11 serve-many frames of the scale-default dedup
+            # policy (materializing verified also materializes the
+            # persisted candidate frame it reads)
+            text.minhash_signatures(spark, sf_dir).count()
+            text.lsh_verified_pairs(spark, sf_dir).count()
+
         deps = [
             lambda: text.capped_pair_intersections(spark, sf_dir).count(),
-            lambda: text.minhash_signatures(spark, sf_dir).count(),
+            _lsh_chain,
             lambda: text.portable_minhash_signatures(spark, sf_dir).count(),
         ]
         with ThreadPoolExecutor(max_workers=3) as p2:

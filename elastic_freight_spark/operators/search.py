@@ -145,12 +145,15 @@ def search_tfidf_topk(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     postings, _ = indexed_postings(spark, sf_dir)
     n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # df comes from the persisted term-df dictionary (token_df) — the
+    # same integer COUNT per token the old postings re-aggregation
+    # computed, read as a 4-row filter of the vocab-sized cache
+    # instead of a full postings pass per run (round 11, guide §2.4)
     idf = (
-        postings.filter(F.col("token").isin(*QUERY_TERMS))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df_t"))
+        token_df(spark, sf_dir)
+        .filter(F.col("token").isin(*QUERY_TERMS))
         .crossJoin(F.broadcast(n_df))
-        .select("token", F.log(F.col("n") / F.col("df_t")).alias("idf"))
+        .select("token", F.log(F.col("n") / F.col("df")).alias("idf"))
     )
     scored = (
         postings.join(F.broadcast(idf), "token")
@@ -208,10 +211,12 @@ def search_bm25_topk(spark, sf_dir, k1: float = 1.2, b: float = 0.75):
     n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
     avgdl_df = doc_len.agg(F.avg("dl").alias("avgdl"))
     stats = postings.filter(F.col("token").isin(*QUERY_TERMS))
-    # Lucene/ES BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5))
+    # Lucene/ES BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5)); df reads
+    # the persisted term-df dictionary (4 rows) instead of re-counting
+    # the filtered postings per run (round 11, guide §2.4)
     idf = (
-        stats.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+        token_df(spark, sf_dir)
+        .filter(F.col("token").isin(*QUERY_TERMS))
         .crossJoin(F.broadcast(n_df))
         .select(
             "token",
@@ -443,11 +448,13 @@ def search_keywords_per_doc(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     postings, _ = indexed_postings(spark, sf_dir)
     n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # full-vocab idf rides the persisted term-df dictionary — the old
+    # form re-ran the vocab groupBy shuffle over the whole postings
+    # frame on every call (round 11, guide §2.4)
     idf = (
-        postings.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df_t"))
+        token_df(spark, sf_dir)
         .crossJoin(F.broadcast(n_df))
-        .select("token", F.log(F.col("n") / F.col("df_t")).alias("idf"))
+        .select("token", F.log(F.col("n") / F.col("df")).alias("idf"))
     )
     scored = postings.join(idf, "token").select(
         "doc_id", "token", (F.col("tf") * F.col("idf")).alias("tfidf_raw")
@@ -555,7 +562,10 @@ def search_query_expansion(spark, sf_dir):
         .agg(F.count("text").cast("double").alias("n_docs"))
     )
     n_seed = seed_docs.agg(F.count(F.lit(1)).alias("n_seed"))
-    df = doc_tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # document frequencies from the persisted term-df dictionary —
+    # identical integer counts, no per-run vocab aggregation over the
+    # postings (round 11, guide §2.4)
+    df = token_df(spark, sf_dir)
     co = (
         doc_tokens.join(seed_docs, "doc_id")
         .filter(F.col("token") != "data")
@@ -946,10 +956,11 @@ def search_bool_query(spark, sf_dir):
             "doc_id",
             "left_anti",
         )
+    # df from the persisted term-df dictionary — same integer counts,
+    # no postings re-aggregation per run (round 11, guide §2.4)
     idf = (
-        postings.filter(F.col("token").isin(*terms))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+        token_df(spark, sf_dir)
+        .filter(F.col("token").isin(*terms))
         .crossJoin(F.broadcast(n_df))
         .select(
             "token",
@@ -1648,14 +1659,13 @@ def agg_rare_terms(spark, sf_dir):
     from pyspark.sql import Window as W
 
     docs = load_tables(spark, sf_dir)["documents"]
-    df_ = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower("text"), " ")).alias("token"),
-        )
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    # per-token document frequency = row count per token of the
+    # postings index (grain (token, doc)) — read from the persisted
+    # term-df dictionary instead of re-exploding the corpus text per
+    # run (round 11, guide §2.4; identical integer counts: postings
+    # dedups (token, doc) exactly like COUNT(DISTINCT doc_id))
+    df_ = token_df(spark, sf_dir).select(
+        "token", F.col("df").cast("bigint").alias("n_docs")
     )
     tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     rare = df_.crossJoin(F.broadcast(tot)).filter(

@@ -258,6 +258,57 @@ def test_dedup_lsh_matches_exact_path(spark):
     assert sum(v[2] for v in exact.values()) > 0  # dups actually exist
 
 
+def test_lsh_candidate_and_verified_pair_caches_serve_many(spark):
+    """Round-11 optimization pin: the banded-LSH candidate frame and
+    the exact-verified pair frame are per-session serve-many caches —
+    a second call returns the SAME persisted DataFrame (no rebuild),
+    and the shared verified frame is value-identical to an inline
+    recompute of the candidate⋈shingle-sets⋈Jaccard-rerank subtree it
+    replaced in dedup_corpus_lsh / pretrain_pipeline_report."""
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.operators.text import (
+        lsh_candidate_pairs,
+        lsh_verified_pairs,
+        shingle_sets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cand1 = lsh_candidate_pairs(spark, sf)
+    assert lsh_candidate_pairs(spark, sf) is cand1
+    assert cand1.storageLevel.useMemory  # persisted, not a re-plan
+    ver1 = lsh_verified_pairs(spark, sf)
+    assert lsh_verified_pairs(spark, sf) is ver1
+    assert ver1.storageLevel.useMemory
+
+    # semantics pin: the shared frame == the inline subtree it replaced
+    sets = shingle_sets(spark, sf)
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    inline = (
+        cand1.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.35)
+        .select("doc_a", "doc_b")
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in ver1.collect()}
+    want = {(r["doc_a"], r["doc_b"]) for r in inline.collect()}
+    assert got == want and got  # identical, and non-empty on the fixture
+
+
 def test_neardup_paths_single_corpus_tokenization(spark):
     """Scale contract (mirrors the search postings test): once the
     per-session shingle-set cache is built, every near-dup policy's
