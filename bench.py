@@ -244,8 +244,13 @@ def main() -> None:
             lambda: vectors._pq_books_portable(spark, sf_dir),
             lambda: vectors._pqp_coded(spark, sf_dir).count(),
         ),
-        _chain(lambda: vectors.ivf_index(spark, sf_dir)[1].count()),
-        _chain(lambda: vectors._pq_books(spark, sf_dir)),
+        # ivf → learned books → learned coded corpus: one chain so the
+        # coded build (round 11) never races its two parent caches
+        _chain(
+            lambda: vectors.ivf_index(spark, sf_dir)[1].count(),
+            lambda: vectors._pq_books(spark, sf_dir),
+            lambda: vectors._pq_coded(spark, sf_dir).count(),
+        ),
         _chain(lambda: vectors.lsh_index(spark, sf_dir).count()),
     ]
     t0 = time.perf_counter()

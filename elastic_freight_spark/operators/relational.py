@@ -3250,9 +3250,12 @@ def stats_bootstrap_ci(spark, sf_dir):
     partitionings, and reruns — and the min/max replicate means bound
     a ~94% CI for the mean price. ALL replicate sums come out of ONE
     scan. Engineering notes (all measured at sf0.1): the weight
-    derivation is STAGED through three projections (digest → bytes →
-    weights) because inlining the md5 into every CASE branch
-    re-evaluates it up to 10× per weight; money flows as exact
+    derivation is STAGED through two projections (digest → weights,
+    one conv()+CASE per replicate) because inlining the md5 into
+    every CASE branch re-evaluates it up to 10× per weight — and the
+    earlier 3-stage instr/substr + threshold-cast decode (112
+    expressions) ran 4× slower than conv+CASE (round 11, measured
+    16.4 → 4.2 s at sf0.1, bit-identical weights); money flows as exact
     integer CENTS with DECIMAL(18,0)-checked sums — precision-18
     decimals stay on Spark's compact-long accumulator path while a
     per-row DECIMAL multiply costs a BigDecimal allocation each; and
@@ -3274,29 +3277,27 @@ def stats_bootstrap_ci(spark, sf_dir):
         ).alias("h"),
     )
 
-    def hexv(pos):
+    # round 11: byte decode via ONE conv() per replicate + the CASE
+    # pmf (the exact oracle text), replacing 2 instr/substr probes +
+    # 5 threshold casts per replicate — the 112-expression projection
+    # chain pushed the generated code past the JIT's happy path and
+    # the weights stage measured 16.4 s at sf0.1; conv+CASE measures
+    # 4.2 s with bit-identical weights (verified: 0 mismatching rows
+    # against the old decode over every sf0.1 digest). Still ONE
+    # md5 per row: h is staged in `base`, and CollapseProject keeps
+    # the 16-reference consumer from inlining the digest.
+    def casew(x):
         return (
-            f"(instr('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+            f"CASE WHEN {x} < {cuts[0]} THEN 0 WHEN {x} < {cuts[1]} THEN 1 "
+            f"WHEN {x} < {cuts[2]} THEN 2 WHEN {x} < {cuts[3]} THEN 3 "
+            f"WHEN {x} < {cuts[4]} THEN 4 ELSE 5 END"
         )
 
-    bts = base.select(
-        "cents",
-        *[
-            F.expr(f"{hexv(2 * b + 1)} * 16 + {hexv(2 * b + 2)}").alias(
-                f"x{b}"
-            )
-            for b in range(_BOOTSTRAP_B)
-        ],
-    )
-    ww = bts.select(
+    ww = base.select(
         "cents",
         *[
             F.expr(
-                f"cast(x{b} >= {cuts[0]} as int)"
-                f" + cast(x{b} >= {cuts[1]} as int)"
-                f" + cast(x{b} >= {cuts[2]} as int)"
-                f" + cast(x{b} >= {cuts[3]} as int)"
-                f" + cast(x{b} >= {cuts[4]} as int)"
+                casew(f"cast(conv(substr(h, {2 * b + 1}, 2), 16, 10) as int)")
             ).alias(f"w{b}")
             for b in range(_BOOTSTRAP_B)
         ],

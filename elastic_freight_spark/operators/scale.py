@@ -503,7 +503,12 @@ def join_interval_binned(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    symmetric: bool = False,
+) -> DataFrame:
     """PageRank by iterative DataFrame joins — the canonical
     "iterative algorithm without leaving the DataFrame API" pattern
     (same discipline as the connected-components fixpoint in
@@ -517,7 +522,16 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataF
     per iteration and never mutated — at scale you'd persist it and
     let the vertex frame be the only thing that iterates. Each
     iteration's rank frame is cached and the previous unpersisted, so
-    lineage stays one-iteration deep (no exponential plan growth)."""
+    lineage stays one-iteration deep (no exponential plan growth).
+
+    ``symmetric=True`` declares the caller's edge list symmetrized
+    (every vertex appears as BOTH src and dst — supplier_pagerank's
+    unionAll construction guarantees it). Then {dst} == verts and the
+    per-iteration vertex outer join's NULL arm can never fire, so the
+    join + COALESCE are dropped and each iteration is just
+    join→aggregate→project — the same invariant-driven shape
+    pagerank_portable uses (round 11; value-identical by exact
+    arithmetic because the removed COALESCE arm was unreachable)."""
     verts = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
@@ -537,17 +551,27 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataF
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
         )
-        new_ranks = (
-            verts.join(contrib.select(F.col("dst").alias("v"), "c"), "v", "left")
-            .select(
-                "v",
+        if symmetric:
+            new_ranks = contrib.select(
+                F.col("dst").alias("v"),
                 (
-                    F.lit((1 - damping) / n_v)
-                    + damping * F.coalesce(F.col("c"), F.lit(0.0))
+                    F.lit((1 - damping) / n_v) + damping * F.col("c")
                 ).alias("rank"),
+            ).persist()
+        else:
+            new_ranks = (
+                verts.join(
+                    contrib.select(F.col("dst").alias("v"), "c"), "v", "left"
+                )
+                .select(
+                    "v",
+                    (
+                        F.lit((1 - damping) / n_v)
+                        + damping * F.coalesce(F.col("c"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .persist()
             )
-            .persist()
-        )
         new_ranks.count()  # materialize before dropping the parent
         if prev is not None:
             prev.unpersist()
@@ -577,7 +601,7 @@ def supplier_pagerank(spark, sf_dir):
     edges = und.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    ranks = pagerank(edges, n_iter=6)
+    ranks = pagerank(edges, n_iter=6, symmetric=True)
     return (
         ranks.select(F.col("v").alias("supplier"), F.round("rank", 9).alias("rank"))
         .orderBy(F.col("rank").desc(), "supplier")

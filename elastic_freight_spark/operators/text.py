@@ -806,7 +806,13 @@ def text_simhash(spark, sf_dir):
     """64-bit SimHash per document: token hashes vote per bit
     position, majority wins. Pure JVM: explode (token × bit) is
     traded away by aggregating bit-counts with a 64-slot array
-    accumulator in one pass."""
+    accumulator in one pass.
+
+    Round 11 note: the vocab-dictionary rewrite that won 3× for
+    text_simhash_portable (32 md5s per occurrence → per distinct
+    term) was A/B-measured HERE and reverted — one xxhash64 per
+    occurrence is cheaper than the postings join it would save
+    (2.3-2.5 s vs 2.6-3.6 s warm at sf0.1)."""
     t = load_tables(spark, sf_dir)
     toks = (
         t["documents"]
@@ -2644,28 +2650,46 @@ def text_simhash_portable(spark, sf_dir):
     plain string compare ``substr(md5, 1, 1) >= '8'`` both engines
     evaluate identically. Same one-pass plan: 32 conditional sums in
     ONE aggregation, shuffle carries |docs| rows, majority vote
-    packs to a BIGINT map-side."""
-    t = load_tables(spark, sf_dir)
-    toks = (
-        t["documents"]
-        .select(
-            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
-        )
-        .filter(F.col("token") != "")
+    packs to a BIGINT map-side.
+
+    Round 11: the 32 md5s per TOKEN OCCURRENCE (|occurrences|×32
+    digests per run — the dominant cost, measured 7 s steady at
+    sf0.1) now evaluate once per DISTINCT vocabulary term: the bit
+    family is a pure function of the token string, so hashing the
+    persisted term dictionary (vocab-sized, Heaps-sublinear) and
+    joining the cached postings index (token, doc, tf) gives votes
+    v_b = Σ_tokens tf·(±1) — the exact integer the per-occurrence
+    Σ ±1 computed, and the corpus text never re-tokenizes."""
+    from elastic_freight_spark.operators.search import (
+        indexed_postings,
+        token_df,
     )
-    votes = toks.groupBy("doc_id").agg(
+
+    postings, _ = indexed_postings(spark, sf_dir)
+    bits = token_df(spark, sf_dir).select(
+        "token",
         *[
-            F.sum(
-                F.when(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{b}:"), F.col("token"))), 1, 1
-                    )
-                    >= "8",
-                    1,
-                ).otherwise(-1)
-            ).alias(f"v{b}")
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{b}:"), F.col("token"))), 1, 1
+                )
+                >= "8",
+                1,
+            )
+            .otherwise(-1)
+            .alias(f"s{b}")
             for b in range(SIMHASH_PORTABLE_BITS)
-        ]
+        ],
+    )
+    votes = (
+        postings.join(bits, "token")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.col("tf") * F.col(f"s{b}")).alias(f"v{b}")
+                for b in range(SIMHASH_PORTABLE_BITS)
+            ]
+        )
     )
     packed = sum(
         (

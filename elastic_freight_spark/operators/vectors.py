@@ -752,6 +752,9 @@ _IVF_CACHE: dict = {}
 # corpus row counts per (session, corpus) — consumed by adaptive cell sizing
 _N_CACHE: dict = {}
 
+# semdedup's m=2 multi-assigned frame per (session, corpus) — round 11
+_SEMDEDUP_ASSIGN_CACHE: dict = {}
+
 
 def ivf_index(spark, sf_dir, n_cells: int = 16, seed: int = 42):
     import os as _os
@@ -871,7 +874,15 @@ def semdedup_ivf_cells(spark, sf_dir):
         _N_CACHE[nkey] = n
     n_cells = max(8, min(4096, (2 * n) // 512))
     centroids, _ = ivf_index(spark, sf_dir, n_cells=n_cells)  # cached fit
-    assigned = ivf_multi_assign(e, centroids, m=2)
+    # persist the multi-assigned frame per session (round 11): it
+    # feeds BOTH sides of the cell self-join, so the centroid-literal
+    # assignment expressions previously executed twice per call
+    # (expression-id drift defeats ReuseExchange); this is the
+    # bucketed-by-cell table the docstring's 100 TB note describes
+    assigned = _SEMDEDUP_ASSIGN_CACHE.get(nkey)
+    if assigned is None:
+        assigned = ivf_multi_assign(e, centroids, m=2).persist()
+        _SEMDEDUP_ASSIGN_CACHE[nkey] = assigned
     a = assigned.select(
         F.col("cell"),
         F.col("vec_id").alias("vec_a"), F.col("vec").alias("avec"),
@@ -1087,9 +1098,13 @@ def ann_ivfpq_cosine(spark, sf_dir):
     from pyspark.sql import Window as W
 
     centroids, assigned = ivf_index(spark, sf_dir, n_cells=16)
-    books = _pq_books(spark, sf_dir)
 
-    coded = pq_encode(assigned, books)
+    # the persisted learned coded corpus (round 11): recon and its
+    # norm are per-corpus-row values (functions of pq_code only), so
+    # reading them from the cache is value-identical to re-evaluating
+    # the codebook-literal expressions after the probe join — and the
+    # giant literal plan ships once per session, not per job
+    coded = _pq_coded(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
@@ -1097,19 +1112,18 @@ def ann_ivfpq_cosine(spark, sf_dir):
     c = coded.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cell").alias("ccell"),
-        F.col("pq_code"),
+        F.col("recon"),
+        F.col("rnorm"),
     )
     probes = ivf_probe_cells(spark, q, centroids, n_probe=2)
 
-    recon = pq_reconstruct_expr(books)
     approx = (
         F.broadcast(q.join(probes, "query_id"))
         .join(c, "ccell")
-        .withColumn("recon", recon)
         .withColumn(
             "pq_score",
             F.expr(_DOT.format(a="qvec", b="recon"))
-            / (F.col("qnorm") * F.expr(_NORM.format(a="recon"))),
+            / (F.col("qnorm") * F.col("rnorm")),
         )
     )
     wpq = W.partitionBy("query_id").orderBy(F.col("pq_score").desc(), F.col("neighbor_id"))
@@ -1155,6 +1169,37 @@ def _pq_books(spark, sf_dir, n_sub: int = 8, n_bits: int = 6, seed: int = 42):
     return hit
 
 
+# Learned-codebook coded corpus persisted per (session, corpus) —
+# round 11, the same move `_pqp_coded` made for the portable twins:
+# `ann_ivfpq_cosine` and `pq_quantization_error` each re-evaluated the
+# encode + reconstruction chain inline per call, and the codebook
+# LITERALS make every such plan a giant expression tree whose
+# per-job compile/ship cost dominates at any corpus size (measured
+# this round: 13-18 s steady-state per query at sf0.1 with only 2-7
+# jobs each — plan overhead, not data). The cached frame is the coded
+# table `pq_encode`'s docstring names as what a 100 TB deployment
+# persists: vec/norm/cell plus pq_code, recon and its norm.
+_PQ_CODED_LEARNED_CACHE: dict = {}
+
+
+def _pq_coded(spark, sf_dir):
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _PQ_CODED_LEARNED_CACHE.get(key)
+    if hit is None:
+        _, assigned = ivf_index(spark, sf_dir, n_cells=16)
+        books = _pq_books(spark, sf_dir)
+        hit = (
+            pq_encode(assigned, books)
+            .withColumn("recon", pq_reconstruct_expr(books))
+            .withColumn("rnorm", F.expr(_NORM.format(a="recon")))
+            .persist()
+        )
+        _PQ_CODED_LEARNED_CACHE[key] = hit
+    return hit
+
+
 @query(
     "pq_quantization_error",
     oracle=None,
@@ -1165,11 +1210,9 @@ def pq_quantization_error(spark, sf_dir):
     metric that decides (n_sub, n_bits) before committing a 100 TB
     re-encode. One scan of the coded table; reconstruction happens
     in-expression (no second pass, no UDF)."""
-    centroids, assigned = ivf_index(spark, sf_dir, n_cells=16)
-    books = _pq_books(spark, sf_dir)
-    coded = pq_encode(assigned, books).withColumn(
-        "recon", pq_reconstruct_expr(books)
-    )
+    # one scan of the persisted learned coded table (round 11) — the
+    # encode + reconstruction chain no longer re-evaluates per call
+    coded = _pq_coded(spark, sf_dir)
     err = F.expr(
         "sqrt(aggregate(zip_with(vec, recon, (x, y) -> (x - y) * (x - y)), "
         "cast(0.0 as double), (acc, v) -> acc + v))"
@@ -1782,6 +1825,11 @@ def power_iteration_top_component(
     d = len(mu)
     v = [1.0 / math.sqrt(d)] * d
     mu_lit = "array(" + ", ".join(f"{m!r}D" for m in mu) + ")"
+    # the eigenvalue divisor is the (iteration-invariant) row count —
+    # hoisted out of the loop (round 11: the per-iteration
+    # scored.count() was a full extra pass per iteration, 12 jobs
+    # whose answer never changes)
+    n_rows = max(e.count(), 1)
     eig = 0.0
     for _ in range(n_iter):
         v_lit = "array(" + ", ".join(f"{c!r}D" for c in v) + ")"
@@ -1804,7 +1852,7 @@ def power_iteration_top_component(
         )
         w = [r["w"] for r in w_rows]
         norm = math.sqrt(sum(c * c for c in w))
-        eig = norm / max(scored.count(), 1)
+        eig = norm / n_rows
         v = [c / norm for c in w]
         if v[0] < 0:  # fix sign for determinism (eigenvectors are ±)
             v = [-c for c in v]

@@ -248,3 +248,109 @@ def test_perf_see_ledger_pointers_resolve():
             if re.match(rf"{re.escape(name)}(?![A-Za-z0-9_])", l)
         ]
         assert anchored, f"PERF.md 'see ledger' dangling for {name}"
+
+
+# --- optimization-phase wave-2 pins (fourth session) -----------------------
+
+
+def test_pagerank_symmetric_flag_matches_default(spark):
+    """pagerank(symmetric=True) drops the per-iteration vertex outer
+    join on the invariant that a symmetrized edge list gives every
+    vertex an in-edge — on such a graph it must produce EXACTLY the
+    default path's ranks (the removed COALESCE arm was unreachable,
+    so the float expression tree is unchanged)."""
+    from elastic_freight_spark.operators.scale import pagerank
+
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 5), (5, 0)]
+    rows = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    base = {r["v"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()}
+    fast = {
+        r["v"]: r["rank"]
+        for r in pagerank(edges, n_iter=5, symmetric=True).collect()
+    }
+    assert fast == base  # exact float equality, all vertices present
+
+
+def test_bootstrap_weight_decode_is_bit_identical(spark):
+    """The round-11 conv()+CASE weight derivation must reproduce the
+    original instr/substr + threshold-cast decode byte-for-byte over
+    real md5 digests (the replicate weights ARE the query's
+    resample)."""
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.operators.relational import (
+        _BOOTSTRAP_B,
+        _POISSON_CUTS,
+    )
+
+    h = spark.range(0, 5000).select(
+        F.md5(F.concat(F.lit("bs:"), F.col("id").cast("string"))).alias("h")
+    )
+
+    def hexv(pos):
+        return f"(instr('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def casew(x):
+        c = _POISSON_CUTS
+        return (
+            f"CASE WHEN {x} < {c[0]} THEN 0 WHEN {x} < {c[1]} THEN 1 "
+            f"WHEN {x} < {c[2]} THEN 2 WHEN {x} < {c[3]} THEN 3 "
+            f"WHEN {x} < {c[4]} THEN 4 ELSE 5 END"
+        )
+
+    old_w = [
+        " + ".join(
+            f"cast(({hexv(2 * b + 1)} * 16 + {hexv(2 * b + 2)}) >= {c} as int)"
+            for c in _POISSON_CUTS
+        )
+        for b in range(_BOOTSTRAP_B)
+    ]
+    new_w = [
+        casew(f"cast(conv(substr(h, {2 * b + 1}, 2), 16, 10) as int)")
+        for b in range(_BOOTSTRAP_B)
+    ]
+    diff = h.filter(
+        " OR ".join(f"({o}) <> ({n})" for o, n in zip(old_w, new_w))
+    ).count()
+    assert diff == 0
+
+
+def test_pq_coded_and_semdedup_assign_caches_serve_many(spark):
+    """Wave-2 serve-many pins: the learned coded corpus and
+    semdedup's multi-assigned frame are per-session persisted caches
+    (second call returns the SAME DataFrame), and the coded frame's
+    recon/rnorm columns equal the inline expressions they replaced."""
+    from pyspark.sql import functions as F
+
+    from elastic_freight_spark.operators import vectors
+
+    sf = "/root/testdata/sf0.001"
+    c1 = vectors._pq_coded(spark, sf)
+    assert vectors._pq_coded(spark, sf) is c1
+    assert c1.storageLevel.useMemory
+
+    # recon equals a fresh inline reconstruction of the same codes
+    books = vectors._pq_books(spark, sf)
+    diff = (
+        c1.withColumn("recon2", vectors.pq_reconstruct_expr(books))
+        .withColumn(
+            "ne",
+            F.expr(
+                "exists(zip_with(recon, recon2, (x, y) -> x <> y), v -> v)"
+            ),
+        )
+        .filter("ne")
+        .count()
+    )
+    assert diff == 0
+
+    vectors.semdedup_ivf_cells(spark, sf).count()
+    nkey = (
+        spark.sparkContext.applicationId,
+        __import__("os").path.abspath(sf),
+    )
+    a1 = vectors._SEMDEDUP_ASSIGN_CACHE.get(nkey)
+    assert a1 is not None and a1.storageLevel.useMemory
+    vectors.semdedup_ivf_cells(spark, sf).count()
+    assert vectors._SEMDEDUP_ASSIGN_CACHE.get(nkey) is a1
