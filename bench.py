@@ -394,12 +394,14 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     full = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": cpus,
     }
     if prev_ratio:
         full["prev"] = prev_name
@@ -410,11 +412,27 @@ def main() -> None:
     # the console, the structured record survives. Per-round archives
     # (BENCH_FULL_r{N}.json, copied from this file at round start)
     # keep the full per-query history for _prev_bench.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
-        "w",
-    ) as f:
+    #
+    # Round 12 (r11 verdict item 5): the driver ALSO benches at a low
+    # core count after the 32-core run, and in r11 that second run
+    # OVERWROTE BENCH_LOCAL.json, destroying the 32-core per-query
+    # record. Every run now writes its full record to a per-cpu file,
+    # and BENCH_LOCAL.json (the round-start archive source) is only
+    # overwritten by a run at >= the recorded core count — a low-core
+    # rerun can no longer clobber the canonical record.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, f"BENCH_LOCAL_c{cpus}.json"), "w") as f:
         f.write(json.dumps(full) + "\n")
+    local_path = os.path.join(repo_dir, "BENCH_LOCAL.json")
+    prev_cpus = -1
+    try:
+        with open(local_path) as f:
+            prev_cpus = int(json.load(f).get("cpus", -1))
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        pass
+    if cpus >= prev_cpus:
+        with open(local_path, "w") as f:
+            f.write(json.dumps(full) + "\n")
     # The driver's stdout tail capture is ~2 KB; the full per-query
     # dict (~4.7 KB at 109 queries) outlived it every round since r4
     # ("parsed": null). Print a COMPACT summary as the last line —
