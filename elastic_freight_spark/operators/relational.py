@@ -1172,6 +1172,11 @@ def agg_equidepth_histogram(spark, sf_dir):
         li.groupBy(F.col("l_extendedprice").alias("v"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .withColumn("b", F.expr("cast(floor(v) as bigint) div 100"))
+        # round 12: distinct-price-bounded; feeds bucketed_cum (2
+        # refs) + n1 — checkpointed so the lineitem scan + groupBy
+        # runs once, not 3x (8-core A/B receipts in
+        # OPTIMIZATION_r12.md)
+        .localCheckpoint(eager=True)
     )
     cum = bucketed_cum(counts, "v", "b", ["c"])
     n1 = counts.agg(F.sum("c").cast("bigint").alias("n"))
@@ -1401,9 +1406,15 @@ def customer_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
     )
-    # NOT localCheckpoint-ed: AQE exchange reuse already dedupes the
-    # identical orders-groupBy exchange across the 3 dist_rank branches
-    # (measured: a checkpoint here is 1.7x SLOWER at sf0.1)
+    # Round 12 (r11 verdict item 3): re-measured at 8 AND 32 cores —
+    # the round-6 "checkpoint is 1.7x SLOWER" verdict no longer
+    # reproduces (flat at both widths, A/B receipts in
+    # OPTIMIZATION_r12.md). Checkpointed: the customer-bounded frame
+    # feeds 3 dist_rank calls (3 references each) + the n1 count, so
+    # the checkpoint replaces ~10 orders scans + groupBys with one —
+    # wall-clock-flat locally where idle cores overlap the duplicate
+    # subtrees, strictly less work at cluster scale.
+    rfm = rfm.localCheckpoint(eager=True)
     r_rk = dist_rank(
         rfm.select("o_custkey", "last_order"),
         "last_order",
@@ -1499,6 +1510,11 @@ def customer_value_gini(spark, sf_dir):
         cust.groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .withColumn("b", F.expr("cast(floor(v) as bigint) div 10000"))
+        # NOT checkpointed: re-measured in round 12 at 8 AND 32 cores
+        # (the r11 verdict's low-core re-measure) — the checkpoint is
+        # ~13% SLOWER at 8 cores and flat at 32 (the orders groupBy
+        # is cheap to recompute; the eager barrier job loses to
+        # overlapped recompute — the round-6 rfm lesson holds HERE).
     )
     cum = bucketed_cum(counts, "v", "b", ["c"])
     s = F.col("c_cum") - F.col("c")
@@ -1585,6 +1601,11 @@ def part_abc_classification(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .withColumn("mass", (F.col("rev") * F.col("c")).cast("decimal(38,4)"))
         .withColumn("b", F.expr("cast(floor(rev) as bigint) div 1000"))
+        # round 12: distinct-revenue-bounded frame feeds bucketed_cum
+        # (2 refs) + tot — checkpointed so the lineitem scan +
+        # two-level aggregate runs once, not 3x (8-core A/B receipts
+        # in OPTIMIZATION_r12.md)
+        .localCheckpoint(eager=True)
     )
     cum = bucketed_cum(counts, "rev", "b", ["mass"], ascending=False)
     tot = counts.agg(F.sum("mass").cast("decimal(38,4)").alias("total"))
