@@ -24,6 +24,8 @@ unsolved). At 100 TB these are the two Spark-native answers:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from elastic_freight_spark.functions import dsum, sql_dsum
@@ -531,13 +533,29 @@ def pagerank(
     join + COALESCE are dropped and each iteration is just
     join→aggregate→project — the same invariant-driven shape
     pagerank_portable uses (round 11; value-identical by exact
-    arithmetic because the removed COALESCE arm was unreachable)."""
+    arithmetic because the removed COALESCE arm was unreachable).
+
+    MISUSE WARNING (r11 advice): passing ``symmetric=True`` on a
+    NON-symmetrized edge list does not mis-rank — it silently DROPS
+    every vertex with zero in-degree from the output (missing rows
+    and leaked rank mass). Set ``EFS_DEBUG_ASSERTS=1`` to pay one
+    extra count per call that verifies the invariant and fails loudly
+    instead."""
     verts = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
         .distinct()
         .persist()  # read by every iteration's outer join — one build
     )
+    if symmetric and os.environ.get("EFS_DEBUG_ASSERTS"):
+        n_dst = edges.select(F.col("dst").alias("v")).distinct().count()
+        n_all = verts.count()
+        if n_dst != n_all:
+            raise AssertionError(
+                f"pagerank(symmetric=True) on a non-symmetrized edge "
+                f"list: {n_all - n_dst} vertex(es) never appear as dst "
+                f"and would silently vanish from the output"
+            )
     n_v = verts.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     norm_edges = edges.join(deg, "src").persist()

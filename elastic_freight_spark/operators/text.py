@@ -734,7 +734,20 @@ def lsh_candidate_pairs(spark, sf_dir):
         .dropDuplicates(["doc_a", "doc_b"])
         .persist()
     )
+    # Round 12 (r11 verdict item 1 — unpersist superseded frames):
+    # the xxhash signature cache's ONLY consumer is this candidate
+    # build (the signatures every downstream policy needs ride along
+    # as cand's sig_a/sig_b columns), so once the banded candidates
+    # are materialized the corpus-sized signature frame (|docs| × 32
+    # longs at 100 TB) has no reader left — drop it from storage and
+    # from the cache dict (a hypothetical later direct caller
+    # rebuilds and re-persists correctly). persist() is lazy: the
+    # eager count below makes sure the candidate blocks exist before
+    # the frame they derive from is released.
+    cand.count()
     _LSH_CAND_CACHE[key] = cand
+    sigs.unpersist()
+    _SIG_CACHE.pop((key[0], key[1], MINHASH_PERMS), None)
     return cand
 
 
