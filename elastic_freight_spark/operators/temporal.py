@@ -2721,24 +2721,33 @@ def t_cross_correlation_click_purchase(spark, sf_dir):
         F.date_trunc("day", F.max("ts")).cast("date").alias("hi"),
     )
     spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
-    ec = (
-        ev.filter(F.col("event_type") == "click")
+    # round 12: ONE filtered scan + groupBy-day with conditional
+    # counts replaces two per-type scans and two spine joins — the
+    # per-day click/purchase counts are the same integers (a day
+    # missing a type aggregates that type's WHEN to 0, exactly what
+    # the old per-type LEFT JOIN + COALESCE produced; days with
+    # neither type still enter via the spine join's COALESCE)
+    both = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
-    oc = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
-        .agg(F.count(F.lit(1)).alias("y"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+        )
     )
     series = (
-        spine.join(ec, "day", "left")
-        .join(oc, "day", "left")
+        spine.join(both, "day", "left")
         .select(
             "day",
             F.coalesce("x", F.lit(0)).alias("x"),
             F.coalesce("y", F.lit(0)).alias("y"),
         )
+        # calendar-day-bounded frame; the lead window + the 25-term
+        # moment aggregate referenced it from many branches, each
+        # re-running the event scans + spine build (28 scans in the
+        # one-scan rewrite's plan, 42 before it) — one
+        # materialization serves all
+        .localCheckpoint(eager=True)
     )
     w = W.orderBy("day")
     led = series.select(
